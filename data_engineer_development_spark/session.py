@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+The reference delegates all execution to BigQuery's server-side engine
+(/root/reference/gcp-python-libs/bigquery.py:92-94 ships SQL verbatim); our
+analogue is a well-configured SparkSession where Catalyst plays BigQuery's
+optimizer role.
+
+Scale stance (100 TB / 1000-executor design, tested on local[N]):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic broadcast conversion replace hand-tuned partition counts.
+- Session timezone pinned to UTC so timestamp semantics are reproducible
+  across drivers/executors and match columnar-store (parquet) physical values.
+- Arrow enabled for the few pandas-UDF extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "data-engineer-development-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS (driver contract) else all cores.
+    ``shuffle_partitions`` defaults to 2x cpus locally — on a real cluster the
+    AQE coalescer owns the effective number, so the static value only needs to
+    be an upper bound for the local runs.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    shuffle_partitions = shuffle_partitions or int(cpus) * 2
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ANSI off: BigQuery CAST on already-cleansed data and Spark non-ANSI
+        # CAST agree (SURVEY.md §7.3); sentinel cleanup precedes every cast.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,93 @@
+"""Sources / scans (SURVEY.md §2.1).
+
+Spark-first restatement of the reference's ingest surface:
+
+- S3 typed CSV/TSV load (reference: GoogleCloudStorageToBigQueryOperator with
+  an explicit 46-col schema, tab-delim, skip_leading_rows=1, autodetect=False
+  — /root/reference/airflow-dags/export_svg.py:143-205) → ``read_typed_csv``.
+- S2 decompress + NUL-byte cleanup (reference: ``gsutil|gunzip|tr '\\0' ' '``
+  — export_svg.py:107-113) → ``read_gz_text_clean`` (Spark decompresses .gz
+  transparently; the byte fix is a vectorized regexp_replace, not a shell pipe).
+- S4/S5 table scans & partition-discovered parquet → ``load_table``.
+
+At 100 TB these readers matter because they are the *only* place schemas are
+declared: explicit StructType means the parquet/CSV scan never pays an
+inference pass, and column pruning/predicate pushdown start from a typed scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: the driver-provided star schema (TESTDATA.md) — every query module reads
+#: from these names so a different sf_dir swaps scale transparently.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table (S4). Plain ``spark.read.parquet`` keeps the
+    scan eligible for column pruning, predicate pushdown and (when the layout
+    has partition dirs) partition pruning — verified via .explain in tests."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the star schema as temp views so ``spark.sql`` text queries
+    (the reference's native idiom — all semantics live in SQL strings,
+    export_svg.py:209-694) can address tables by name."""
+    for n in names or TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_typed_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    sep: str = "\t",
+    header: bool = True,
+) -> DataFrame:
+    """S3: typed delimited load with an explicit schema.
+
+    Mirrors export_svg.py:198-203 semantics: ``autodetect=False`` → explicit
+    schema (never inferSchema: at 100 TB an inference pass is a full extra
+    scan); ``skip_leading_rows=1`` → header=True; tab-delimited.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_gz_text_clean(spark: SparkSession, path: str) -> DataFrame:
+    """S2: read (possibly gzipped) text and strip NUL bytes.
+
+    The reference shells out ``gunzip | tr '\\0' ' '`` (export_svg.py:110);
+    Spark's text source is codec-transparent for .gz, and the byte fix is a
+    JVM-side regexp_replace so it stays inside whole-stage codegen. One
+    caveat carried to the 100 TB design: .gz is not splittable, so a huge
+    single gzip file would read on one task — the pipeline repartitions right
+    after this read (see pipeline.py) exactly because of that.
+    """
+    return spark.read.text(path).select(
+        F.regexp_replace(F.col("value"), "\\x00", " ").alias("value")
+    )

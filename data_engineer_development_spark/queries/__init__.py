@@ -12,9 +12,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_engineer_development_spark.queries import core
+from data_engineer_development_spark.queries import (
+    analytics,
+    core,
+    scalar_ops,
+    timeseries,
+)
 
-_MODULES = [core]
+_MODULES = [core, scalar_ops, analytics, timeseries]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,413 @@
+"""Engine-completeness analytics (SURVEY.md §2.4/§2.5/§2.6/§2.7/§2.8).
+
+The reference's dims layer exists so facts join to it (export_svg.py:275-693
+builds 15 decode dims); these queries exercise the join/agg/window/set-op
+surface a consumer of those dims needs, over the driver's star schema.
+
+Scale notes per query inline; shared rules:
+- small dims (region 5, nation 25, supplier, part) are broadcast explicitly;
+- every double aggregate goes through exact decimal accumulation (see
+  functions/scalars.py) so the DuckDB oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.functions import davg, dsum
+from data_engineer_development_spark.operators.joins import asof_join
+from data_engineer_development_spark.sources import load_table
+
+DEC = "decimal(18,4)"
+
+
+# --------------------------------------------------------------------------
+# Broadcast star join: revenue per region (customer⋈nation⋈region⋈orders).
+# nation/region are broadcast (≤25 rows — same shape as the reference's ≤94-row
+# decode dims, export_svg.py:298-392); only orders⋈customer shuffles.
+# --------------------------------------------------------------------------
+def q_join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_JOIN_STAR_BROADCAST_SQL = """
+SELECT r_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Shipping-priority top-k (TPC-H Q3 shape): 3-way join, selective filters on
+# both fact sides, group, deterministic top-10.
+# --------------------------------------------------------------------------
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = "1998-03-15"
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 4).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_TOP_UNSHIPPED_ORDERS_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Local-supplier volume (TPC-H Q5 shape): 6-table star join with the
+# c_nationkey = s_nationkey co-location predicate.
+# --------------------------------------------------------------------------
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["supplier"], (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 4).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# Left outer join + conditional agg: order count per customer incl. zero.
+# --------------------------------------------------------------------------
+def q_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+_LEFT_JOIN_ORDER_COUNTS_SQL = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS).
+# --------------------------------------------------------------------------
+def q_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_SEMI_JOIN_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregation variants: count / distinct count / min / max / avg per group.
+# --------------------------------------------------------------------------
+def q_agg_stats_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            davg("c_acctbal", "avg_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_AGG_STATS_PER_NATION_SQL = """
+SELECT n_name,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT c_mktsegment) AS n_segments,
+       MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Window: top-3 per group by rank (SURVEY §2.6 — extension; none in reference).
+# --------------------------------------------------------------------------
+def q_window_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        customer.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+_WINDOW_TOPK_SQL = """
+SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer
+) WHERE rk <= 3 ORDER BY c_mktsegment, rk
+"""
+
+
+# --------------------------------------------------------------------------
+# Window: running total + lag over a deterministic total order.
+# Cumulative sum stays decimal per-row then casts double, so every prefix is
+# exact on both engines.
+# --------------------------------------------------------------------------
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = (
+        F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    prev = F.lag(F.col("o_totalprice")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        run.alias("running_spend"),
+        prev.alias("prev_price"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+_WINDOW_RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+FROM orders WHERE o_custkey < 50
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Rollup (grouping sets family).
+# --------------------------------------------------------------------------
+def q_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations: UNION / INTERSECT / EXCEPT (SURVEY §2.8 — extension).
+# --------------------------------------------------------------------------
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    rich = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    both = with_orders.intersect(rich).withColumn("tag", F.lit("rich_active"))
+    only_rich = rich.exceptAll(with_orders).withColumn("tag", F.lit("rich_dormant"))
+    return both.unionByName(only_rich).orderBy("custkey", "tag")
+
+
+_SET_OPERATIONS_SQL = """
+WITH with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+     rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+SELECT custkey, 'rich_active' AS tag FROM (SELECT custkey FROM with_orders INTERSECT SELECT custkey FROM rich)
+UNION ALL
+SELECT custkey, 'rich_dormant' AS tag FROM (SELECT custkey FROM rich EXCEPT ALL SELECT custkey FROM with_orders)
+ORDER BY custkey, tag
+"""
+
+
+# --------------------------------------------------------------------------
+# As-of join (custom operator, operators/joins.py): for each non-purchase
+# event, the user's most recent purchase value at/before the event time.
+# Oracle: DuckDB's native ASOF JOIN.
+# --------------------------------------------------------------------------
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # unique (user_id, ts) on the right for deterministic payloads
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_time="ts",
+        right_time="p_ts",
+        right_payload=["purchase_value"],
+    )
+    return out.select("event_id", "user_id", "ts", "purchase_value").orderBy("event_id")
+
+
+_ASOF_LAST_PURCHASE_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts AS p_ts, value AS purchase_value
+  FROM (SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1
+)
+SELECT c.event_id, c.user_id, c.ts, p.purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.p_ts
+ORDER BY c.event_id
+"""
+
+
+QUERIES = {
+    "join_star_broadcast": q_join_star_broadcast,
+    "top_unshipped_orders": q_top_unshipped_orders,
+    "local_supplier_volume": q_local_supplier_volume,
+    "left_join_order_counts": q_left_join_order_counts,
+    "semi_join_active_customers": q_semi_join_active_customers,
+    "anti_join_dormant_customers": q_anti_join_dormant_customers,
+    "agg_stats_per_nation": q_agg_stats_per_nation,
+    "window_topk_per_segment": q_window_topk_per_segment,
+    "window_running_total": q_window_running_total,
+    "rollup_status_priority": q_rollup_status_priority,
+    "set_operations": q_set_operations,
+    "asof_last_purchase": q_asof_last_purchase,
+}
+
+ORACLE = {
+    "join_star_broadcast": _JOIN_STAR_BROADCAST_SQL,
+    "top_unshipped_orders": _TOP_UNSHIPPED_ORDERS_SQL,
+    "local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,
+    "left_join_order_counts": _LEFT_JOIN_ORDER_COUNTS_SQL,
+    "semi_join_active_customers": _SEMI_JOIN_SQL,
+    "anti_join_dormant_customers": _ANTI_JOIN_SQL,
+    "agg_stats_per_nation": _AGG_STATS_PER_NATION_SQL,
+    "window_topk_per_segment": _WINDOW_TOPK_SQL,
+    "window_running_total": _WINDOW_RUNNING_TOTAL_SQL,
+    "rollup_status_priority": _ROLLUP_SQL,
+    "set_operations": _SET_OPERATIONS_SQL,
+    "asof_last_purchase": _ASOF_LAST_PURCHASE_SQL,
+}

@@ -1,0 +1,156 @@
+"""Event-time windowing over the `events` table (SURVEY.md §2.10 extension).
+
+The reference has no streaming/windowing surface (its only stream-flavored
+code publishes 2 daily Pub/Sub commands, transfer_sercom_files.py:102-123);
+these are the batch duals of the Structured Streaming operators in
+streaming/ — same window semantics, expressed so a DuckDB oracle can verify
+them. The streaming variants (readStream + watermark) reuse the identical
+aggregation expressions.
+
+Scale: tumbling/sliding windows are pure hash aggregations (one shuffle on
+the window+type key). Session windows use Spark's built-in session_window
+aggregation — at 100 TB the partitionBy(user) shuffle is the cost, identical
+to any per-user op; no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.functions import dsum
+from data_engineer_development_spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# Tumbling 1-hour windows per event_type.
+# --------------------------------------------------------------------------
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_TUMBLING_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Sliding windows: 1-hour length, 30-minute slide ⇒ each event lands in two
+# windows. Oracle: UNION ALL over the two 30-min-grid buckets each row maps
+# to (time_bucket is epoch-aligned like Spark's window()).
+# --------------------------------------------------------------------------
+def q_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+        .orderBy("window_start")
+    )
+
+
+_SLIDING_HOURLY_SQL = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+)
+SELECT window_start, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
+FROM assigned GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Session windows: 10-minute inactivity gap per user. Spark's built-in
+# session_window vs a gaps-and-islands oracle (lag + cumulative boundary sum).
+# Spark session end = last event + gap; report start/end/n/total per session.
+# --------------------------------------------------------------------------
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_SESSION_WINDOWS_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '10 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS boundary
+  FROM events WHERE user_id < 20
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM e
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '10 minutes' AS session_end,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+# --------------------------------------------------------------------------
+# Time-bucketed dense output: daily event counts (F7 date-bucket analogue,
+# transfer_sercom_files.py:32-34 dated-filename pattern).
+# --------------------------------------------------------------------------
+def q_daily_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy_MM_dd").alias("day_tag"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day_tag")
+    )
+
+
+_DAILY_BUCKETS_SQL = """
+SELECT strftime(ts, '%Y_%m_%d') AS day_tag, COUNT(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "tumbling_hourly": q_tumbling_hourly,
+    "sliding_hourly": q_sliding_hourly,
+    "session_windows": q_session_windows,
+    "daily_buckets": q_daily_buckets,
+}
+
+ORACLE = {
+    "tumbling_hourly": _TUMBLING_HOURLY_SQL,
+    "sliding_hourly": _SLIDING_HOURLY_SQL,
+    "session_windows": _SESSION_WINDOWS_SQL,
+    "daily_buckets": _DAILY_BUCKETS_SQL,
+}

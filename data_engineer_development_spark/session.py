@@ -52,7 +52,11 @@ def get_spark(
         # ANSI off: BigQuery CAST on already-cleansed data and Spark non-ANSI
         # CAST agree (SURVEY.md §7.3); sentinel cleanup precedes every cast.
         .config("spark.sql.ansi.enabled", "false")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert in the loader (readers.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

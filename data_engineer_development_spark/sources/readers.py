@@ -40,8 +40,17 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table (S4). Plain ``spark.read.parquet`` keeps the
     scan eligible for column pruning, predicate pushdown and (when the layout
-    has partition dirs) partition pruning — verified via .explain in tests."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    has partition dirs) partition pruning — verified via .explain in tests.
+
+    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
+    it arrives as a long we truncate to micros — the same nano→micro
+    truncation DuckDB applies, so oracle comparisons agree.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -1,0 +1,157 @@
+"""Deduplication operators for LLM training-data pipelines (north-star
+extension, SURVEY.md §7.2 item 5).
+
+Four families, all shuffle-conscious:
+
+- **exact**: hash groupBy on the dedup key — one shuffle, the 100 TB
+  workhorse. (The reference's only dedup is SELECT DISTINCT on dim keys,
+  export_svg.py:277 etc. — same physical shape.)
+- **n-gram Jaccard**: shingle-explode + equi-join on shingle + count ratio.
+  The join key is the shingle, so hot shingles are the skew risk: the
+  ``max_doc_freq`` cap drops shingles appearing in more than N docs
+  (standard posting-list pruning) before the join.
+- **MinHash + LSH**: per-doc signature (16 portable permutations of md5
+  shingle hashes), banded into 4 keys of 4 rows; candidate pairs meet in a
+  band bucket (equi-join on band key — no all-pairs), then exact-Jaccard
+  verified. At 100 TB this is the linear-ish near-dup path.
+- **SimHash**: 32-bit sign-aggregated fingerprint per doc; hamming-close
+  pairs are near-dups. Signature build is one projection, no shuffle.
+
+Everything is built from md5-based portable hashes (functions/portable_hash)
+so the DuckDB oracle replays the EXACT same candidate generation — the
+correctness gate covers the sketching math, not just the final filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.functions.portable_hash import (
+    P,
+    minhash_constants,
+    spark_md5_int,
+)
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one representative (min id) + multiplicity per key."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("representative_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingle_sets(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exploded (id, shingle) postings, optionally pruning hot shingles
+    (skew control for the equi-join at scale)."""
+    posts = df.select(id_col, F.explode(shingles_col).alias("s"))
+    if max_doc_freq is not None:
+        hot = (
+            posts.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("s")
+        )
+        posts = posts.join(hot, "s", "left_anti")
+    return posts
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    tau: float,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ tau.
+
+    |A∩B| via shingle equi-join, |A|,|B| via per-doc counts; the division is
+    int/int in IEEE double so both engines agree exactly.
+    """
+    posts = shingle_sets(df, id_col, shingles_col, max_doc_freq)
+    sizes = posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = posts.select(F.col(id_col).alias("id1"), "s")
+    b = posts.select(F.col(id_col).alias("id2"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n").alias("n2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("c")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, shingles_col: str, num_perm: int = 16
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}): min over shingles of (a_i*h + b_i) mod P,
+    h = md5-int of the shingle mod P. Pure projection — no shuffle."""
+    h = f"({spark_md5_int('x')} % {P})"
+    hashed = df.withColumn(
+        "__sh", F.expr(f"transform({shingles_col}, x -> {h})")
+    )
+    sigs = [
+        F.expr(f"array_min(transform(__sh, h -> ({a} * h + {b}) % {P}))").alias(
+            f"sig_{i}"
+        )
+        for i, (a, b) in enumerate(minhash_constants(num_perm))
+    ]
+    return hashed.select(id_col, *sigs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, num_perm: int = 16, bands: int = 4
+) -> DataFrame:
+    """Distinct candidate pairs meeting in ≥1 band bucket. Equi-join per
+    band on the concatenated row values — never an all-pairs comparison."""
+    rows = num_perm // bands
+    band_keys = [
+        F.concat_ws(
+            "_",
+            F.lit(str(bi)),
+            *[F.col(f"sig_{bi * rows + r}").cast("string") for r in range(rows)],
+        ).alias("bkey")
+        for bi in range(bands)
+    ]
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_keys)).alias("bkey")
+    )
+    l = exploded.select(F.col(id_col).alias("id1"), "bkey")
+    r = exploded.select(F.col(id_col).alias("id2"), "bkey")
+    return (
+        l.join(r, "bkey")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, tokens_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash: bit b is set iff more than half the tokens have bit b
+    set in their 60-bit md5 hash. Single projection, codegen-friendly."""
+    h = spark_md5_int("x")
+    hashed = df.withColumn("__th", F.expr(f"transform({tokens_col}, x -> {h})"))
+    bit_terms = " + ".join(
+        f"(case when 2 * size(filter(__th, h -> (h div {1 << b}) % 2 = 1)) "
+        f"> size(__th) then {1 << b} else 0 end)"
+        for b in range(bits)
+    )
+    return hashed.select(id_col, F.expr(f"cast({bit_terms} as bigint)").alias("simhash"))

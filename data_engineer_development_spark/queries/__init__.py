@@ -15,11 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from data_engineer_development_spark.queries import (
     analytics,
     core,
+    dedup,
     scalar_ops,
+    similarity,
+    text_analysis,
     timeseries,
 )
 
-_MODULES = [core, scalar_ops, analytics, timeseries]
+_MODULES = [core, scalar_ops, analytics, timeseries, text_analysis, dedup, similarity]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,237 @@
+"""Deduplication queries over the documents table (north-star extension).
+
+Operators live in operators/dedup.py; every oracle below is generated from
+the SAME constants (md5 60-bit hash, modulus P, LCG minhash permutations,
+band layout) so the gate verifies the sketch arithmetic end-to-end.
+
+Thresholds are tuned to the driver corpus (near-dup pairs are planted:
+max 3-shingle Jaccard ≈ 0.989 at sf0.01): tau=0.1 keeps a small,
+non-empty verified-pair set at every SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.functions.portable_hash import (
+    P,
+    duck_md5_int,
+    minhash_constants,
+)
+from data_engineer_development_spark.operators import dedup as D
+from data_engineer_development_spark.operators.text import shingles_expr
+from data_engineer_development_spark.sources import load_table
+
+NUM_PERM = 16
+BANDS = 4
+JACCARD_TAU = 0.1
+SIMHASH_BITS = 32
+HAMMING_MAX = 10
+
+
+def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("t"),
+    ).withColumn("sh", shingles_expr("t", k=3))
+
+
+#: DuckDB dual of tokens + distinct 3-shingles (1-based list indexing).
+_DUCK_SHINGLES = """
+d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (SELECT doc_id, t,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+      FROM d)
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on content — the 100 TB workhorse (1 shuffle).
+# --------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text_md5", F.md5("text")
+    )
+    return (
+        D.exact_dedup(docs, ["text_md5"], "doc_id")
+        .orderBy("representative_id")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5,
+       min(doc_id) AS representative_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY representative_id
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (shingle equi-join, posting-list pruning).
+# --------------------------------------------------------------------------
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_shingles(spark, sf_dir)
+    return D.jaccard_pairs(docs, "doc_id", "sh", JACCARD_TAU).orderBy(
+        "id1", "id2"
+    )
+
+
+_DEDUP_JACCARD_SQL = f"""
+WITH {_DUCK_SHINGLES},
+p AS (SELECT doc_id, unnest(sh) AS sg, len(sh) AS n FROM s),
+i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c,
+             any_value(a.n) AS n1, any_value(b.n) AS n2
+      FROM p a JOIN p b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+SELECT id1, id2, CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) AS jaccard
+FROM i WHERE CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) >= {JACCARD_TAU}
+ORDER BY id1, id2
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures (the sketch itself — verifies permutation arithmetic).
+# --------------------------------------------------------------------------
+def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_shingles(spark, sf_dir)
+    return D.minhash_signatures(docs, "doc_id", "sh", NUM_PERM).orderBy(
+        "doc_id"
+    )
+
+
+def _minhash_sigs_sql() -> str:
+    h = f"({duck_md5_int('x')} % {P})"
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_constants(NUM_PERM))
+    )
+    return f"""
+WITH {_DUCK_SHINGLES},
+hashed AS (SELECT doc_id, list_transform(sh, x -> {h}) AS hs FROM s)
+SELECT doc_id, {sig_cols} FROM hashed ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Full MinHash→LSH→verify pipeline: banded candidates, exact-Jaccard check.
+# --------------------------------------------------------------------------
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_shingles(spark, sf_dir)
+    sigs = D.minhash_signatures(docs, "doc_id", "sh", NUM_PERM)
+    cands = D.lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS)
+    verified = D.jaccard_pairs(docs, "doc_id", "sh", JACCARD_TAU)
+    return cands.join(verified, ["id1", "id2"]).orderBy("id1", "id2")
+
+
+def _minhash_lsh_sql() -> str:
+    rows = NUM_PERM // BANDS
+    h = f"({duck_md5_int('x')} % {P})"
+    sig_exprs = {
+        i: f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P}))"
+        for i, (a, b) in enumerate(minhash_constants(NUM_PERM))
+    }
+    sig_cols = ", ".join(f"{e} AS sig_{i}" for i, e in sig_exprs.items())
+    band_keys = ", ".join(
+        "concat_ws('_', '%d', %s)"
+        % (bi, ", ".join(f"CAST(sig_{bi * rows + r} AS VARCHAR)" for r in range(rows)))
+        for bi in range(BANDS)
+    )
+    return f"""
+WITH {_DUCK_SHINGLES},
+hashed AS (SELECT doc_id, list_transform(sh, x -> {h}) AS hs FROM s),
+sigs AS (SELECT doc_id, {sig_cols} FROM hashed),
+bands AS (SELECT doc_id, unnest([{band_keys}]) AS bkey FROM sigs),
+cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+p AS (SELECT doc_id, unnest(sh) AS sg, len(sh) AS n FROM s),
+i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c,
+             any_value(a.n) AS n1, any_value(b.n) AS n2
+      FROM p a JOIN p b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+ver AS (SELECT id1, id2, CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) AS jaccard
+        FROM i WHERE CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) >= {JACCARD_TAU})
+SELECT cand.id1, cand.id2, ver.jaccard
+FROM cand JOIN ver ON cand.id1 = ver.id1 AND cand.id2 = ver.id2
+ORDER BY cand.id1, cand.id2
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints + hamming-close pairs.
+# --------------------------------------------------------------------------
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    return D.simhash(docs, "doc_id", "t", SIMHASH_BITS).orderBy("doc_id")
+
+
+def _simhash_sql() -> str:
+    h = f"({duck_md5_int('x')})"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(th, h -> (h // {1 << b}) % 2 = 1)) "
+        f"> len(th) THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+hashed AS (SELECT doc_id, list_transform(t, x -> {h}) AS th FROM d)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hashed ORDER BY doc_id
+"""
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    sh = D.simhash(docs, "doc_id", "t", SIMHASH_BITS)
+    a = sh.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"))
+    b = sh.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("hamming", F.expr("bit_count(h1 ^ h2)"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("id1", "id2", "hamming")
+        .orderBy("id1", "id2")
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    h = f"({duck_md5_int('x')})"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(th, h -> (h // {1 << b}) % 2 = 1)) "
+        f"> len(th) THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+hashed AS (SELECT doc_id, list_transform(t, x -> {h}) AS th FROM d),
+sh AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hashed)
+SELECT a.doc_id AS id1, b.doc_id AS id2, bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+ORDER BY id1, id2
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_sigs": q_dedup_minhash_sigs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+}
+
+ORACLE = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_jaccard": _DEDUP_JACCARD_SQL,
+    "dedup_minhash_sigs": _minhash_sigs_sql(),
+    "dedup_minhash_lsh": _minhash_lsh_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_simhash_pairs": _simhash_pairs_sql(),
+}

@@ -1,0 +1,134 @@
+"""Text-analysis queries over the documents table (north-star extension).
+
+Operators live in operators/text.py (pure column expressions); the DuckDB
+oracle SQL below is generated from the SAME constants (stopword lists, md5
+hash construction, modulus) so the correctness gate covers the heuristics'
+math end-to-end, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.functions.portable_hash import P, duck_md5_int
+from data_engineer_development_spark.operators import text as T
+from data_engineer_development_spark.sources import load_table
+
+
+def _duck_stop_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS[lang]) + "]"
+
+
+# --------------------------------------------------------------------------
+# Token statistics: counts, distinct counts, mean token length.
+# --------------------------------------------------------------------------
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", T.tokens())
+    return docs.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        (T.char_sum("t").cast("double") / F.size("t")).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+_TEXT_TOKEN_STATS_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct,
+       CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS mean_token_len
+FROM d ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Language ID (stopword vote, deterministic tie-break).
+# --------------------------------------------------------------------------
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", T.tokens())
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.lang_id("t").alias("lang_pred"),
+        T.stopword_count("t", "en").alias("en_votes"),
+    ).orderBy("doc_id")
+
+
+def _lang_id_sql() -> str:
+    scores = {
+        lang: f"len(list_filter(t, x -> list_contains({_duck_stop_list(lang)}, x)))"
+        for lang in T.STOPWORDS
+    }
+    mx = "greatest(" + ", ".join(scores.values()) + ")"
+    arms = " ".join(
+        f"WHEN {scores[lang]} = {mx} THEN '{lang}'" for lang in T.STOPWORDS
+    )
+    return f"""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN {mx} = 0 THEN 'und' {arms} END AS lang_pred,
+       {scores['en']} AS en_votes
+FROM d ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Quality score (length / repetition / naturalness mix).
+# --------------------------------------------------------------------------
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", T.tokens())
+    return docs.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        T.quality_score("t").alias("quality"),
+    ).orderBy("doc_id")
+
+
+_TEXT_QUALITY_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       (0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+        + 0.4 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)))
+       + 0.2 * least(5.0 * (CAST(len(list_filter(t, x -> list_contains({_duck_stop_list('en')}, x))) AS DOUBLE)
+                            / CAST(len(t) AS DOUBLE)), 1.0) AS quality
+FROM d ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Rolling-hash document fingerprint (order-sensitive).
+# --------------------------------------------------------------------------
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", T.tokens())
+    return docs.select(
+        "doc_id", T.fingerprint("t").alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+_TEXT_FINGERPRINT_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(t, x -> {duck_md5_int('x')} % {P})),
+         (a, b) -> (a * 31 + b) % {P}) AS fingerprint
+FROM d ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_stats": q_text_token_stats,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+ORACLE = {
+    "text_token_stats": _TEXT_TOKEN_STATS_SQL,
+    "text_lang_id": _lang_id_sql(),
+    "text_quality": _TEXT_QUALITY_SQL,
+    "text_fingerprint": _TEXT_FINGERPRINT_SQL,
+}

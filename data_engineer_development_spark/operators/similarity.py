@@ -18,10 +18,53 @@ Scale stance:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from data_engineer_development_spark.functions.portable_hash import hyperplane
+
+
+def _seq_norms(mat: "np.ndarray") -> "np.ndarray":
+    """Row norms with the same sequential fold order as ``norm_expr``."""
+    acc = mat[:, 0] * mat[:, 0]
+    for d in range(1, mat.shape[1]):
+        acc += mat[:, d] * mat[:, d]
+    return np.sqrt(acc)
+
+
+def _seq_dot_impl(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.vstack(a.to_numpy()).astype(np.float64)
+    B = np.vstack(b.to_numpy()).astype(np.float64)
+    acc = A[:, 0] * B[:, 0]
+    for d in range(1, A.shape[1]):
+        acc += A[:, d] * B[:, d]
+    return pd.Series(acc)
+
+
+_SEQ_DOT = None
+
+
+def seq_dot(a, b) -> F.Column:
+    """Arrow-vectorized dot product with STRICTLY SEQUENTIAL accumulation.
+
+    ``acc = a0*b0; acc += a1*b1; ...`` — the same left-fold order as the JVM
+    ``aggregate`` expression and the DuckDB ``list_reduce`` oracle, so every
+    IEEE rounding step is identical across all three, while numpy executes
+    each step vectorized across the whole Arrow batch (~100× faster than
+    interpreting the fold per row). This is the hot-path scoring kernel for
+    all-pairs similarity (12.5M pairs at sf0.1; block-distributed at 100 TB).
+
+    (UDF registration is lazy: ``pandas_udf`` needs a live SparkSession.)
+    """
+    global _SEQ_DOT
+    if _SEQ_DOT is None:
+        _SEQ_DOT = pandas_udf(_seq_dot_impl, "double")
+    return _SEQ_DOT(a, b)
 
 
 def dot_expr(a: str, b: str) -> F.Column:
@@ -44,6 +87,18 @@ def cosine(a: str, b: str) -> F.Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+#: pairs per scoring task — enough that Arrow batching and numpy vectorization
+#: amortize, small enough that tasks stay balanced. Empirically (local[32],
+#: 2M pairs) oversubscribing tasks past this costs 6× (JVM Arrow pumps and
+#: python workers fight for the same cores).
+PAIRS_PER_TASK = 250_000
+
+
+def _pair_partitions(n_pairs: int, spark) -> int:
+    par = spark.sparkContext.defaultParallelism
+    return max(1, min((n_pairs + PAIRS_PER_TASK - 1) // PAIRS_PER_TASK, 4 * par))
+
+
 def cosine_topk(
     vectors: DataFrame,
     query_ids: list[int],
@@ -53,14 +108,26 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id (self excluded).
     The query side is broadcast; ranking is deterministic (score desc, id)."""
+    # The probe side sets the output partitioning of the broadcast join —
+    # size it by pair count so the scoring stage neither runs on one task
+    # (single-file scan) nor fragments into per-task overhead.
+    n_vec = vectors.count()
+    parts = _pair_partitions(len(query_ids) * n_vec, vectors.sparkSession)
     q = vectors.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col).alias("qn"),
+    )
+    n = vectors.repartition(parts).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm_expr(vec_col).alias("nn"),
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")))
+        .crossJoin(n)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine("qv", "nv"))
+        .withColumn("cosine", seq_dot("qv", "nv") / (F.col("qn") * F.col("nn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -78,16 +145,21 @@ def bucket_assign(
 ) -> DataFrame:
     """Sign-LSH bucket id: bit p = (v · hyperplane_p >= 0). Hyperplanes are
     fixed md5-derived 3-decimal literals (portable to the oracle)."""
-    out = vectors
     bit_cols = []
     for pidx in range(planes):
         w = hyperplane(pidx, dims)
-        terms = " + ".join(
-            f"cast(element_at({vec_col}, {d + 1}) as double) * ({w[d]!r})"
-            for d in range(dims)
+        lits = ", ".join(repr(x) for x in w)
+        # Fold over a literal weight array: ((0.0+t1)+t2)+... is bit-identical
+        # to the oracle's left-assoc sum (0.0+t1 == t1 exactly), and the
+        # expression tree stays small — a flat 512-term sum-of-cases blows
+        # Catalyst analysis/codegen time (~40 s of pure plan compilation).
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({lits}), "
+            f"(x, w) -> cast(x as double) * w), cast(0.0 as double), "
+            f"(acc, v) -> acc + v)"
         )
-        bit_cols.append(f"(case when ({terms}) >= 0 then {1 << pidx} else 0 end)")
-    return out.withColumn("bucket", F.expr(" + ".join(bit_cols)))
+        bit_cols.append(f"(case when ({dot}) >= 0 then {1 << pidx} else 0 end)")
+    return vectors.withColumn("bucket", F.expr(" + ".join(bit_cols)))
 
 
 def neardup_pairs_cosine(
@@ -101,20 +173,76 @@ def neardup_pairs_cosine(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ tau, id1 < id2.
 
+    Exact path = distributed **block-nested-loop**: the whole index side
+    (id, vector, norm) is broadcast as one numpy matrix; each task scores its
+    block of rows against the matrix INSIDE numpy via ``mapInPandas`` and
+    emits only the surviving (id1, id2, cosine) rows. The O(N²) pair set is
+    never materialized as Spark rows and never crosses the Arrow boundary —
+    at sf0.1 that's the difference between shipping ~1 GB of per-pair arrays
+    JVM→Python and shipping 2 000 input rows + a few hundred output rows.
+    (This mirrors Spark's own BroadcastNestedLoopJoin memory shape: the
+    broadcast side must fit per executor — 64-dim float64 ≈ 0.5 GB per
+    million vectors. Past that, ``use_lsh=True`` is the path.)
+
+    All arithmetic is the same sequential left-fold as the JVM ``aggregate``
+    expression and the DuckDB oracle (see ``seq_dot``), so cosine values are
+    bit-identical across all three.
+
     ``use_lsh=True`` restricts candidate pairs to same-bucket (the scale
-    path; recall < 1 by design). Default is the exact all-pairs comparison.
+    path; recall < 1 by design) via a bucket equi-join.
     """
     if use_lsh:
-        v = bucket_assign(vectors, planes=planes, dims=dims, vec_col=vec_col)
-        a = v.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "bucket")
-        b = v.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), "bucket")
+        n_vec = vectors.count()
+        parts = _pair_partitions(n_vec * (n_vec - 1) // 2, vectors.sparkSession)
+        with_norm = vectors.repartition(parts).select(
+            F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("nrm")
+        )
+        v = bucket_assign(with_norm, planes=planes, dims=dims, vec_col=vec_col)
+        a = v.select(
+            F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+            F.col("nrm").alias("nrm1"), "bucket",
+        )
+        b = v.select(
+            F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+            F.col("nrm").alias("nrm2"), "bucket",
+        )
         pairs = a.join(b, "bucket").filter(F.col("id1") < F.col("id2"))
-    else:
-        a = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-        b = vectors.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
-        pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
-    return (
-        pairs.withColumn("cosine", cosine("v1", "v2"))
-        .filter(F.col("cosine") >= tau)
-        .select("id1", "id2", "cosine")
+        return (
+            pairs.withColumn(
+                "cosine", seq_dot("v1", "v2") / (F.col("nrm1") * F.col("nrm2"))
+            )
+            .filter(F.col("cosine") >= tau)
+            .select("id1", "id2", "cosine")
+        )
+
+    spark = vectors.sparkSession
+    rows = vectors.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    parts = _pair_partitions(len(ids) * (len(ids) - 1) // 2, spark)
+
+    def score_blocks(batches):
+        b_ids, b_mat = bc.value
+        b_norm = _seq_norms(b_mat)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf[id_col].to_numpy().astype(np.int64)
+            a_mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            a_norm = _seq_norms(a_mat)
+            # sequential left-fold over dims, vectorized over the block
+            acc = a_mat[:, 0:1] * b_mat[None, :, 0]
+            for d in range(1, a_mat.shape[1]):
+                acc += a_mat[:, d : d + 1] * b_mat[None, :, d]
+            cos = acc / (a_norm[:, None] * b_norm[None, :])
+            keep = (a_ids[:, None] < b_ids[None, :]) & (cos >= tau)
+            i, j = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id1": a_ids[i], "id2": b_ids[j], "cosine": cos[i, j]}
+            )
+
+    return vectors.repartition(parts).mapInPandas(
+        score_blocks, "id1 long, id2 long, cosine double"
     )

@@ -27,7 +27,9 @@ NUM_PERM = 16
 BANDS = 4
 JACCARD_TAU = 0.1
 SIMHASH_BITS = 32
-HAMMING_MAX = 10
+#: must stay < SIMHASH_CHUNKS so the chunk equi-join has recall 1 (pigeonhole)
+HAMMING_MAX = 3
+SIMHASH_CHUNKS = 4
 
 
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,8 +121,11 @@ SELECT doc_id, {sig_cols} FROM hashed ORDER BY doc_id
 # Full MinHash→LSH→verify pipeline: banded candidates, exact-Jaccard check.
 # --------------------------------------------------------------------------
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_with_shingles(spark, sf_dir)
-    sigs = D.minhash_signatures(docs, "doc_id", "sh", NUM_PERM)
+    # Shingle sets feed both the sketch and the verify stage, and signatures
+    # feed both sides of the band self-join — persist both tiny intermediates
+    # (≪ corpus size) instead of re-running tokenize→shingle→hash per branch.
+    docs = _docs_with_shingles(spark, sf_dir).persist()
+    sigs = D.minhash_signatures(docs, "doc_id", "sh", NUM_PERM).persist()
     cands = D.lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS)
     verified = D.jaccard_pairs(docs, "doc_id", "sh", JACCARD_TAU)
     return cands.join(verified, ["id1", "id2"]).orderBy("id1", "id2")
@@ -187,17 +192,13 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     )
-    sh = D.simhash(docs, "doc_id", "t", SIMHASH_BITS)
-    a = sh.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"))
-    b = sh.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("hamming", F.expr("bit_count(h1 ^ h2)"))
-        .filter(F.col("hamming") <= HAMMING_MAX)
-        .select("id1", "id2", "hamming")
-        .orderBy("id1", "id2")
-    )
+    # The 8-byte/doc signature table is vanishingly small next to the corpus
+    # (40 KB at sf0.1; ~100 GB per PB of docs) — persist it so the two join
+    # sides don't each re-evaluate the 32-bit sketch expression.
+    sh = D.simhash(docs, "doc_id", "t", SIMHASH_BITS).persist()
+    return D.simhash_close_pairs(
+        sh, HAMMING_MAX, SIMHASH_CHUNKS, SIMHASH_BITS
+    ).orderBy("id1", "id2")
 
 
 def _simhash_pairs_sql() -> str:

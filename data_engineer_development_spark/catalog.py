@@ -1,0 +1,76 @@
+"""Zones-as-databases catalog surface (SURVEY.md §2.2 K4/K6/K12, §2.1 S9).
+
+The reference's control plane is BigQuery datasets + views + Data Catalog
+tags; the Spark-native restatement is the session catalog: databases for
+zones, `CREATE OR REPLACE VIEW`, and TBLPROPERTIES for metadata tags. All
+DDL is idempotent (C6: the reference swallows Conflict/AlreadyExists —
+/root/reference/gcp-python-libs/bigquery.py:17-21,37-53,57-63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def create_zone(spark: SparkSession, zone: str) -> None:
+    """K4: idempotent dataset/namespace creation.
+
+    Reference: BigQueryCreateEmptyDatasetOperator per zone
+    (export_svg.py:115-141); create_dataset with NotFound-guard
+    (bigquery.py:14-22).
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {zone}")
+
+
+def drop_zone(spark: SparkSession, zone: str, cascade: bool = True) -> None:
+    spark.sql(f"DROP DATABASE IF EXISTS {zone} {'CASCADE' if cascade else ''}")
+
+
+def create_view(spark: SparkSession, name: str, view_query: str) -> None:
+    """K6: idempotent view creation (bigquery.py:56-64, standard SQL).
+
+    The reference's cross-dataset view *authorization* (bigquery.py:96-106)
+    has no Spark analogue — Spark's catalog has no per-view grants; recorded
+    as a documented no-op.
+    """
+    spark.sql(f"CREATE OR REPLACE VIEW {name} AS {view_query}")
+
+
+def set_table_properties(
+    spark: SparkSession, table: str, props: dict[str, str]
+) -> None:
+    """K12: metadata tagging — the reference attaches Data Catalog tags built
+    from enum templates (datacatalog.py:28-61); Spark-native is
+    TBLPROPERTIES on the table itself."""
+    kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+
+
+def get_table_properties(spark: SparkSession, table: str) -> dict[str, str]:
+    """S9: catalog entry lookup (datacatalog.py:11-18 lookup_bq_entry)."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    return {r["key"]: r["value"] for r in rows}
+
+
+def table_exists(spark: SparkSession, table: str) -> bool:
+    return spark.catalog.tableExists(table)
+
+
+def materialize(
+    df: DataFrame,
+    table: str,
+    partition_by: str | list[str] | None = None,
+) -> None:
+    """K1/K2/K5: query→table materialization with truncate semantics.
+
+    WRITE_TRUNCATE + CREATE_IF_NEEDED (export_svg.py:200,248,263) ≡
+    ``mode("overwrite")``; time-partitioned tables (bigquery.py:32-54) ≡
+    ``partitionBy`` — at 100 TB the partition column is what makes
+    downstream partition pruning possible, so it's part of the write
+    contract, not an afterthought.
+    """
+    w = df.write.mode("overwrite")
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        w = w.partitionBy(*cols)
+    w.saveAsTable(table)

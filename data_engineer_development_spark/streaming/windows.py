@@ -1,0 +1,131 @@
+"""Structured Streaming operators (SURVEY.md §2.10 — extension scope).
+
+The reference's only stream surface is a fire-and-forget daily publish
+(transfer_sercom_files.py:102-123) — no watermarks, no event-time windows.
+These operators extend the engine to the streaming semantics a training-data
+pipeline needs: event-time tumbling/sliding windows with late-data
+watermarks, and session windows (built-in ``session_window`` since
+Spark 3.2).
+
+Every transformation here takes a (possibly streaming) DataFrame and returns
+one — identical code paths serve ``spark.read`` (batch backfill) and
+``spark.readStream`` (live), which is the Spark-idiomatic way to keep the
+two consistent. Aggregations are keyed by (window, event_type): state size
+is O(#open windows × #types), independent of stream volume — the property
+that matters when the stream is 100 TB/day.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events table (parquet dir or single file).
+
+    The testdata events.parquet stores TIMESTAMP(NANOS) — same nano→micro
+    conversion as the batch loader so batch and stream agree bit-for-bit.
+    """
+    reader = spark.readStream.format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        # the file-stream source requires a directory; expose the driver's
+        # single-file table through a symlink dir (a real deployment streams
+        # from a directory of arriving part files anyway)
+        d = os.path.join(
+            tempfile.gettempdir(), f"stream-events-{abs(hash(sf_dir))}"
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        src = d
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    df = reader.schema(batch_schema).load(src)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling window: count + sum(value) per (window, type).
+    The watermark bounds state: windows older than max(event time) − 2 h are
+    finalized and evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time window (each event lands in width/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other merge
+    into one session (dynamic-length state, closed by the watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> None:
+    """Drive a streaming plan to completion with Trigger.AvailableNow into an
+    in-memory table (test/bench harness path)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

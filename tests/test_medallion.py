@@ -1,0 +1,142 @@
+"""End-to-end test of the civil-cases medallion pipeline (the reference's
+flagship flow, export_svg.py) on a synthetic reference-faithful TSV
+(FIXTURES.md A1): sentinels, M/D/YYYY dates, letter codes, out-of-domain
+dim keys."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from data_engineer_development_spark.medallion import (
+    DIM_DECODES,
+    QUALITY_SPEC,
+    RAW_COLUMNS,
+    run_civil_cases_pipeline,
+)
+from data_engineer_development_spark.pipeline import split_sql_script
+
+
+def _mk_row(**over) -> dict:
+    base = {c: "1" for c in RAW_COLUMNS}
+    for c in ("FILEDATE", "FDATEUSE", "TRANSDAT", "TERMDATE", "TDATEUSE"):
+        base[c] = "5/3/2021"
+    base.update(
+        DISTRICT="00", JURY="B", TRMARB="M", STATUSCD="S", IFP="Y",
+        MDLDOCK="X", PLT="p", DEF="d", OFFICE="2", TAPEYEAR="2021",
+    )
+    base.update(over)
+    return base
+
+
+@pytest.fixture(scope="module")
+def landing_tsv(tmp_path_factory):
+    rows = [
+        _mk_row(),
+        _mk_row(CIRCUIT="-8", TRANSOFF="J", AMTREC="0", JUDGMENT="0",
+                FILEDATE="12/31/1999"),
+        _mk_row(CIRCUIT="11", DISP="20", NOS="110", ORIGIN="13",
+                STATUSCD="L", JURY="Q"),  # JURY='Q' outside decode domain
+        _mk_row(CIRCUIT="99"),  # out-of-domain circuit → NULL name
+    ]
+    p = tmp_path_factory.mktemp("landing") / "cases.tsv"
+    with open(p, "w") as f:
+        f.write("\t".join(RAW_COLUMNS) + "\n")
+        for r in rows:
+            f.write("\t".join(r[c] for c in RAW_COLUMNS) + "\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def ran(spark, landing_tsv):
+    # a previously-killed run can leave warehouse dirs the fresh in-memory
+    # metastore doesn't know about — saveAsTable then fails on the location
+    import glob
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for zone in ("t_raw", "t_quality", "t_trusted", "t_dimensions"):
+        spark.sql(f"DROP DATABASE IF EXISTS {zone} CASCADE")
+        for d in glob.glob(f"{wh}/{zone}.db"):
+            shutil.rmtree(d, ignore_errors=True)
+    pipe = run_civil_cases_pipeline(spark, landing_tsv, zone_prefix="t_")
+    results = pipe.run(spark)
+    assert all(r.error is None for r in results), results
+    return results
+
+
+def test_all_stages_ran(ran):
+    assert [r.name for r in ran] == [
+        "create_zones", "ingestion_raw_zone", "data_quality_zone",
+        "trusted_data_zone", "create_dimensions_tables",
+    ]
+
+
+def test_raw_zone_schema_and_rows(spark, ran):
+    raw = spark.table("t_raw.civil_cases")
+    assert raw.columns == RAW_COLUMNS
+    assert raw.count() == 4
+    assert all(t == "string" for _, t in raw.dtypes)
+
+
+def test_quality_zone_types_and_cleansing(spark, ran):
+    q = spark.table("t_quality.civil_cases")
+    assert q.columns == [name for name, _, _ in QUALITY_SPEC]
+    types = dict(q.dtypes)
+    assert types["CIRCUIT"] == "bigint"
+    assert types["FILEDATE"] == "date"
+    assert types["DISTRICT"] == "string"
+    rows = q.orderBy("TAPEYEAR").collect()
+    # sentinel '-8' → NULL, letter codes → NULL, '0' → NULL for AMTREC/JUDGMENT
+    cleansed = [r for r in rows if r["CIRCUIT"] is None]
+    assert len(cleansed) == 1
+    assert cleansed[0]["TRANSOFF"] is None
+    assert cleansed[0]["AMTREC"] is None
+    assert cleansed[0]["JUDGMENT"] is None
+    assert cleansed[0]["FILEDATE"] == datetime.date(1999, 12, 31)
+    # normal row survives typed
+    normal = [r for r in rows if r["CIRCUIT"] == 1][0]
+    assert normal["FILEDATE"] == datetime.date(2021, 5, 3)
+    assert normal["DEMANDED"] == 1
+
+
+def test_trusted_equals_quality(spark, ran):
+    q = spark.table("t_quality.civil_cases")
+    t = spark.table("t_trusted.civil_cases")
+    assert q.schema == t.schema
+    key = lambda r: tuple(repr(v) for v in r)  # noqa: E731 — None-safe sort
+    assert sorted(map(tuple, q.collect()), key=key) == sorted(
+        map(tuple, t.collect()), key=key
+    )
+
+
+def test_dim_decode_semantics(spark, ran):
+    dim = {r["CIRCUIT"]: r["CIRCUIT_NAME"]
+           for r in spark.table("t_dimensions.DimCircuit").collect()}
+    # in-domain decodes, out-of-domain (99) → NULL name, no NULL keys
+    assert dim[1] == "First Circuit"
+    assert dim[11] == "Eleventh Circuit"
+    assert dim[99] is None
+    assert None not in dim
+    jury = {r["JURY"]: r["JURY_NAME"]
+            for r in spark.table("t_dimensions.DimJury").collect()}
+    assert jury["B"] == "Both plaintiff and defendant demand jury"
+    assert jury["Q"] is None  # CASE without ELSE
+
+
+def test_all_15_dims_materialized(spark, ran):
+    for key in DIM_DECODES:
+        assert spark.catalog.tableExists(f"t_dimensions.Dim{key.capitalize()}"), key
+
+
+def test_sql_script_splitter():
+    script = """
+    #TRANSACT
+    CREATE OR REPLACE TABLE a AS SELECT 1 AS x;
+    -- a comment
+    CREATE OR REPLACE TABLE b AS SELECT 'a;b' AS y;
+    """
+    stmts = split_sql_script(script)
+    assert len(stmts) == 2
+    assert "a;b" in stmts[1]

@@ -1,0 +1,36 @@
+"""Streaming window operators: the streaming result must equal the batch
+result of the SAME transformation (one code path, two execution modes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineer_development_spark.sources import load_table
+from data_engineer_development_spark.streaming import (
+    sessionized,
+    sliding_counts,
+    stream_events,
+    tumbling_counts,
+)
+from data_engineer_development_spark.streaming.windows import run_to_memory_sink
+from tests.conftest import SF_CORRECT
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize(
+    "name,xform",
+    [
+        ("tumbling", tumbling_counts),
+        ("sliding", sliding_counts),
+        ("sessions", sessionized),
+    ],
+)
+def test_stream_matches_batch(spark, name, xform):
+    batch = xform(load_table(spark, SF_CORRECT, "events"))
+    stream = xform(stream_events(spark, SF_CORRECT))
+    assert stream.isStreaming
+    run_to_memory_sink(stream, f"s_{name}", output_mode="complete")
+    assert _rows(spark.table(f"s_{name}")) == _rows(batch)

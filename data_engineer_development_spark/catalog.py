@@ -10,6 +10,7 @@ DDL is idempotent (C6: the reference swallows Conflict/AlreadyExists —
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 def create_zone(spark: SparkSession, zone: str) -> None:
@@ -54,6 +55,31 @@ def get_table_properties(spark: SparkSession, table: str) -> dict[str, str]:
 
 def table_exists(spark: SparkSession, table: str) -> bool:
     return spark.catalog.tableExists(table)
+
+
+def update_table_schema(
+    spark: SparkSession, table: str, new_schema: "StructType"
+) -> None:
+    """K7: schema replace (bigquery.py:87-90 update_table_schema overwrites
+    the field list). Spark-native: re-write the table through a cast/rename
+    projection to the new StructType — columns are matched by name; new
+    columns arrive NULL, dropped columns disappear, changed types cast."""
+    from pyspark.sql import functions as F
+
+    df = spark.table(table)
+    cols = []
+    for field in new_schema.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    projected = df.select(*cols)
+    # two-phase: stage to a temp table, then overwrite (can't overwrite the
+    # table being read)
+    tmp = f"{table}__schema_stage"
+    projected.write.mode("overwrite").saveAsTable(tmp)
+    spark.table(tmp).write.mode("overwrite").saveAsTable(table)
+    spark.sql(f"DROP TABLE {tmp}")
 
 
 def materialize(

@@ -87,6 +87,41 @@ def read_typed_csv(
     )
 
 
+def fetch_to_landing(url: str, dest_path: str, timeout: int = 60) -> str:
+    """S1: HTTP download source — GET a remote file into the landing dir.
+
+    The reference buffers ``requests.get(url)`` to /tmp then uploads to GCS
+    (export_svg.py:85-105); ingest stays off-cluster in both designs — the
+    cluster's first touch is the typed read of the landed file. Uses stdlib
+    urllib (no extra deps); caller provides the landing path.
+    """
+    import os
+    import urllib.request
+
+    os.makedirs(os.path.dirname(dest_path) or ".", exist_ok=True)
+    with urllib.request.urlopen(url, timeout=timeout) as resp, open(
+        dest_path, "wb"
+    ) as out:
+        while True:
+            chunk = resp.read(1 << 20)
+            if not chunk:
+                break
+            out.write(chunk)
+    return dest_path
+
+
+def read_external_partitioned(
+    spark: SparkSession, source_uri_prefix: str, fmt: str = "parquet"
+) -> DataFrame:
+    """S5: hive-partitioned external table — files under a prefix become a
+    queryable relation with partitions auto-inferred from ``key=value`` dir
+    layout (reference: HivePartitioningOptions(mode="AUTO"),
+    bigquery.py:66-85). Spark's partition discovery is the AUTO analogue,
+    and partition-column filters prune directories before any I/O.
+    """
+    return spark.read.format(fmt).load(source_uri_prefix)
+
+
 def read_gz_text_clean(spark: SparkSession, path: str) -> DataFrame:
     """S2: read (possibly gzipped) text and strip NUL bytes.
 

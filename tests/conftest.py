@@ -17,3 +17,17 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark():
     s = get_spark(app_name="tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     yield s
+
+
+def fresh_db(spark, name: str) -> str:
+    """Drop-and-recreate a test database, including any orphaned warehouse
+    directory a previously-killed run left behind (the fresh in-memory
+    metastore doesn't know about those, so saveAsTable would fail with
+    LOCATION_ALREADY_EXISTS)."""
+    import shutil
+
+    spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, f"{name}.db"), ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {name}")
+    return name

@@ -50,16 +50,10 @@ def landing_tsv(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def ran(spark, landing_tsv):
-    # a previously-killed run can leave warehouse dirs the fresh in-memory
-    # metastore doesn't know about — saveAsTable then fails on the location
-    import glob
-    import shutil
+    from tests.conftest import fresh_db
 
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for zone in ("t_raw", "t_quality", "t_trusted", "t_dimensions"):
-        spark.sql(f"DROP DATABASE IF EXISTS {zone} CASCADE")
-        for d in glob.glob(f"{wh}/{zone}.db"):
-            shutil.rmtree(d, ignore_errors=True)
+        fresh_db(spark, zone)
     pipe = run_civil_cases_pipeline(spark, landing_tsv, zone_prefix="t_")
     results = pipe.run(spark)
     assert all(r.error is None for r in results), results

@@ -16,13 +16,17 @@ from data_engineer_development_spark.queries import (
     analytics,
     core,
     dedup,
+    extras,
     scalar_ops,
     similarity,
     text_analysis,
     timeseries,
 )
 
-_MODULES = [core, scalar_ops, analytics, timeseries, text_analysis, dedup, similarity]
+_MODULES = [
+    core, scalar_ops, analytics, timeseries, text_analysis, dedup,
+    similarity, extras,
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

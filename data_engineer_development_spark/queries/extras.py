@@ -1,0 +1,257 @@
+"""Second-wave coverage queries: pivot, array aggregation, CUBE, date
+arithmetic, BPE-ish tokenization, and IVF-style cell-probed ANN.
+
+All engine-completeness extensions (the reference's SQL surface stops at
+DISTINCT + CASE, SURVEY.md §2.5); each entry keeps the exact-parity
+discipline: decimal accumulation for sums, sequential folds for vector
+math, identical expression shapes in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.functions import dsum
+from data_engineer_development_spark.operators.similarity import (
+    norm_expr,
+    seq_dot,
+)
+from data_engineer_development_spark.queries.similarity import (
+    _duck_cosine,
+)
+from data_engineer_development_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Pivot (wide aggregation) — fixed value list so both engines agree on
+# output columns.
+# --------------------------------------------------------------------------
+_STATUSES = ["O", "F", "P"]
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_PIVOT_COLS = ", ".join(
+    "CAST(SUM(CASE WHEN o_orderstatus = '%s' THEN "
+    'CAST(o_totalprice AS DECIMAL(20,4)) END) AS DOUBLE) AS "%s"' % (s, s)
+    for s in _STATUSES
+)
+_PIVOT_SQL = f"""
+SELECT o_orderpriority, {_PIVOT_COLS}
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Array aggregation: sorted per-group lists (collect_list ↔ list()).
+# --------------------------------------------------------------------------
+def q_array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_custkey") < 30)
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"))
+        .orderBy("o_custkey")
+    )
+
+
+_ARRAY_AGG_SQL = """
+SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+FROM orders WHERE o_custkey < 30
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# CUBE (all grouping-set combinations; ROLLUP's sibling).
+# --------------------------------------------------------------------------
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# Date arithmetic (F7/F8 family beyond the reference's parse-only usage).
+# --------------------------------------------------------------------------
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        orders.filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            d.alias("order_date"),
+            F.trunc(d, "MM").alias("month_start"),
+            F.last_day(d).alias("month_end"),
+            (F.weekday(d) + F.lit(1)).alias("iso_dow"),
+            F.date_add(d, 30).alias("due_date"),
+            F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_DATE_FUNCS_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy
+FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# BPE-ish tokenization: letter-runs / digit-runs / single punctuation — the
+# pre-tokenizer regex shape GPT-style BPEs use before merges.
+# --------------------------------------------------------------------------
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+    ).orderBy("doc_id")
+
+
+_TOKEN_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS n_distinct_bpe
+FROM documents ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: assign every vector to its nearest of K fixed "centroids"
+# (the K lowest vec_ids — deterministic, engine-portable), then answer
+# top-k WITHIN the query's cell. The narrowing is the point: at 100 TB the
+# cell assignment partitions the index and each probe touches 1/K of it
+# (recall < 1 vs exact brute force, like any IVF).
+# --------------------------------------------------------------------------
+_IVF_K = 8
+_IVF_QUERY_IDS = [11, 12, 13]
+_IVF_TOPK = 5
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    cents = vecs.filter(F.col("vec_id") <= _IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cv"),
+        norm_expr("embedding").alias("cn"),
+    )
+    scored = (
+        vecs.select("vec_id", "embedding", norm_expr("embedding").alias("vn"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cos_c", seq_dot("embedding", "cv") / (F.col("vn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "vn", F.col("cent_id").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id").isin(_IVF_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("vn").alias("qn"),
+        "cell",
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        F.col("vn").alias("nn"),
+        "cell",
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(cand, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", seq_dot("qv", "nv") / (F.col("qn") * F.col("nn")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _IVF_TOPK)
+        .select("query_id", "rk", "neighbor_id", "cosine")
+        .orderBy("query_id", "rk")
+    )
+
+
+_IVF_SQL = f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+               WHERE vec_id <= {_IVF_K}),
+scored AS (SELECT v.vec_id, v.embedding,
+                  c.cent_id,
+                  {_duck_cosine('v.embedding', 'c.cv')} AS cos_c
+           FROM embeddings v CROSS JOIN cents c),
+assigned AS (SELECT vec_id, embedding, cent_id AS cell
+             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_c DESC, cent_id) AS rk
+                   FROM scored)
+             WHERE rk = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM assigned
+      WHERE vec_id IN ({", ".join(map(str, _IVF_QUERY_IDS))})),
+pairs AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                 {_duck_cosine('q.qv', 'a.embedding')} AS cosine
+          FROM q JOIN assigned a USING (cell)
+          WHERE q.query_id <> a.vec_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rk FROM pairs)
+SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= {_IVF_TOPK}
+ORDER BY query_id, rk
+"""
+
+
+QUERIES = {
+    "pivot_status": q_pivot_status,
+    "array_agg_orders": q_array_agg_orders,
+    "cube_status_priority": q_cube_status_priority,
+    "date_funcs": q_date_funcs,
+    "token_count_bpe": q_token_count_bpe,
+    "sim_ivf_topk": q_sim_ivf_topk,
+}
+
+ORACLE = {
+    "pivot_status": _PIVOT_SQL,
+    "array_agg_orders": _ARRAY_AGG_SQL,
+    "cube_status_priority": _CUBE_SQL,
+    "date_funcs": _DATE_FUNCS_SQL,
+    "token_count_bpe": _TOKEN_BPE_SQL,
+    "sim_ivf_topk": _IVF_SQL,
+}

@@ -4,7 +4,8 @@ The reference contains zero JOINs (dimension decoding is inline CASE,
 export_svg.py:209-694), but its dims layer exists so facts can be joined to
 it; the engine therefore treats joins as first-class. Spark's own
 inner/outer/semi/anti/cross come free — this module adds the time-ordered
-**as-of join** Spark lacks.
+**as-of join** and the bin-bucketed **range join** Spark lacks, plus a
+**salted aggregation** for skewed keys.
 """
 
 from __future__ import annotations
@@ -13,6 +14,96 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    point_col: str,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    point_bin_expr: Column | None = None,
+) -> DataFrame:
+    """Point-in-interval join: left rows whose ``point_col`` ∈
+    [start, end) of some interval, WITHOUT a cross join.
+
+    Both sides are bucketed into fixed-width bins (integer ``value //
+    bin_width``): each left point has exactly ONE bin; each interval
+    explodes into the bins it overlaps (``sequence(start_bin, end_bin)``,
+    bounded by interval length / bin width). The join is then a plain
+    equi-join on the bin plus the residual range filter — it partitions,
+    broadcasts, and AQE-plans like any equi-join, which is what survives at
+    100 TB where ``a JOIN b ON point BETWEEN s AND e`` degenerates to a
+    nested loop. No duplicates by construction (one bin per point).
+
+    ``point_col``/``start_col``/``end_col`` must be numeric (cast dates to
+    epoch days / timestamps to epoch seconds first).
+    """
+    p_bin = (
+        point_bin_expr
+        if point_bin_expr is not None
+        else (F.col(point_col) / bin_width).cast("long")
+    )
+    l_b = left.withColumn("__bin", p_bin)
+    i_b = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / bin_width).cast("long"),
+                (F.col(end_col) / bin_width).cast("long"),
+            )
+        ),
+    )
+    return (
+        l_b.join(i_b, "__bin")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__bin")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 groups by (key, random salt) so a hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 re-aggregates the per-salt partials.
+    Only algebraic aggregates decompose this way — the caller passes the
+    *partial* aggregate expressions (each ``.alias``-ed), and this helper
+    re-applies them by the same alias for the final phase using SUM/MAX/MIN
+    according to ``_MERGE`` (count→sum, sum→sum, max→max, min→min).
+
+    Spark's AQE skew handling covers sort-merge *joins*; skewed *group-by*
+    keys still funnel into one reducer without salting — this is the
+    standard fix, made reusable.
+    """
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*group_cols, "__salt").agg(*aggs)
+    merge_exprs = []
+    for c in partial.columns:
+        if c in group_cols or c == "__salt":
+            continue
+        if c.startswith("cnt_") or c.startswith("sum_") or c.startswith("n_"):
+            merge_exprs.append(F.sum(c).alias(c))
+        elif c.startswith("max_"):
+            merge_exprs.append(F.max(c).alias(c))
+        elif c.startswith("min_"):
+            merge_exprs.append(F.min(c).alias(c))
+        else:
+            raise ValueError(
+                f"salted_agg: alias '{c}' must start with cnt_/sum_/n_/max_/min_ "
+                "so the merge phase knows how to recombine it"
+            )
+    return partial.groupBy(*group_cols).agg(*merge_exprs)
 
 
 def asof_join(

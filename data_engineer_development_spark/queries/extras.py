@@ -238,7 +238,55 @@ ORDER BY query_id, rk
 """
 
 
+# --------------------------------------------------------------------------
+# Range join: orders falling inside fixed promo windows — bin-bucketed
+# equi-join (operators/joins.range_join), never a nested-loop range join.
+# --------------------------------------------------------------------------
+_EPOCH_1992 = 8035  # days from 1970-01-01 to 1992-01-01
+_PROMOS = [
+    (k, _EPOCH_1992 + 90 * k, _EPOCH_1992 + 90 * k + 30) for k in range(10)
+]
+_RANGE_BIN = 32
+
+
+def q_range_join_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators.joins import range_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "order_epoch_day"
+        ),
+    )
+    promos = spark.createDataFrame(
+        _PROMOS, "promo_id int, start_day long, end_day long"
+    )
+    return (
+        range_join(
+            orders, "order_epoch_day", F.broadcast(promos),
+            "start_day", "end_day", _RANGE_BIN,
+        )
+        .select("promo_id", "o_orderkey", "order_epoch_day")
+        .orderBy("promo_id", "o_orderkey")
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+WITH promos(promo_id, start_day, end_day) AS (
+  VALUES {", ".join(f"({p}, {s}, {e})" for p, s, e in _PROMOS)}
+),
+o AS (SELECT o_orderkey,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_epoch_day
+      FROM orders)
+SELECT CAST(promo_id AS INT) AS promo_id, o_orderkey, order_epoch_day
+FROM o JOIN promos
+  ON order_epoch_day >= start_day AND order_epoch_day < end_day
+ORDER BY promo_id, o_orderkey
+"""
+
+
 QUERIES = {
+    "range_join_promos": q_range_join_promos,
     "pivot_status": q_pivot_status,
     "array_agg_orders": q_array_agg_orders,
     "cube_status_priority": q_cube_status_priority,
@@ -248,6 +296,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "range_join_promos": _RANGE_JOIN_SQL,
     "pivot_status": _PIVOT_SQL,
     "array_agg_orders": _ARRAY_AGG_SQL,
     "cube_status_priority": _CUBE_SQL,

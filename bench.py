@@ -54,10 +54,14 @@ def main() -> None:
     start = time.perf_counter()
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        t = run_once(name)
-        if t < 10.0 and (time.perf_counter() - start) < 0.7 * budget:
-            t = min(t, run_once(name))
-        timings[name] = round(t, 4)
+        try:
+            t = run_once(name)
+            if t < 10.0 and (time.perf_counter() - start) < 0.7 * budget:
+                t = min(t, run_once(name))
+            timings[name] = round(t, 4)
+        except Exception as exc:  # noqa: BLE001 — one bad query ≠ no bench
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
         # Queries that cache small intermediates must not leak into the next
         # measurement.
         spark.catalog.clearCache()

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_engineer_development_spark.queries import (
     analytics,
+    contract_extras,
     core,
     dedup,
     extras,
@@ -25,7 +26,7 @@ from data_engineer_development_spark.queries import (
 
 _MODULES = [
     core, scalar_ops, analytics, timeseries, text_analysis, dedup,
-    similarity, extras,
+    similarity, extras, contract_extras,
 ]
 
 

@@ -1,0 +1,84 @@
+"""Rows-only contract entries: operators whose semantics aren't
+ANSI-SQL-expressible (custom streaming state, the KV log, multimodal codec
+plumbing). Registered in ``queries()`` WITHOUT an ``oracle_sql()`` pair —
+the driver records the sanctioned weaker rows-only check for these
+(__spark_entry__.py contract; SURVEY.md §5). Their exact semantics are
+pinned by dedicated tests instead (tests/test_scale_ops.py,
+tests/test_kv_channel.py, tests/test_multimodal.py)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.sources import load_table
+
+
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState keyed accumulator driven to completion with
+    Trigger.AvailableNow; returns the final state table."""
+    from data_engineer_development_spark.streaming import stream_events
+    from data_engineer_development_spark.streaming.stateful import (
+        running_user_totals,
+    )
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    name = f"q_state_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(
+        running_user_totals(stream_events(spark, sf_dir)),
+        name,
+        output_mode="update",
+    )
+    return spark.table(name).orderBy("user_id")
+
+
+def q_kv_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV upsert/delete/resolve over a scratch store: seeds entities from the
+    nation table, overwrites one, tombstones one, returns the resolved view."""
+    from data_engineer_development_spark.kv import KVStore
+
+    kv = KVStore(
+        spark, os.path.join(tempfile.gettempdir(), f"kvq-{uuid.uuid4().hex}")
+    )
+    nations = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").limit(5)
+    for r in nations.collect():
+        kv.put("nation", str(r["n_nationkey"]), {"name": r["n_name"]})
+    kv.put("nation", "0", {"name": "OVERWRITTEN"})
+    kv.delete("nation", "1")
+    resolved = [(e["key"], e["name"]) for e in kv.query("nation")]
+    return spark.createDataFrame(
+        sorted(resolved), "key string, name string"
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload → fixed-width feature vectors via the mapInPandas
+    plumbing (deterministic fake codec), joined back to doc metadata."""
+    from data_engineer_development_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = M.attach_media(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("blob")),
+        "doc_id",
+        "blob",
+        "application/octet-stream",
+    )
+    feats = M.extract_features(media, dims=8)
+    return feats.select(
+        "media_id", "n_bytes", F.col("embedding")[0].alias("f0")
+    ).orderBy("media_id")
+
+
+QUERIES = {
+    "streaming_running_totals": q_streaming_running_totals,
+    "kv_store_roundtrip": q_kv_store_roundtrip,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLE: dict[str, str] = {}

@@ -56,7 +56,10 @@ def main() -> None:
     for name in sorted(queries):
         try:
             t = run_once(name)
-            if t < 10.0 and (time.perf_counter() - start) < 0.7 * budget:
+            # the box is shared: any first run can absorb an unrelated CPU
+            # burst (observed 0.5 s queries reading 60 s); retry while the
+            # budget allows and keep the min
+            if (time.perf_counter() - start) < 0.6 * budget:
                 t = min(t, run_once(name))
             timings[name] = round(t, 4)
         except Exception as exc:  # noqa: BLE001 — one bad query ≠ no bench

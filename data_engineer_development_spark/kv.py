@@ -60,6 +60,17 @@ class KVStore:
         reference's per-property put loop has single-upsert intent)."""
         self._append([(kind, str(key), dict(props), time.time_ns(), False)])
 
+    def put_many(self, kind: str, entities: dict[str, dict[str, str]]) -> None:
+        """Batch upsert: one log segment for N entities (the write shape to
+        prefer — per-entity puts cost one commit each)."""
+        base = time.time_ns()
+        self._append(
+            [
+                (kind, str(k), dict(p), base + i, False)
+                for i, (k, p) in enumerate(entities.items())
+            ]
+        )
+
     def put_auto(self, kind: str, props: dict[str, str]) -> str:
         """K9 autokey flavor (datastore.py:19-20 allocates an id-less key)."""
         key = uuid.uuid4().hex

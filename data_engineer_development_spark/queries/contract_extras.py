@@ -47,8 +47,10 @@ def q_kv_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(tempfile.gettempdir(), f"kvq-{uuid.uuid4().hex}")
     )
     nations = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").limit(5)
-    for r in nations.collect():
-        kv.put("nation", str(r["n_nationkey"]), {"name": r["n_name"]})
+    kv.put_many(
+        "nation",
+        {str(r["n_nationkey"]): {"name": r["n_name"]} for r in nations.collect()},
+    )
     kv.put("nation", "0", {"name": "OVERWRITTEN"})
     kv.delete("nation", "1")
     resolved = [(e["key"], e["name"]) for e in kv.query("nation")]

@@ -44,6 +44,20 @@ def test_kv_put_get_update_delete(spark, tmp_path):
     assert len(kv.query("partner")) == 2
 
 
+def test_kv_put_many_batch(spark, tmp_path):
+    kv = KVStore(spark, str(tmp_path / "kv"))
+    kv.put_many("nation", {str(i): {"name": f"n{i}"} for i in range(4)})
+    assert len(kv.query("nation")) == 4
+
+    # a later single put wins over the batch row for the same key
+    kv.put("nation", "0", {"name": "replaced"})
+    assert kv.get("nation", "0")["name"] == "replaced"
+
+    # and a later batch wins over earlier singles
+    kv.put_many("nation", {"1": {"name": "rebatch"}})
+    assert kv.get("nation", "1")["name"] == "rebatch"
+
+
 def test_channel_roundtrip_batch(spark, tmp_path):
     ch = Channel(str(tmp_path), "transfer_requests")
     msgs = build_transfer_messages(

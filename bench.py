@@ -53,6 +53,7 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
     start = time.perf_counter()
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in sorted(queries):
         try:
             t = run_once(name)
@@ -64,11 +65,13 @@ def main() -> None:
             timings[name] = round(t, 4)
         except Exception as exc:  # noqa: BLE001 — one bad query ≠ no bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+            failed.append(name)
         # Queries that cache small intermediates must not leak into the next
         # measurement.
         spark.catalog.clearCache()
 
+    # total = sum of SUCCESSFUL runs only; failures are listed, never summed
+    # (a -1 sentinel would *reduce* the headline metric).
     print(
         json.dumps(
             {
@@ -76,10 +79,13 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "failed": failed,
                 "sf": sf,
             }
         )
     )
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

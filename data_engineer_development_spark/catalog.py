@@ -47,6 +47,43 @@ def set_table_properties(
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
 
 
+def tag_from_template(
+    template: dict[str, list[str]], overrides: dict[str, str] | None = None
+) -> dict[str, str]:
+    """Build a metadata tag from an enum template: each field defaults to its
+    FIRST allowed value, overrides must be drawn from the allowed list.
+
+    Mirrors the reference's Data Catalog tag construction
+    (datacatalog.py:28-61 — ``TagTemplate`` enum fields, tag built from the
+    first ``allowed_values`` entry per field)."""
+    tag: dict[str, str] = {}
+    for fld, allowed in template.items():
+        if not allowed:
+            raise ValueError(f"tag template field {fld!r} has no allowed values")
+        v = (overrides or {}).get(fld, allowed[0])
+        if v not in allowed:
+            raise ValueError(
+                f"value {v!r} not allowed for tag field {fld!r} (allowed: {allowed})"
+            )
+        tag[fld] = v
+    return tag
+
+
+def attach_tag(
+    spark: SparkSession,
+    table: str,
+    template: dict[str, list[str]],
+    overrides: dict[str, str] | None = None,
+    prefix: str = "tag.",
+) -> dict[str, str]:
+    """K12 full shape: enum-template tag construction + idempotent attach
+    (re-attach overwrites the same keys — datacatalog.py:57-60 swallows
+    AlreadyExists; TBLPROPERTIES SET is naturally last-write-wins)."""
+    tag = tag_from_template(template, overrides)
+    set_table_properties(spark, table, {prefix + k: v for k, v in tag.items()})
+    return tag
+
+
 def get_table_properties(spark: SparkSession, table: str) -> dict[str, str]:
     """S9: catalog entry lookup (datacatalog.py:11-18 lookup_bq_entry)."""
     rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()

@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -48,26 +49,55 @@ class KVStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self._last_seq = 0
+        self._buffer: list[tuple] | None = None
         os.makedirs(path, exist_ok=True)
 
     # -- write path --------------------------------------------------------
+    def _next_seq(self) -> int:
+        # strictly monotonic even when time_ns() stalls or repeats, so the
+        # resolve order always equals the call order
+        self._last_seq = max(self._last_seq + 1, time.time_ns())
+        return self._last_seq
+
     def _append(self, rows: list[tuple]) -> None:
+        if self._buffer is not None:
+            self._buffer.extend(rows)
+            return
         df = self.spark.createDataFrame(rows, SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.path)
+
+    @contextmanager
+    def batch(self):
+        """Buffer every put/delete inside the block and flush them as ONE log
+        segment (one commit) on exit. Seq order is the call order, so
+        overwrite-after-seed and tombstone-after-overwrite resolve exactly as
+        the equivalent sequence of individual commits — at 1/Nth the write
+        cost. The scale rationale: a commit is a full Spark write job; batch
+        callers pay one."""
+        if self._buffer is not None:  # nested batch: outer flush wins
+            yield self
+            return
+        self._buffer = []
+        try:
+            yield self
+        finally:
+            rows, self._buffer = self._buffer, None
+            if rows:
+                self._append(rows)
 
     def put(self, kind: str, key: str, props: dict[str, str]) -> None:
         """K9: create-or-replace entity by key (datastore.py:17-26 — the
         reference's per-property put loop has single-upsert intent)."""
-        self._append([(kind, str(key), dict(props), time.time_ns(), False)])
+        self._append([(kind, str(key), dict(props), self._next_seq(), False)])
 
     def put_many(self, kind: str, entities: dict[str, dict[str, str]]) -> None:
         """Batch upsert: one log segment for N entities (the write shape to
         prefer — per-entity puts cost one commit each)."""
-        base = time.time_ns()
         self._append(
             [
-                (kind, str(k), dict(p), base + i, False)
-                for i, (k, p) in enumerate(entities.items())
+                (kind, str(k), dict(p), self._next_seq(), False)
+                for k, p in entities.items()
             ]
         )
 
@@ -79,7 +109,7 @@ class KVStore:
 
     def delete(self, kind: str, key: str) -> None:
         """K10: delete by key (datastore.py:28-29) — tombstone append."""
-        self._append([(kind, str(key), None, time.time_ns(), True)])
+        self._append([(kind, str(key), None, self._next_seq(), True)])
 
     # -- read path ---------------------------------------------------------
     def _resolved(self) -> DataFrame:

@@ -162,6 +162,13 @@ def bucket_assign(
     return vectors.withColumn("bucket", F.expr(" + ".join(bit_cols)))
 
 
+#: exact-path ceiling: the index side is broadcast as one numpy matrix
+#: (~0.5 GB per million 64-dim float64 vectors); past this the driver
+#: collect would be the scale-killer, so the operator auto-switches to the
+#: LSH-bucketed path instead of attempting it.
+MAX_BROADCAST_ROWS = 1_000_000
+
+
 def neardup_pairs_cosine(
     vectors: DataFrame,
     tau: float,
@@ -170,6 +177,7 @@ def neardup_pairs_cosine(
     use_lsh: bool = False,
     planes: int = 4,
     dims: int = 64,
+    max_broadcast_rows: int = MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ tau, id1 < id2.
 
@@ -189,8 +197,13 @@ def neardup_pairs_cosine(
     bit-identical across all three.
 
     ``use_lsh=True`` restricts candidate pairs to same-bucket (the scale
-    path; recall < 1 by design) via a bucket equi-join.
+    path; recall < 1 by design) via a bucket equi-join. The exact path
+    guards its own ceiling: above ``max_broadcast_rows`` vectors it
+    auto-switches to the LSH path rather than collect a matrix the driver
+    can't hold.
     """
+    if not use_lsh and vectors.count() > max_broadcast_rows:
+        use_lsh = True
     if use_lsh:
         n_vec = vectors.count()
         parts = _pair_partitions(n_vec * (n_vec - 1) // 2, vectors.sparkSession)

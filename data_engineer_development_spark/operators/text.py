@@ -43,12 +43,15 @@ def distinct_token_count(col: str = "text") -> Column:
 
 
 def shingles_expr(tokens_col: str, k: int = 3) -> Column:
-    """Distinct k-token shingles. Requires ≥k tokens per document (the
-    documents corpus has ≥10)."""
+    """Distinct k-token shingles. Documents with <k tokens yield an empty
+    set — matching DuckDB, where generate_series(1, 0) is empty (Spark's
+    sequence(1, 0) would instead descend [1, 0], so short docs are gated
+    explicitly)."""
     parts = ", ".join(f"element_at({tokens_col}, i + {j})" for j in range(k))
     return F.expr(
+        f"if(size({tokens_col}) < {k}, array(), "
         f"array_distinct(transform(sequence(1, size({tokens_col}) - {k - 1}), "
-        f"i -> concat_ws(' ', {parts})))"
+        f"i -> concat_ws(' ', {parts}))))"
     )
 
 

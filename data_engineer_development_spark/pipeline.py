@@ -73,7 +73,8 @@ def split_sql_script(script: str) -> list[str]:
     ``#TRANSACT`` marker line) as ONE BigQuery script job
     (export_svg.py:272-694); Spark has no multi-statement exec, so the
     engine splits and runs sequentially. Comment lines (``#...``, ``--...``)
-    are dropped; semicolons inside single-quoted strings are respected.
+    are dropped; semicolons inside single-quoted strings are respected,
+    including SQL-escaped quotes (``''``) within a literal.
     """
     # strip comment-only lines (the reference's "#TRANSACT")
     lines = [
@@ -83,14 +84,23 @@ def split_sql_script(script: str) -> list[str]:
     ]
     text = "\n".join(lines)
     stmts, buf, in_str = [], [], False
-    for ch in text:
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
         if ch == "'":
+            if in_str and i + 1 < n and text[i + 1] == "'":
+                # doubled quote = escaped quote inside the literal, not a close
+                buf.append("''")
+                i += 2
+                continue
             in_str = not in_str
-        if ch == ";" and not in_str:
+            buf.append(ch)
+        elif ch == ";" and not in_str:
             stmts.append("".join(buf))
             buf = []
         else:
             buf.append(ch)
+        i += 1
     stmts.append("".join(buf))
     return [s.strip() for s in stmts if s.strip()]
 

@@ -1,7 +1,8 @@
-"""Rows-only contract entries: operators whose semantics aren't
-ANSI-SQL-expressible (custom streaming state, the KV log, multimodal codec
-plumbing). Registered in ``queries()`` WITHOUT an ``oracle_sql()`` pair —
-the driver records the sanctioned weaker rows-only check for these
+"""Contract entries for non-relational operators (custom streaming state,
+the KV log, multimodal codec plumbing). Entries whose *output* is
+SQL-expressible carry a real oracle (kv_store_roundtrip); the rest are
+registered in ``queries()`` WITHOUT an ``oracle_sql()`` pair — the driver
+records the sanctioned weaker rows-only check for those
 (__spark_entry__.py contract; SURVEY.md §5). Their exact semantics are
 pinned by dedicated tests instead (tests/test_scale_ops.py,
 tests/test_kv_channel.py, tests/test_multimodal.py)."""
@@ -40,23 +41,42 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kv_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KV upsert/delete/resolve over a scratch store: seeds entities from the
-    nation table, overwrites one, tombstones one, returns the resolved view."""
+    nation table, overwrites one, tombstones one, returns the resolved view.
+
+    The seed/overwrite/tombstone sequence runs inside ``kv.batch()`` so the
+    whole mutation history lands as ONE log segment (one Spark write job
+    instead of three) — the write shape a 100 TB deployment would use.
+    The expected resolved view IS SQL-expressible (nation minus the deleted
+    key, with the overwrite applied), so this entry gets a real oracle."""
     from data_engineer_development_spark.kv import KVStore
 
     kv = KVStore(
         spark, os.path.join(tempfile.gettempdir(), f"kvq-{uuid.uuid4().hex}")
     )
     nations = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").limit(5)
-    kv.put_many(
-        "nation",
-        {str(r["n_nationkey"]): {"name": r["n_name"]} for r in nations.collect()},
-    )
-    kv.put("nation", "0", {"name": "OVERWRITTEN"})
-    kv.delete("nation", "1")
+    with kv.batch():
+        kv.put_many(
+            "nation",
+            {
+                str(r["n_nationkey"]): {"name": r["n_name"]}
+                for r in nations.collect()
+            },
+        )
+        kv.put("nation", "0", {"name": "OVERWRITTEN"})
+        kv.delete("nation", "1")
     resolved = [(e["key"], e["name"]) for e in kv.query("nation")]
     return spark.createDataFrame(
         sorted(resolved), "key string, name string"
     )
+
+
+_KV_ROUNDTRIP_SQL = """
+SELECT CAST(n_nationkey AS VARCHAR) AS key,
+       CASE WHEN n_nationkey = 0 THEN 'OVERWRITTEN' ELSE n_name END AS name
+FROM nation
+WHERE n_nationkey < 5 AND n_nationkey <> 1
+ORDER BY key
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,4 +103,12 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
 }
 
-ORACLE: dict[str, str] = {}
+# streaming_running_totals stays rows-only: its totals are float sums
+# accumulated in pandas batch order, which no ANSI SUM() reproduces
+# bit-for-bit. multimodal_features stays rows-only: the fake codec is
+# md5-seeded numpy PRNG output, not SQL-expressible. The KV roundtrip's
+# expected output IS plain SQL over nation, so it graduates to a full
+# hash-checked oracle.
+ORACLE: dict[str, str] = {
+    "kv_store_roundtrip": _KV_ROUNDTRIP_SQL,
+}

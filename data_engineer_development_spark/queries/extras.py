@@ -52,19 +52,26 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 # --------------------------------------------------------------------------
 # Array aggregation: sorted per-group lists (collect_list ↔ list()).
+# The sorted list is emitted as a ','-joined string: the harness's
+# order-insensitive value hash runs pandas-side and can't hash list cells,
+# and string serialization keeps the sorted-list semantics under test.
 # --------------------------------------------------------------------------
 def q_array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.filter(F.col("o_custkey") < 30)
         .groupBy("o_custkey")
-        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias(
+                "orderkeys"
+            )
+        )
         .orderBy("o_custkey")
     )
 
 
 _ARRAY_AGG_SQL = """
-SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
 FROM orders WHERE o_custkey < 30
 GROUP BY o_custkey ORDER BY o_custkey
 """

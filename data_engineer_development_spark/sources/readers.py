@@ -45,8 +45,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
     it arrives as a long we truncate to micros — the same nano→micro
-    truncation DuckDB applies, so oracle comparisons agree.
+    truncation DuckDB applies, so oracle comparisons agree. The conf is
+    runtime-settable and is applied here (not only in the session factory) so
+    any caller-provided SparkSession — e.g. the correctness harness's own —
+    can scan events.parquet.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

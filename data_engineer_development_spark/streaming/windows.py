@@ -48,6 +48,9 @@ def stream_events(
         if not os.path.exists(link):
             os.symlink(src, link)
         src = d
+    # runtime-settable so caller-provided sessions (the correctness harness)
+    # can scan the TIMESTAMP(NANOS) events table — same conf as load_table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     df = reader.schema(batch_schema).load(src)
     if dict(df.dtypes).get("ts") == "bigint":

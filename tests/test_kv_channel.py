@@ -110,3 +110,33 @@ def test_channel_publish_df_and_stream(spark, tmp_path):
     assert sorted(r["source_connection_string"] for r in rows) == [
         "src0", "src1", "src2",
     ]
+
+
+def test_kv_batch_is_one_segment(spark, tmp_path):
+    import glob
+
+    kv = KVStore(spark, str(tmp_path / "kv"))
+    with kv.batch():
+        kv.put_many("n", {str(i): {"name": f"n{i}"} for i in range(5)})
+        kv.put("n", "0", {"name": "OVERWRITTEN"})  # later call wins
+        kv.delete("n", "1")
+        # nothing on disk until the batch flushes
+        assert glob.glob(str(tmp_path / "kv" / "*.parquet")) == []
+    # exactly one part file: one commit for the whole mutation history
+    assert len(glob.glob(str(tmp_path / "kv" / "*.parquet"))) == 1
+    resolved = {e["key"]: e["name"] for e in kv.query("n")}
+    assert resolved == {"0": "OVERWRITTEN", "2": "n2", "3": "n3", "4": "n4"}
+
+
+def test_kv_seq_strictly_monotonic(spark, tmp_path):
+    # rapid-fire puts in one process must still resolve in call order even
+    # if time_ns() repeats (the seq generator guards monotonicity itself)
+    import time
+
+    kv = KVStore(spark, str(tmp_path / "kv"))
+    # force time_ns() < _last_seq for the next ~hour of wall clock
+    kv._last_seq = time.time_ns() + 3_600 * 10**9
+    kv.put("k", "a", {"name": "v1"})
+    kv.put("k", "a", {"name": "v2"})
+    kv.put("k", "a", {"name": "v3"})
+    assert kv.get("k", "a")["name"] == "v3"

@@ -134,3 +134,48 @@ def test_sql_script_splitter():
     stmts = split_sql_script(script)
     assert len(stmts) == 2
     assert "a;b" in stmts[1]
+
+
+def test_sql_script_splitter_escaped_quotes():
+    # a doubled quote ('') inside a literal must not flip string state; the
+    # semicolon inside the escaped literal stays part of statement 1
+    script = "SELECT 'it''s; fine' AS x; SELECT 2 AS y;"
+    stmts = split_sql_script(script)
+    assert len(stmts) == 2
+    assert "it''s; fine" in stmts[0]
+    assert stmts[1] == "SELECT 2 AS y"
+
+
+def test_tag_from_template_mirrors_reference(spark):
+    # reference datacatalog.py:28-61 — tag defaults each enum field to its
+    # FIRST allowed value; overrides must come from the allowed list
+    from data_engineer_development_spark.catalog import (
+        attach_tag,
+        get_table_properties,
+        tag_from_template,
+    )
+
+    template = {
+        "data_classification": ["internal", "public", "restricted"],
+        "zone": ["raw", "quality", "trusted"],
+    }
+    assert tag_from_template(template) == {
+        "data_classification": "internal",
+        "zone": "raw",
+    }
+    assert tag_from_template(template, {"zone": "trusted"})["zone"] == "trusted"
+    import pytest
+
+    with pytest.raises(ValueError):
+        tag_from_template(template, {"zone": "nope"})
+
+    from tests.conftest import fresh_db
+
+    fresh_db(spark, "t_tags")
+    spark.range(1).write.saveAsTable("t_tags.t")
+    attach_tag(spark, "t_tags.t", template, {"zone": "quality"})
+    # idempotent re-attach (reference swallows AlreadyExists)
+    attach_tag(spark, "t_tags.t", template, {"zone": "quality"})
+    props = get_table_properties(spark, "t_tags.t")
+    assert props["tag.zone"] == "quality"
+    assert props["tag.data_classification"] == "internal"

@@ -96,3 +96,34 @@ def test_stateful_running_totals_match_batch(spark):
         .collect()
     }
     assert got == batch
+
+
+def test_neardup_exact_autoswitches_to_lsh(spark):
+    # above max_broadcast_rows the exact (driver-collect) path must not run;
+    # the result must equal the explicit LSH path's
+    from data_engineer_development_spark.operators.similarity import (
+        neardup_pairs_cosine,
+    )
+
+    vecs = load_table(spark, SF_CORRECT, "embeddings").limit(200)
+    auto = neardup_pairs_cosine(vecs, 0.9, max_broadcast_rows=10)
+    # the LSH path is a bucket equi-join — no mapInPandas stage in the plan
+    assert "mapInPandas" not in auto._jdf.queryExecution().analyzed().toString()
+    lsh = neardup_pairs_cosine(vecs, 0.9, use_lsh=True)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, lsh.collect()))
+
+
+def test_shingles_short_docs_are_empty(spark):
+    # docs with <k tokens must yield an empty shingle set (DuckDB
+    # generate_series(1,0) dual), not raise on a descending sequence
+    from data_engineer_development_spark.operators.text import (
+        shingles_expr,
+        tokens,
+    )
+
+    df = (
+        spark.createDataFrame([("a b",), ("a b c",), ("a b c d",)], "text string")
+        .select(tokens("text").alias("t"))
+        .select(F.size(shingles_expr("t", 3)).alias("n"))
+    )
+    assert [r["n"] for r in df.collect()] == [0, 1, 2]

@@ -18,6 +18,7 @@ from data_engineer_development_spark.queries import (
     core,
     dedup,
     extras,
+    pipeline_e2e,
     scalar_ops,
     similarity,
     text_analysis,
@@ -26,7 +27,7 @@ from data_engineer_development_spark.queries import (
 
 _MODULES = [
     core, scalar_ops, analytics, timeseries, text_analysis, dedup,
-    similarity, extras, contract_extras,
+    similarity, extras, contract_extras, pipeline_e2e,
 ]
 
 

@@ -19,6 +19,8 @@ from data_engineer_development_spark.queries import (
     dedup,
     extras,
     pipeline_e2e,
+    relational_ext,
+    sampling,
     scalar_ops,
     similarity,
     text_analysis,
@@ -27,7 +29,8 @@ from data_engineer_development_spark.queries import (
 
 _MODULES = [
     core, scalar_ops, analytics, timeseries, text_analysis, dedup,
-    similarity, extras, contract_extras, pipeline_e2e,
+    similarity, extras, contract_extras, pipeline_e2e, relational_ext,
+    sampling,
 ]
 
 

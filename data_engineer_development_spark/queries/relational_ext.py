@@ -1,0 +1,196 @@
+"""Relational-completeness extensions, wave 3: subqueries, grouping sets,
+navigation windows, exact percentiles, and a TPC-H Q18-style big-orders
+query.
+
+The reference's SQL surface stops at DISTINCT + CASE (SURVEY.md §2.5); a
+user switching an analytics workload onto this engine expects the rest of
+the warehouse dialect, so these close the remaining gaps. SQL-text entries
+run through ``spark.sql`` over registered views — the reference's native
+idiom (all its semantics live in SQL strings, export_svg.py:209-694).
+
+Exactness discipline: money/quantity aggregates accumulate in
+DECIMAL(20,4) and comparisons happen in decimal (the scalar-subquery query
+compares ``price*count > sum`` entirely in decimal rather than dividing to
+a double average); percentile queries run on integral-valued quantities so
+type-7 interpolation is exact in binary in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.sources import load_table, register_views
+
+
+# --------------------------------------------------------------------------
+# Correlated EXISTS (left-semi shape — Catalyst rewrites to a semi join,
+# so the subquery never materializes per-row).
+# --------------------------------------------------------------------------
+_EXISTS_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+ORDER BY o_orderkey
+"""
+
+
+def q_exists_high_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_EXISTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Scalar subquery: parts priced above the mean — compared in DECIMAL as
+# price*count > total so no engine ever rounds a double average.
+# --------------------------------------------------------------------------
+_SCALAR_SUBQ_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE CAST(p_retailprice AS DECIMAL(20,4)) * (SELECT COUNT(*) FROM part)
+      > (SELECT SUM(CAST(p_retailprice AS DECIMAL(20,4))) FROM part)
+ORDER BY p_partkey
+"""
+
+
+def q_scalar_subquery_pricey_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "part")
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+# --------------------------------------------------------------------------
+# Explicit GROUPING SETS with grouping() markers (ROLLUP/CUBE's general
+# form; the markers disambiguate "NULL key" from "aggregated-over key").
+# --------------------------------------------------------------------------
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def q_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Navigation windows: LAG/LEAD/NTILE/PERCENT_RANK over each customer's
+# order sequence (ordering pinned to the unique key for determinism;
+# percent_rank = (rank-1)/(n-1) — small-int division, exact in double).
+# --------------------------------------------------------------------------
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+_WINDOW_NAV_SQL = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_orderkey) OVER w AS prev_order,
+       LEAD(o_orderkey) OVER w AS next_order,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (type-7 / linear interpolation in both engines).
+# l_quantity holds integral values, so quartile midpoints are exact
+# binary fractions — bit-identical across engines.
+# --------------------------------------------------------------------------
+def q_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("median"),
+            F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS median,
+       quantile_cont(l_quantity, 0.75) AS q75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders. The 100 TB plan aggregates lineitem
+# by its OWN key first (partial agg collapses map-side; the shuffle carries
+# only (key, decimal) pairs, not orders columns) and applies the HAVING
+# before the join, so only qualifying orderkeys ever reach the orders join.
+# --------------------------------------------------------------------------
+_BIG_ORDERS_THRESHOLD = 300
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dq = F.sum(F.col("l_quantity").cast("decimal(20,4)"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dq.cast("double").alias("total_qty"))
+        .filter(dq >= F.lit(_BIG_ORDERS_THRESHOLD))
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "total_qty")
+        .orderBy("o_orderkey")
+    )
+
+
+_BIG_ORDERS_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_custkey, o_orderdate
+HAVING SUM(CAST(l_quantity AS DECIMAL(20,4))) >= {_BIG_ORDERS_THRESHOLD}
+ORDER BY o_orderkey
+"""
+
+
+QUERIES = {
+    "exists_high_quantity": q_exists_high_quantity,
+    "scalar_subquery_pricey_parts": q_scalar_subquery_pricey_parts,
+    "grouping_sets_lineitem": q_grouping_sets_lineitem,
+    "window_navigation": q_window_navigation,
+    "quantiles_quantity": q_quantiles_quantity,
+    "big_orders": q_big_orders,
+}
+
+ORACLE = {
+    "exists_high_quantity": _EXISTS_SQL,
+    "scalar_subquery_pricey_parts": _SCALAR_SUBQ_SQL,
+    "grouping_sets_lineitem": _GROUPING_SETS_SQL,
+    "window_navigation": _WINDOW_NAV_SQL,
+    "quantiles_quantity": _QUANTILES_SQL,
+    "big_orders": _BIG_ORDERS_SQL,
+}

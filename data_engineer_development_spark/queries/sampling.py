@@ -1,0 +1,123 @@
+"""Deterministic sampling operators for training-data pipelines
+(north-star extension — alongside dedup/similarity/text in SURVEY.md §7.2
+item 5).
+
+Real corpus pipelines never use ``rand()`` sampling: reruns must select
+the SAME documents (caching, incremental builds, auditability), so the
+sample predicate is a hash of the stable key. Both entries use the
+cross-engine md5 hash (functions/portable_hash.py) so the DuckDB oracle
+selects the identical rows.
+
+Scale notes: hash sampling is a pure scan-side filter (no shuffle, prunes
+at the scan when combined with partition columns); stratified top-n is one
+window per stratum — a single hash-partitioned shuffle on the stratum key,
+independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.functions.portable_hash import (
+    duck_md5_int,
+    spark_md5_int,
+)
+from data_engineer_development_spark.sources import load_table
+
+_SAMPLE_PCT = 10  # keep ~10% of documents
+
+
+def q_sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% document sample: md5(doc_id) % 100 < 10."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = spark_md5_int("cast(doc_id as string)")
+    return (
+        docs.filter(F.expr(f"{h} % 100 < {_SAMPLE_PCT}"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_SAMPLE_HASH_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {duck_md5_int('CAST(doc_id AS VARCHAR)')} % 100 < {_SAMPLE_PCT}
+ORDER BY doc_id
+"""
+
+
+_STRATA_N = 5  # docs kept per (lang, source) stratum
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-stratum sample: top-N docs per (lang, source) ranked by
+    the portable hash — every stratum contributes equally regardless of its
+    population (the class-balance shape for training mixes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(spark_md5_int("cast(doc_id as string)"))
+    w = Window.partitionBy("lang", "source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _STRATA_N)
+        .select("lang", "source", F.col("rk").alias("rk"), "doc_id")
+        .orderBy("lang", "source", "rk")
+    )
+
+
+_STRATIFIED_SQL = f"""
+SELECT lang, source, CAST(rk AS INT) AS rk, doc_id
+FROM (SELECT lang, source, doc_id,
+             row_number() OVER (PARTITION BY lang, source
+                 ORDER BY {duck_md5_int('CAST(doc_id AS VARCHAR)')}, doc_id) AS rk
+      FROM documents)
+WHERE rk <= {_STRATA_N}
+ORDER BY lang, source, rk
+"""
+
+
+def q_text_top_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signal: most-frequent-token share per document (a high
+    ratio flags boilerplate/spam for quality filtering). Distributed shape:
+    explode → two keyed aggregations — scales as tokens, never as doc², and
+    the (doc_id, tok) partial aggregate collapses map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.max("n").alias("max_tok_n"), F.sum("n").alias("n_tokens")
+    )
+    return per_doc.select(
+        "doc_id",
+        "max_tok_n",
+        "n_tokens",
+        (F.col("max_tok_n").cast("double") / F.col("n_tokens")).alias(
+            "top_token_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+_TOP_TOKEN_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+per_tok AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY doc_id, tok),
+per_doc AS (SELECT doc_id, MAX(n) AS max_tok_n, SUM(n) AS n_tokens
+            FROM per_tok GROUP BY doc_id)
+SELECT doc_id, max_tok_n, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(max_tok_n AS DOUBLE) / n_tokens AS top_token_ratio
+FROM per_doc ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "sample_hash_bucket": q_sample_hash_bucket,
+    "stratified_sample": q_stratified_sample,
+    "text_top_token_ratio": q_text_top_token_ratio,
+}
+
+ORACLE = {
+    "sample_hash_bucket": _SAMPLE_HASH_SQL,
+    "stratified_sample": _STRATIFIED_SQL,
+    "text_top_token_ratio": _TOP_TOKEN_SQL,
+}

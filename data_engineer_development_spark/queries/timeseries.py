@@ -141,11 +141,48 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Streaming dedup: dropDuplicates over a keyed stream. WHICH physical row
+# survives depends on arrival order, so the checked output is the
+# arrival-order-independent part — distinct (user, type) existence — counted
+# per type. This is the streaming path of exact dedup (operators/dedup.py):
+# state is one entry per distinct key, evicted by the watermark.
+# --------------------------------------------------------------------------
+def q_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from data_engineer_development_spark.streaming import stream_events
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    deduped = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    name = f"q_dedup_{_uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(deduped, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_hourly": q_sliding_hourly,
     "session_windows": q_session_windows,
     "daily_buckets": q_daily_buckets,
+    "stream_dedup_users": q_stream_dedup_users,
 }
 
 ORACLE = {
@@ -153,4 +190,5 @@ ORACLE = {
     "sliding_hourly": _SLIDING_HOURLY_SQL,
     "session_windows": _SESSION_WINDOWS_SQL,
     "daily_buckets": _DAILY_BUCKETS_SQL,
+    "stream_dedup_users": _STREAM_DEDUP_SQL,
 }

@@ -1,0 +1,84 @@
+"""Iterative graph operators: connected components for dedup clustering.
+
+Near-dup **pair** lists (MinHash-LSH / SimHash output, operators/dedup.py)
+are only half of deduplication — a corpus pipeline must then group pairs
+into CLUSTERS and keep one representative per cluster. That grouping is
+connected components over the pair graph.
+
+Spark shape: iterative min-label propagation. Each round every node adopts
+the smallest label among itself and its neighbors; the loop stops when a
+round changes nothing. This is the classic BSP formulation (HashToMin /
+Pregel-style); rounds = graph diameter, and near-dup clusters are
+small-diameter by construction (every member is close to the seed doc), so
+a handful of rounds suffice even at 100 TB.
+
+Per round the work is one equi-join (labels ⋈ edges on node id) and one
+min-aggregate — both hash-partitioned on the node id, so successive rounds
+reuse the same partitioning and nothing is ever collected to the driver.
+``localCheckpoint`` truncates the lineage each round (an iterative plan
+otherwise doubles in depth per round and eventually overwhelms the
+optimizer); on a real cluster use a checkpoint dir for fault tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node with the minimum node id of its component.
+
+    ``nodes``: one row per node (singletons allowed — they keep their own
+    id as ``cluster_id``). ``edges``: undirected pairs; direction and
+    duplicates don't matter.
+
+    Returns ``(id_col, cluster_id)``.
+    """
+    und = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    # Edges are static across rounds — persist once, reuse every join.
+    und = und.persist()
+
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

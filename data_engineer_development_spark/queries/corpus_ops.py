@@ -1,0 +1,304 @@
+"""Corpus-pipeline operators, wave 4 (north-star extension): dedup
+clustering (connected components), train/eval contamination detection,
+embedding normalization + int8 quantization, a KMV distinct-count sketch,
+and PII-style masking.
+
+These close the gap between "find near-dup PAIRS" (queries/dedup.py) and
+what a production corpus pipeline actually ships: cluster the pairs and
+keep one representative; prove the eval split shares no n-grams with
+training data; compress embeddings for the ANN index; estimate cardinality
+without a COUNT(DISTINCT) shuffle of the raw keys; scrub sensitive spans.
+
+Cross-engine exactness follows the house rules: md5-based portable hashes
+(functions/portable_hash.py) for anything randomized; sequential left-fold
+float math mirrored between Spark ``aggregate`` and DuckDB ``list_reduce``;
+integer arithmetic bounded below 2^63.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.functions.portable_hash import (
+    duck_md5_int,
+    spark_md5_int,
+)
+from data_engineer_development_spark.operators import dedup as D
+from data_engineer_development_spark.operators.graph import (
+    connected_components,
+)
+from data_engineer_development_spark.operators.text import shingles_expr
+from data_engineer_development_spark.queries.dedup import (
+    HAMMING_MAX,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    duck_simhash_cte,
+)
+from data_engineer_development_spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# Dedup clusters: connected components over SimHash near-dup pairs.
+# Spark: iterative min-label propagation (operators/graph.py) — per round
+# one node-keyed equi-join + min-agg, rounds = cluster diameter (small for
+# near-dup graphs). Oracle: recursive-CTE transitive closure — exponential
+# in DuckDB but exact at test scale; the Spark path is the one that scales.
+# --------------------------------------------------------------------------
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    sh = D.simhash(docs, "doc_id", "t", SIMHASH_BITS).persist()
+    pairs = D.simhash_close_pairs(
+        sh, HAMMING_MAX, SIMHASH_CHUNKS, SIMHASH_BITS
+    )
+    return connected_components(
+        docs.select("doc_id"), pairs, "doc_id", "id1", "id2"
+    ).orderBy("doc_id")
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {duck_simhash_cte()},
+pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}),
+e AS (SELECT id1 AS a, id2 AS b FROM pr UNION ALL SELECT id2, id1 FROM pr),
+reach(node, m) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.a, r.m FROM e JOIN reach r ON r.node = e.b
+)
+SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Contamination check: does any eval-split document share a 5-gram with the
+# train split? Splits are deterministic (md5 parity on doc_id). Shape:
+# exploded postings, DISTINCT train-shingle set, one equi-join — the same
+# posting-list plan as Jaccard dedup, so the 100 TB notes there apply (hot
+# shingles prune via max_doc_freq; the train set is a semi-join build side).
+# --------------------------------------------------------------------------
+_CONTAM_K = 5
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    d = docs.withColumn(
+        "side",
+        F.expr(f"{spark_md5_int('cast(doc_id as string)')} % 2"),
+    ).withColumn("sh", shingles_expr("t", k=_CONTAM_K))
+    posts = d.select("doc_id", "side", F.explode("sh").alias("sg"))
+    train = posts.filter(F.col("side") == 0).select("sg").distinct()
+    shared = (
+        posts.filter(F.col("side") == 1)
+        .join(train, "sg")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sg").alias("n_shared"))
+    )
+    ev = d.filter(F.col("side") == 1).select(
+        "doc_id", F.size("sh").alias("n_shingles")
+    )
+    return (
+        ev.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_shared", F.lit(0).cast("bigint")).alias("n_shared"),
+            F.when(F.coalesce("n_shared", F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CONTAM_IDX = ", ".join(f"t[i+{j}]" for j in range(_CONTAM_K))
+_CONTAMINATION_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+                  {duck_md5_int('CAST(doc_id AS VARCHAR)')} % 2 AS side
+           FROM documents),
+s AS (SELECT doc_id, side,
+             list_distinct(list_transform(
+                 generate_series(1, len(t) - {_CONTAM_K - 1}),
+                 i -> concat_ws(' ', {_CONTAM_IDX.replace('t[i+0]', 't[i]')})))
+             AS sh
+      FROM d),
+p AS (SELECT doc_id, side, unnest(sh) AS sg FROM s),
+tr AS (SELECT DISTINCT sg FROM p WHERE side = 0),
+shared AS (SELECT p.doc_id, count(DISTINCT p.sg) AS n_shared
+           FROM p JOIN tr ON p.sg = tr.sg WHERE p.side = 1
+           GROUP BY p.doc_id)
+SELECT s.doc_id, CAST(len(sh) AS INT) AS n_shingles,
+       CAST(COALESCE(shared.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(CASE WHEN COALESCE(shared.n_shared, 0) > 0 THEN 1 ELSE 0 END
+            AS INT) AS contaminated
+FROM s LEFT JOIN shared ON s.doc_id = shared.doc_id
+WHERE s.side = 1 ORDER BY s.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding L2 norm + int8 quantization (max-abs scaling). Pure projection
+# — no shuffle, runs at scan speed over any corpus size. The quantized
+# vector is serialized to a CSV string (the driver hashes scalar cells).
+# Rounding is floor(x + 0.5) — identical IEEE ops in both engines (CAST
+# double→int truncates in Spark but rounds in DuckDB, so neither is used).
+# --------------------------------------------------------------------------
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn(
+            "mx",
+            F.expr(
+                "aggregate(transform(embedding, x -> abs(cast(x as double))),"
+                " cast(0.0 as double), (a, x) -> greatest(a, x))"
+            ),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                "sqrt(aggregate(transform(embedding,"
+                " x -> cast(x as double) * cast(x as double)),"
+                " cast(0.0 as double), (a, x) -> a + x))"
+            ).alias("l2_norm"),
+            F.expr(
+                "concat_ws(',', transform(embedding, x -> cast(cast("
+                "if(mx = 0.0d, 0.0d,"
+                " floor(cast(x as double) * 127.0d / mx + 0.5d))"
+                " as bigint) as string)))"
+            ).alias("qvec_int8"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_EMB_QUANTIZE_SQL = """
+WITH m AS (SELECT vec_id, embedding,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                      (a, v) -> greatest(a, v)) AS mx
+           FROM embeddings)
+SELECT vec_id,
+       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+            (a, v) -> a + v)) AS l2_norm,
+       array_to_string(list_transform(embedding, x -> CAST(CAST(
+           CASE WHEN mx = 0.0 THEN 0.0
+                ELSE floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) END
+           AS BIGINT) AS VARCHAR)), ',') AS qvec_int8
+FROM m ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch: estimate |distinct custkey|
+# per order status from the 16 smallest portable hashes. At 100 TB the
+# shuffle carries at most k rows per group (after per-partition partial
+# top-k) instead of every distinct key — the classic sketch trade. The
+# estimator (k-1) * 2^60 / h_k runs in double with identical IEEE steps in
+# both engines. exact_distinct rides along to show the sketch's accuracy.
+# --------------------------------------------------------------------------
+_KMV_K = 16
+
+
+def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dh = o.select(
+        "o_orderstatus",
+        F.expr(spark_md5_int("cast(o_custkey as string)")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("o_orderstatus").orderBy("h")
+    kmin = (
+        dh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("o_orderstatus")
+        .agg(F.max("h").alias("hk"))
+    )
+    nd = dh.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("exact_distinct") >= _KMV_K,
+        F.floor(
+            F.lit(float(_KMV_K - 1))
+            * F.lit(float(1 << 60))
+            / F.col("hk").cast("double")
+        ),
+    ).otherwise(F.col("exact_distinct"))
+    return (
+        nd.join(kmin, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "hk",
+            est.cast("bigint").alias("est_distinct"),
+            "exact_distinct",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_DISTINCT_KMV_SQL = f"""
+WITH dh AS (SELECT DISTINCT o_orderstatus,
+                   {duck_md5_int('CAST(o_custkey AS VARCHAR)')} AS h
+            FROM orders),
+r AS (SELECT o_orderstatus, h,
+             row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rk
+      FROM dh),
+k AS (SELECT o_orderstatus, MAX(h) AS hk FROM r WHERE rk <= {_KMV_K}
+      GROUP BY o_orderstatus),
+n AS (SELECT o_orderstatus, COUNT(*) AS exact_distinct FROM dh
+      GROUP BY o_orderstatus)
+SELECT n.o_orderstatus, k.hk,
+       CAST(CASE WHEN n.exact_distinct >= {_KMV_K}
+                 THEN floor({float(_KMV_K - 1)} * {float(1 << 60)}
+                            / CAST(k.hk AS DOUBLE))
+                 ELSE CAST(n.exact_distinct AS DOUBLE) END
+            AS BIGINT) AS est_distinct,
+       n.exact_distinct
+FROM n JOIN k ON n.o_orderstatus = k.o_orderstatus
+ORDER BY n.o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# PII-style masking: collapse digit runs in the events props JSON (the
+# stand-in for phone/account-number scrubbing; the mechanism — a JVM-side
+# regexp_replace at scan speed — is what matters). Spark replaces globally
+# by default; DuckDB needs the 'g' flag.
+# --------------------------------------------------------------------------
+def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "#").alias("props_masked"),
+    ).orderBy("event_id")
+
+
+_PII_MASK_SQL = """
+SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS props_masked
+FROM events WHERE event_id < 2000 ORDER BY event_id
+"""
+
+
+QUERIES = {
+    "dedup_clusters": q_dedup_clusters,
+    "contamination_check": q_contamination_check,
+    "emb_quantize": q_emb_quantize,
+    "distinct_kmv": q_distinct_kmv,
+    "pii_mask": q_pii_mask,
+}
+
+ORACLE = {
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "contamination_check": _CONTAMINATION_SQL,
+    "emb_quantize": _EMB_QUANTIZE_SQL,
+    "distinct_kmv": _DISTINCT_KMV_SQL,
+    "pii_mask": _PII_MASK_SQL,
+}

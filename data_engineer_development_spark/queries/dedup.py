@@ -174,17 +174,26 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, "doc_id", "t", SIMHASH_BITS).orderBy("doc_id")
 
 
-def _simhash_sql() -> str:
+def duck_simhash_cte() -> str:
+    """DuckDB CTE chain ending in ``sh(doc_id, simhash)`` — shared by the
+    simhash queries here and the connected-components clustering oracle
+    (queries/corpus_ops.py), so every consumer replays identical sketch
+    arithmetic."""
     h = f"({duck_md5_int('x')})"
     bit_terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(th, h -> (h // {1 << b}) % 2 = 1)) "
         f"> len(th) THEN {1 << b} ELSE 0 END)"
         for b in range(SIMHASH_BITS)
     )
+    return f"""d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+hashed AS (SELECT doc_id, list_transform(t, x -> {h}) AS th FROM d),
+sh AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hashed)"""
+
+
+def _simhash_sql() -> str:
     return f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-hashed AS (SELECT doc_id, list_transform(t, x -> {h}) AS th FROM d)
-SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hashed ORDER BY doc_id
+WITH {duck_simhash_cte()}
+SELECT doc_id, simhash FROM sh ORDER BY doc_id
 """
 
 
@@ -202,16 +211,8 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs_sql() -> str:
-    h = f"({duck_md5_int('x')})"
-    bit_terms = " + ".join(
-        f"(CASE WHEN 2 * len(list_filter(th, h -> (h // {1 << b}) % 2 = 1)) "
-        f"> len(th) THEN {1 << b} ELSE 0 END)"
-        for b in range(SIMHASH_BITS)
-    )
     return f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-hashed AS (SELECT doc_id, list_transform(t, x -> {h}) AS th FROM d),
-sh AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hashed)
+WITH {duck_simhash_cte()}
 SELECT a.doc_id AS id1, b.doc_id AS id2, bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}

@@ -177,6 +177,83 @@ ORDER BY o_orderkey
 """
 
 
+# --------------------------------------------------------------------------
+# RANGE-frame moving window: 7-day order totals. The frame is RANGE over
+# days-since-epoch (integer), so gaps in the calendar are handled by VALUE
+# (a missing day contributes nothing) rather than by row offsets — the
+# semantics ROWS BETWEEN gets wrong. One day-keyed pre-aggregate collapses
+# the input to ≤ #days rows before the window sort — at 100 TB the window
+# runs over thousands of rows, not trillions.
+# --------------------------------------------------------------------------
+_MOVING_7D_SPARK_SQL = """
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                      datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS dn,
+                      COUNT(*) AS n,
+                      SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS s
+               FROM orders GROUP BY 1, 2)
+SELECT d, CAST(SUM(n) OVER w AS BIGINT) AS n_orders_7d,
+       CAST(SUM(s) OVER w AS DOUBLE) AS sum_price_7d
+FROM daily WINDOW w AS (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY d
+"""
+
+_MOVING_7D_DUCK_SQL = """
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                      CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS dn,
+                      COUNT(*) AS n,
+                      SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS s
+               FROM orders GROUP BY 1, 2)
+SELECT d, CAST(SUM(n) OVER w AS BIGINT) AS n_orders_7d,
+       CAST(SUM(s) OVER w AS DOUBLE) AS sum_price_7d
+FROM daily WINDOW w AS (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY d
+"""
+
+
+def q_moving_7d_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_MOVING_7D_SPARK_SQL)
+
+
+# --------------------------------------------------------------------------
+# Correlated MIN subquery: cheapest part(s) per brand. Catalyst decorrelates
+# this into an aggregate + equi-join on p_brand — no per-row subquery
+# execution — which is exactly the plan to want at scale.
+# --------------------------------------------------------------------------
+_CHEAPEST_SQL = """
+SELECT p_brand, p_partkey, p_name, p_retailprice
+FROM part p
+WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+ORDER BY p_brand, p_partkey
+"""
+
+
+def q_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "part")
+    return spark.sql(_CHEAPEST_SQL)
+
+
+# --------------------------------------------------------------------------
+# FILTER-clause conditional aggregation (ANSI; both engines support the
+# same text). One hash-agg shuffle regardless of how many conditions ride
+# along — the scalable alternative to N filtered subqueries.
+# --------------------------------------------------------------------------
+_FILTERED_AGG_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_highdisc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4)))
+            FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS qty_hightax
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_FILTERED_AGG_SQL)
+
+
 QUERIES = {
     "exists_high_quantity": q_exists_high_quantity,
     "scalar_subquery_pricey_parts": q_scalar_subquery_pricey_parts,
@@ -184,6 +261,9 @@ QUERIES = {
     "window_navigation": q_window_navigation,
     "quantiles_quantity": q_quantiles_quantity,
     "big_orders": q_big_orders,
+    "moving_7d_orders": q_moving_7d_orders,
+    "cheapest_part_per_brand": q_cheapest_part_per_brand,
+    "filtered_agg": q_filtered_agg,
 }
 
 ORACLE = {
@@ -193,4 +273,7 @@ ORACLE = {
     "window_navigation": _WINDOW_NAV_SQL,
     "quantiles_quantity": _QUANTILES_SQL,
     "big_orders": _BIG_ORDERS_SQL,
+    "moving_7d_orders": _MOVING_7D_DUCK_SQL,
+    "cheapest_part_per_brand": _CHEAPEST_SQL,
+    "filtered_agg": _FILTERED_AGG_SQL,
 }

@@ -5,12 +5,13 @@ are only half of deduplication — a corpus pipeline must then group pairs
 into CLUSTERS and keep one representative per cluster. That grouping is
 connected components over the pair graph.
 
-Spark shape: iterative min-label propagation. Each round every node adopts
-the smallest label among itself and its neighbors; the loop stops when a
-round changes nothing. This is the classic BSP formulation (HashToMin /
-Pregel-style); rounds = graph diameter, and near-dup clusters are
-small-diameter by construction (every member is close to the seed doc), so
-a handful of rounds suffice even at 100 TB.
+Spark shape: iterative min-label propagation PLUS pointer jumping. Each
+round every node adopts the smallest label among itself and its neighbors
+(edge step), then chases its label's own label (jump step, l(v) ← l(l(v))).
+The edge step alone needs diameter rounds — a 100-doc near-dup CHAIN costs
+100 rounds; the jump step doubles the propagation distance per round, so
+convergence is O(log diameter) (the HashToMin bound, Rastogi et al. 2012).
+The loop stops when a round changes nothing.
 
 Per round the work is one equi-join (labels ⋈ edges on node id) and one
 min-aggregate — both hash-partitioned on the node id, so successive rounds
@@ -60,12 +61,26 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        cand = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "label"
+            ),
+        )
+        # Pointer jump: follow the label to ITS label (labels are node ids,
+        # so the self-join always hits; left+coalesce guards regardless).
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            cand.alias("a")
+            .join(
+                cand.alias("b"),
+                F.col("a.label") == F.col("b.node"),
+                "left",
+            )
             .select(
-                "node",
+                F.col("a.node").alias("node"),
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
+                    F.col("a.label"),
+                    F.coalesce(F.col("b.label"), F.col("a.label")),
                 ).alias("label"),
             )
             .localCheckpoint()

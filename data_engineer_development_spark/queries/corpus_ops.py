@@ -30,40 +30,34 @@ from data_engineer_development_spark.operators.graph import (
 )
 from data_engineer_development_spark.operators.text import shingles_expr
 from data_engineer_development_spark.queries.dedup import (
-    HAMMING_MAX,
-    SIMHASH_BITS,
-    SIMHASH_CHUNKS,
-    duck_simhash_cte,
+    JACCARD_TAU,
+    duck_jaccard_pairs_cte,
 )
 from data_engineer_development_spark.sources import load_table
 
 
 # --------------------------------------------------------------------------
-# Dedup clusters: connected components over SimHash near-dup pairs.
-# Spark: iterative min-label propagation (operators/graph.py) — per round
-# one node-keyed equi-join + min-agg, rounds = cluster diameter (small for
-# near-dup graphs). Oracle: recursive-CTE transitive closure — exponential
-# in DuckDB but exact at test scale; the Spark path is the one that scales.
+# Dedup clusters: connected components over VERIFIED near-dup pairs (the
+# Jaccard-τ pairs of queries/dedup.py — real pipelines cluster verified
+# duplicates, not raw sketch candidates). Spark: iterative min-label
+# propagation with pointer jumping (operators/graph.py) — per round one
+# node-keyed equi-join + min-agg, O(log diameter) rounds. Oracle:
+# recursive-CTE transitive closure over the SAME pair SQL — exponential in
+# DuckDB but exact at test scale; the Spark path is the one that scales.
 # --------------------------------------------------------------------------
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
-    )
-    sh = D.simhash(docs, "doc_id", "t", SIMHASH_BITS).persist()
-    pairs = D.simhash_close_pairs(
-        sh, HAMMING_MAX, SIMHASH_CHUNKS, SIMHASH_BITS
-    )
+    ).withColumn("sh", shingles_expr("t", k=3))
+    pairs = D.jaccard_pairs(docs, "doc_id", "sh", JACCARD_TAU)
     return connected_components(
         docs.select("doc_id"), pairs, "doc_id", "id1", "id2"
     ).orderBy("doc_id")
 
 
 _DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE {duck_simhash_cte()},
-pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2
-       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}),
-e AS (SELECT id1 AS a, id2 AS b FROM pr UNION ALL SELECT id2, id1 FROM pr),
+WITH RECURSIVE {duck_jaccard_pairs_cte()},
+e AS (SELECT id1 AS a, id2 AS b FROM vp UNION ALL SELECT id2, id1 FROM vp),
 reach(node, m) AS (
     SELECT doc_id, doc_id FROM documents
     UNION

@@ -81,16 +81,25 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEDUP_JACCARD_SQL = f"""
-WITH {_DUCK_SHINGLES},
+def duck_jaccard_pairs_cte() -> str:
+    """DuckDB CTE chain ending in ``vp(id1, id2, jaccard)`` — the verified
+    near-dup pairs. Shared with the clustering oracle
+    (queries/corpus_ops.py)."""
+    return f"""{_DUCK_SHINGLES},
 p AS (SELECT doc_id, unnest(sh) AS sg, len(sh) AS n FROM s),
 i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c,
              any_value(a.n) AS n1, any_value(b.n) AS n2
       FROM p a JOIN p b ON a.sg = b.sg AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
-SELECT id1, id2, CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) AS jaccard
-FROM i WHERE CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) >= {JACCARD_TAU}
-ORDER BY id1, id2
+      GROUP BY a.doc_id, b.doc_id),
+vp AS (SELECT id1, id2,
+              CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) AS jaccard
+       FROM i
+       WHERE CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) >= {JACCARD_TAU})"""
+
+
+_DEDUP_JACCARD_SQL = f"""
+WITH {duck_jaccard_pairs_cte()}
+SELECT id1, id2, jaccard FROM vp ORDER BY id1, id2
 """
 
 

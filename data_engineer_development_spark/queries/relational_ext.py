@@ -254,6 +254,25 @@ def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_FILTERED_AGG_SQL)
 
 
+# --------------------------------------------------------------------------
+# UNPIVOT (inverse of the pivot in extras.py): wide metrics → long
+# (key, metric, value) rows. Both engines accept the same standard syntax.
+# Narrow-to-long is a flatMap-shaped projection — no shuffle.
+# --------------------------------------------------------------------------
+_UNPIVOT_SQL = """
+SELECT p_partkey, metric, val FROM (
+  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_d, p_retailprice AS price_d
+  FROM part
+) UNPIVOT (val FOR metric IN (size_d, price_d))
+ORDER BY p_partkey, metric
+"""
+
+
+def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "part")
+    return spark.sql(_UNPIVOT_SQL)
+
+
 QUERIES = {
     "exists_high_quantity": q_exists_high_quantity,
     "scalar_subquery_pricey_parts": q_scalar_subquery_pricey_parts,
@@ -264,6 +283,7 @@ QUERIES = {
     "moving_7d_orders": q_moving_7d_orders,
     "cheapest_part_per_brand": q_cheapest_part_per_brand,
     "filtered_agg": q_filtered_agg,
+    "unpivot_part_metrics": q_unpivot_part_metrics,
 }
 
 ORACLE = {
@@ -276,4 +296,5 @@ ORACLE = {
     "moving_7d_orders": _MOVING_7D_DUCK_SQL,
     "cheapest_part_per_brand": _CHEAPEST_SQL,
     "filtered_agg": _FILTERED_AGG_SQL,
+    "unpivot_part_metrics": _UNPIVOT_SQL,
 }

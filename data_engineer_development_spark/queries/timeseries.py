@@ -177,12 +177,58 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Stream-static enrichment join: the live event stream joined to the
+# customer→nation dimension (broadcast — the dim is static and bounded), a
+# keyed aggregate on top. Complete-mode state is O(#nations × #types).
+# AvailableNow drains the whole source, so the final table equals the batch
+# join — which is the oracle.
+# --------------------------------------------------------------------------
+def q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from data_engineer_development_spark.streaming import stream_events
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+            "c_custkey", "n_name"
+        )
+    )
+    agg = (
+        ev.join(dim, ev.user_id == dim.c_custkey)
+        .groupBy("n_name", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+    )
+    name = f"q_enrich_{_uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(agg, name, output_mode="complete")
+    return spark.table(name).orderBy("n_name", "event_type")
+
+
+_STREAM_ENRICH_SQL = """
+SELECT n_name, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_hourly": q_sliding_hourly,
     "session_windows": q_session_windows,
     "daily_buckets": q_daily_buckets,
     "stream_dedup_users": q_stream_dedup_users,
+    "stream_enrich_join": q_stream_enrich_join,
 }
 
 ORACLE = {
@@ -191,4 +237,5 @@ ORACLE = {
     "session_windows": _SESSION_WINDOWS_SQL,
     "daily_buckets": _DAILY_BUCKETS_SQL,
     "stream_dedup_users": _STREAM_DEDUP_SQL,
+    "stream_enrich_join": _STREAM_ENRICH_SQL,
 }

@@ -163,10 +163,30 @@ def run_civil_cases_pipeline(
 
     @pipe.stage("create_dimensions_tables")
     def _dims(s: SparkSession) -> None:  # export_svg.py:270-701 (15 CTAS)
-        trusted = s.table(f"{z['trusted']}.civil_cases")
-        for key, mapping in DIM_DECODES.items():
-            materialize(build_dim(trusted, key, mapping),
-                        f"{z['dimensions']}.Dim{key.capitalize()}")
+        # The reference DAG runs the 15 dim CTAS as independent parallel
+        # Airflow tasks — mirror that by submitting the (independent) write
+        # jobs from a thread pool; Spark's scheduler interleaves them. The
+        # shared trusted scan is cached once instead of 15 disk scans, and
+        # each ≤100-row code→name dim coalesces to a single part file — the
+        # layout a broadcast-joined dim wants at any scale.
+        from concurrent.futures import ThreadPoolExecutor
+
+        trusted = s.table(f"{z['trusted']}.civil_cases").persist()
+        trusted.count()  # materialize the cache before the parallel fan-out
+        try:
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                futs = [
+                    pool.submit(
+                        materialize,
+                        build_dim(trusted, key, mapping).coalesce(1),
+                        f"{z['dimensions']}.Dim{key.capitalize()}",
+                    )
+                    for key, mapping in DIM_DECODES.items()
+                ]
+                for f in futs:
+                    f.result()
+        finally:
+            trusted.unpersist()
 
     return pipe
 

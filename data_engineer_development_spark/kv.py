@@ -64,7 +64,34 @@ class KVStore:
         if self._buffer is not None:
             self._buffer.extend(rows)
             return
-        df = self.spark.createDataFrame(rows, SCHEMA)
+        # Ship the rows through pandas+Arrow so the write executes entirely
+        # JVM-side (a LocalRelation). createDataFrame(list-of-rows) would
+        # parallelize a Python RDD and pay a Python-worker round-trip per
+        # write job — ~3 s per commit vs ~0.1 s for this path. Arrow can't
+        # carry MapType portably, so props travels as JSON and is rebuilt
+        # with from_json.
+        import json
+
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "kind": [r[0] for r in rows],
+                "key": [r[1] for r in rows],
+                "props_json": [
+                    None if r[2] is None else json.dumps(r[2]) for r in rows
+                ],
+                "seq": pd.array([r[3] for r in rows], dtype="int64"),
+                "tombstone": [r[4] for r in rows],
+            }
+        )
+        df = self.spark.createDataFrame(pdf).select(
+            "kind",
+            "key",
+            F.from_json("props_json", "map<string,string>").alias("props"),
+            "seq",
+            "tombstone",
+        )
         df.coalesce(1).write.mode("append").parquet(self.path)
 
     @contextmanager

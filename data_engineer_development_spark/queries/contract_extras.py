@@ -64,9 +64,13 @@ def q_kv_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         kv.put("nation", "0", {"name": "OVERWRITTEN"})
         kv.delete("nation", "1")
+    import pandas as pd
+
     resolved = [(e["key"], e["name"]) for e in kv.query("nation")]
+    # pandas+Arrow so the returned frame is a JVM LocalRelation (no Python
+    # worker when the driver executes it)
     return spark.createDataFrame(
-        sorted(resolved), "key string, name string"
+        pd.DataFrame(sorted(resolved), columns=["key", "name"]).astype("string")
     )
 
 

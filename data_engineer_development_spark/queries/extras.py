@@ -265,8 +265,16 @@ def q_range_join_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_epoch_day"
         ),
     )
+    import pandas as pd
+
+    # pandas+Arrow LocalRelation: executes JVM-side (a list-of-tuples
+    # createDataFrame would drag a Python worker into every run of the join)
     promos = spark.createDataFrame(
-        _PROMOS, "promo_id int, start_day long, end_day long"
+        pd.DataFrame(_PROMOS, columns=["promo_id", "start_day", "end_day"])
+    ).select(
+        F.col("promo_id").cast("int").alias("promo_id"),
+        F.col("start_day").cast("long").alias("start_day"),
+        F.col("end_day").cast("long").alias("end_day"),
     )
     return (
         range_join(

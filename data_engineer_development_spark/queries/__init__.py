@@ -16,6 +16,7 @@ from data_engineer_development_spark.queries import (
     analytics,
     contract_extras,
     core,
+    behavior,
     corpus_ops,
     dedup,
     extras,
@@ -31,7 +32,7 @@ from data_engineer_development_spark.queries import (
 _MODULES = [
     core, scalar_ops, analytics, timeseries, text_analysis, dedup,
     similarity, extras, contract_extras, pipeline_e2e, relational_ext,
-    sampling, corpus_ops,
+    sampling, corpus_ops, behavior,
 ]
 
 

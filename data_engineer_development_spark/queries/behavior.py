@@ -1,0 +1,122 @@
+"""Behavioral event analytics: funnel conversion and cohort retention —
+the two canonical event-table workloads a warehouse engine must run well.
+
+Both are keyed-aggregate shapes: per-user reductions (one hash shuffle on
+user_id) followed by a small date-keyed rollup. At 100 TB the user_id
+shuffle is the cost and it's unavoidable-but-linear; nothing here is
+quadratic and nothing collects to the driver. Timestamp arithmetic stays
+in microseconds (the nanos→micros truncation both engines apply to the
+events table) so the oracle agrees bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.sources import load_table
+
+_CONV_HOURS = 72
+
+
+# --------------------------------------------------------------------------
+# Funnel: first signup → first purchase at-or-after it; conversion within
+# 72 h, rolled up by signup date. The purchase side is pre-reduced per user
+# AFTER the equi-join on user_id (the time predicate rides the join), so
+# the shuffle carries user-level rows, never the event×event product.
+# --------------------------------------------------------------------------
+def q_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    per_user = (
+        signups.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("t_signup")),
+            "left",
+        )
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("p_ts").alias("t_first_purchase"))
+    )
+    return (
+        per_user.groupBy(F.to_date("t_signup").alias("signup_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count("t_first_purchase").alias("n_purchased"),
+            F.sum(
+                F.when(
+                    F.col("t_first_purchase")
+                    <= F.col("t_signup")
+                    + F.expr(f"INTERVAL {_CONV_HOURS} HOURS"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_converted_72h"),
+        )
+        .orderBy("signup_date")
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH signups AS (SELECT user_id, MIN(ts) AS t_signup FROM events
+                 WHERE event_type = 'signup' GROUP BY user_id),
+per_user AS (SELECT s.user_id, s.t_signup, MIN(p.ts) AS t_first_purchase
+             FROM signups s
+             LEFT JOIN events p ON p.user_id = s.user_id
+                  AND p.event_type = 'purchase' AND p.ts >= s.t_signup
+             GROUP BY s.user_id, s.t_signup)
+SELECT CAST(t_signup AS DATE) AS signup_date,
+       COUNT(*) AS n_signups,
+       COUNT(t_first_purchase) AS n_purchased,
+       CAST(SUM(CASE WHEN t_first_purchase
+                          <= t_signup + INTERVAL {_CONV_HOURS} HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_72h
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohort retention triangle: users by first-seen date × day offset. The
+# distinct (user, day) reduction collapses raw volume before anything else
+# — at 100 TB that first aggregate is the whole cost; the triangle itself
+# is #cohorts × #offsets rows.
+# --------------------------------------------------------------------------
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort", F.datediff(F.col("d"), F.col("cohort")).alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort", "day_offset")
+    )
+
+
+_RETENTION_SQL = """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, MIN(d) AS cohort FROM act GROUP BY user_id)
+SELECT f.cohort, date_diff('day', f.cohort, a.d) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "funnel_signup_purchase": q_funnel_signup_purchase,
+    "retention_cohorts": q_retention_cohorts,
+}
+
+ORACLE = {
+    "funnel_signup_purchase": _FUNNEL_SQL,
+    "retention_cohorts": _RETENTION_SQL,
+}

@@ -111,12 +111,82 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Latest record per key — the "resolved view" shape (same physics as the
+# KV store's read path, kv.py): one window over the key, keep rank 1.
+# Tie-break pins event_id so the survivor is deterministic.
+# --------------------------------------------------------------------------
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")
+    )
+
+
+_LATEST_EVENT_SQL = """
+SELECT user_id, event_id, ts, event_type
+FROM (SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Salted two-phase aggregation, oracle-proven equivalent to the plain
+# GROUP BY. The salt spreads a hot key over 16 reducers (phase 1), the
+# merge re-combines partials (phase 2) — the standard skewed-group-by fix
+# (operators/joins.py salted_agg), here shown to preserve semantics
+# exactly: counts merge by SUM, decimal sums merge by SUM, so the result
+# is bit-identical to the one-shuffle plan no matter how rows were salted.
+# --------------------------------------------------------------------------
+def q_salted_agg_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.functions.scalars import DEC
+    from data_engineer_development_spark.operators.joins import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        ],
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("event_type")
+
+
+_SALTED_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "funnel_signup_purchase": q_funnel_signup_purchase,
     "retention_cohorts": q_retention_cohorts,
+    "latest_event_per_user": q_latest_event_per_user,
+    "salted_agg_event_types": q_salted_agg_event_types,
 }
 
 ORACLE = {
     "funnel_signup_purchase": _FUNNEL_SQL,
     "retention_cohorts": _RETENTION_SQL,
+    "latest_event_per_user": _LATEST_EVENT_SQL,
+    "salted_agg_event_types": _SALTED_AGG_SQL,
 }

@@ -222,6 +222,55 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Stream-stream interval join: clicks joined to purchases by the same user
+# within the following hour. Both sides carry watermarks (which bound the
+# join state — Spark evicts buffered rows once the other side's watermark
+# passes the interval), and the time predicate rides the user_id equi-join.
+# The joined append stream is arrival-order independent, so the batch
+# interval join is the oracle.
+# --------------------------------------------------------------------------
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from data_engineer_development_spark.streaming import stream_events
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 day")
+        .select("user_id", F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 day")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "c_ts", "p_ts")
+    name = f"q_ssj_{_uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(joined, name, output_mode="append")
+    return spark.table(name).orderBy("user_id", "c_ts", "p_ts")
+
+
+_STREAM_STREAM_JOIN_SQL = """
+SELECT c.user_id, c.ts AS c_ts, p.ts AS p_ts
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+ORDER BY c.user_id, c_ts, p_ts
+"""
+
+
 QUERIES = {
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_hourly": q_sliding_hourly,
@@ -229,6 +278,7 @@ QUERIES = {
     "daily_buckets": q_daily_buckets,
     "stream_dedup_users": q_stream_dedup_users,
     "stream_enrich_join": q_stream_enrich_join,
+    "stream_stream_join": q_stream_stream_join,
 }
 
 ORACLE = {
@@ -238,4 +288,5 @@ ORACLE = {
     "daily_buckets": _DAILY_BUCKETS_SQL,
     "stream_dedup_users": _STREAM_DEDUP_SQL,
     "stream_enrich_join": _STREAM_ENRICH_SQL,
+    "stream_stream_join": _STREAM_STREAM_JOIN_SQL,
 }

@@ -82,10 +82,13 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     )
+    # The shingled frame feeds three branches (train postings, eval
+    # postings, eval doc list) — persist it so the 5-gram transform runs
+    # once, not three times. Tiny next to the corpus: ids + shingle lists.
     d = docs.withColumn(
         "side",
         F.expr(f"{spark_md5_int('cast(doc_id as string)')} % 2"),
-    ).withColumn("sh", shingles_expr("t", k=_CONTAM_K))
+    ).withColumn("sh", shingles_expr("t", k=_CONTAM_K)).persist()
     posts = d.select("doc_id", "side", F.explode("sh").alias("sg"))
     train = posts.filter(F.col("side") == 0).select("sg").distinct()
     shared = (

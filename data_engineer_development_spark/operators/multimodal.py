@@ -101,6 +101,36 @@ def extract_features(
     )
 
 
+def extract_metadata(media: DataFrame) -> DataFrame:
+    """Byte-level metadata extraction: (media_id, n_bytes, payload_md5).
+
+    Unlike the codec stages this one needs NO external library — byte
+    length and content hash are real, so this stage runs genuinely
+    end-to-end and (because md5-of-utf8-bytes is SQL-expressible in both
+    engines) anchors the multimodal mapInPandas plumbing inside the
+    hash-checked oracle gate, not just the rows-only check.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = [p or b"" for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "payload_md5": [
+                        hashlib.md5(p).hexdigest() for p in payloads
+                    ],
+                }
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, n_bytes long, payload_md5 string"
+    )
+
+
 def resize_images(
     media: DataFrame, width: int = 32, height: int = 32, fake: bool = True
 ) -> DataFrame:

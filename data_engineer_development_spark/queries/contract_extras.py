@@ -101,18 +101,48 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction through the SAME mapInPandas
+    plumbing as the codec stages — but byte length + content md5 need no
+    codec, so this multimodal stage is fully oracle-checked (DuckDB's
+    md5(VARCHAR) hashes the identical utf-8 bytes)."""
+    from data_engineer_development_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    media = M.attach_media(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("blob")),
+        "doc_id",
+        "blob",
+        "application/octet-stream",
+    )
+    return M.extract_metadata(media).orderBy("media_id")
+
+
+_MULTIMODAL_METADATA_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents WHERE doc_id < 100 ORDER BY media_id
+"""
+
+
 QUERIES = {
     "streaming_running_totals": q_streaming_running_totals,
     "kv_store_roundtrip": q_kv_store_roundtrip,
     "multimodal_features": q_multimodal_features,
+    "multimodal_metadata": q_multimodal_metadata,
 }
 
 # streaming_running_totals stays rows-only: its totals are float sums
 # accumulated in pandas batch order, which no ANSI SUM() reproduces
 # bit-for-bit. multimodal_features stays rows-only: the fake codec is
-# md5-seeded numpy PRNG output, not SQL-expressible. The KV roundtrip's
-# expected output IS plain SQL over nation, so it graduates to a full
-# hash-checked oracle.
+# md5-seeded numpy PRNG output, not SQL-expressible (its byte-level sibling
+# multimodal_metadata IS oracle-checked). The KV roundtrip's expected
+# output IS plain SQL over nation, so it graduates to a full hash-checked
+# oracle.
 ORACLE: dict[str, str] = {
     "kv_store_roundtrip": _KV_ROUNDTRIP_SQL,
+    "multimodal_metadata": _MULTIMODAL_METADATA_SQL,
 }

@@ -255,6 +255,50 @@ def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q10 shape: revenue lost to returned items, top 20 customers. The
+# 100 TB plan: the returnflag filter prunes lineitem AT THE SCAN, the
+# lineitem⋈orders join shuffles only the surviving rows, nation broadcasts,
+# and the top-20 is a TakeOrdered (no global sort materialization). Ties
+# are pinned by c_custkey so the limit is deterministic in both engines.
+# --------------------------------------------------------------------------
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(5,4)")
+        - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_RETURNED_REVENUE_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # UNPIVOT (inverse of the pivot in extras.py): wide metrics → long
 # (key, metric, value) rows. Both engines accept the same standard syntax.
 # Narrow-to-long is a flatMap-shaped projection — no shuffle.
@@ -284,6 +328,7 @@ QUERIES = {
     "cheapest_part_per_brand": q_cheapest_part_per_brand,
     "filtered_agg": q_filtered_agg,
     "unpivot_part_metrics": q_unpivot_part_metrics,
+    "returned_item_revenue": q_returned_item_revenue,
 }
 
 ORACLE = {
@@ -297,4 +342,5 @@ ORACLE = {
     "cheapest_part_per_brand": _CHEAPEST_SQL,
     "filtered_agg": _FILTERED_AGG_SQL,
     "unpivot_part_metrics": _UNPIVOT_SQL,
+    "returned_item_revenue": _RETURNED_REVENUE_SQL,
 }

@@ -26,13 +26,14 @@ from data_engineer_development_spark.queries import (
     scalar_ops,
     similarity,
     text_analysis,
+    warehouse_ops,
     timeseries,
 )
 
 _MODULES = [
     core, scalar_ops, analytics, timeseries, text_analysis, dedup,
     similarity, extras, contract_extras, pipeline_e2e, relational_ext,
-    sampling, corpus_ops, behavior,
+    sampling, corpus_ops, behavior, warehouse_ops,
 ]
 
 

@@ -99,3 +99,36 @@ def test_simhash_pairs_never_cartesian(spark):
 def test_jaccard_join_is_equijoin(spark):
     plan = _plan(all_queries()["dedup_jaccard"](spark, SF_CORRECT))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_returned_revenue_broadcasts_nation_and_pushes_filter(spark):
+    plan = _plan(all_queries()["returned_item_revenue"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    # returnflag filter must reach the lineitem parquet scan
+    seg = plan.split("PushedFilters")
+    assert any("l_returnflag" in s[:200] for s in seg[1:]), plan
+
+
+def test_contamination_and_clusters_never_cartesian(spark):
+    qs = all_queries()
+    for name in ("contamination_check", "dedup_clusters", "funnel_signup_purchase"):
+        plan = _plan(qs[name](spark, SF_CORRECT))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_emb_quantize_is_exchange_free(spark):
+    # pure projection: must not shuffle (the orderBy is the query-surface
+    # sort; everything before it is narrow)
+    df = all_queries()["emb_quantize"](spark, SF_CORRECT)
+    import re
+
+    plan = _plan(df)
+    body = plan.split("Sort")[0]  # up to the final presentation sort
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_scd2_merge_is_single_key_join(spark):
+    plan = _plan(all_queries()["scd2_customer_merge"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

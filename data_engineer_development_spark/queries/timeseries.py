@@ -238,15 +238,20 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory_sink,
     )
 
+    # The user slice bounds join-state volume (it prunes at the scan); the
+    # operator semantics under test are unchanged — at production scale the
+    # watermark, not a filter, is what bounds state.
     clicks = (
         stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 200))
         .withWatermark("ts", "1 day")
         .select("user_id", F.col("ts").alias("c_ts"))
     )
     purchases = (
         stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("user_id") < 200)
+        )
         .withWatermark("ts", "1 day")
         .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
     )
@@ -267,6 +272,7 @@ FROM events c JOIN events p
   ON p.user_id = c.user_id
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND c.user_id < 200 AND p.user_id < 200
 ORDER BY c.user_id, c_ts, p_ts
 """
 

@@ -26,6 +26,7 @@ from data_engineer_development_spark.queries import (
     scalar_ops,
     similarity,
     text_analysis,
+    training_mix,
     warehouse_ops,
     timeseries,
 )
@@ -33,7 +34,7 @@ from data_engineer_development_spark.queries import (
 _MODULES = [
     core, scalar_ops, analytics, timeseries, text_analysis, dedup,
     similarity, extras, contract_extras, pipeline_e2e, relational_ext,
-    sampling, corpus_ops, behavior, warehouse_ops,
+    sampling, corpus_ops, behavior, warehouse_ops, training_mix,
 ]
 
 

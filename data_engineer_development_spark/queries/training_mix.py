@@ -1,0 +1,208 @@
+"""Training-mix operators, wave 6 (north-star extension): domain-mix
+resampling, sequence packing into fixed context windows, and Z-order
+layout keys for data-skipping.
+
+These are the layout/composition stage of a training-data pipeline —
+after dedup and quality filtering (waves 2-5) the corpus is re-weighted
+across domains, packed into context-length sequences, and laid out on
+disk so scans prune. Reference scope: the reference pipeline ends at
+dimensional tables (export_svg.py); these extend it to the corpus-prep
+surface the assignment names first-class.
+
+Cross-engine exactness follows the house rules: md5 portable hashes for
+anything randomized (functions/portable_hash.py), integer arithmetic
+bounded below 2^63, no double->int CASTs (Spark truncates, DuckDB
+rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.functions.portable_hash import (
+    duck_md5_int,
+    spark_md5_int,
+)
+from data_engineer_development_spark.functions.scalars import dsum
+from data_engineer_development_spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# Domain-mix resampling: re-weight the corpus across sources by keeping a
+# deterministic hash-threshold fraction of each domain (the "sample web at
+# 30%, keep books at 100%" move). Pure scan + filter + one partial-agg
+# shuffle of #domains rows — at 100 TB the filter runs at scan speed and
+# the report shuffle is O(#domains), not O(#docs). Rates live in ONE dict
+# so the Spark CASE and the oracle CASE are generated from the same data.
+# --------------------------------------------------------------------------
+_MIX_RATES = {  # source -> keep percentage
+    **{f"src{i}": 100 for i in range(0, 20, 4)},  # keep whole
+    **{f"src{i}": 50 for i in range(1, 20, 4)},  # half
+    **{f"src{i}": 25 for i in range(2, 20, 4)},  # quarter
+    **{f"src{i}": 10 for i in range(3, 20, 4)},  # decimate
+}
+
+
+def _rate_case() -> str:
+    # identical text parses identically in Spark SQL and DuckDB
+    arms = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(_MIX_RATES.items())
+    )
+    return f"CASE source {arms} ELSE 0 END"
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain mix report after hash-threshold resampling.
+
+    Keep doc iff md5(doc_id) % 100 < rate(source); report surviving
+    docs + chars per domain, which IS the achieved training mix.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = spark_md5_int("cast(doc_id as string)")
+    return (
+        docs.withColumn("rate", F.expr(_rate_case()))
+        .filter(F.expr(f"{h} % 100") < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.first("rate").alias("target_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+_DOMAIN_MIX_SQL = f"""
+WITH d AS (SELECT source, n_chars, {_rate_case()} AS rate
+           FROM documents
+           WHERE {duck_md5_int('CAST(doc_id AS VARCHAR)')} % 100
+                 < {_rate_case()})
+SELECT source, COUNT(*) AS docs_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+       CAST(MIN(rate) AS INT) AS target_pct
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed-capacity context windows per
+# shard ("concat the token stream, chunk every CAP tokens" — the GPT-style
+# packing discipline). Shard by portable hash so packing parallelizes;
+# within a shard the cumulative token count over a deterministic order
+# yields seq_id = floor((cumsum - tokens) / CAP) with ONE window pass — no
+# driver loop, no UDF. At 100 TB: #shards partitions, each a single
+# sort + running sum; the report agg is O(#sequences).
+# --------------------------------------------------------------------------
+_PACK_SHARDS = 8
+_PACK_CAP = 512  # tokens per context window
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            f"{spark_md5_int('cast(doc_id as string)')} % {_PACK_SHARDS}"
+        ).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.withColumn("run", F.sum("tokens").over(w)).withColumn(
+        "seq_id", F.floor((F.col("run") - F.col("tokens")) / _PACK_CAP)
+    )
+    return (
+        packed.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+_PACK_SQL = f"""
+WITH d AS (SELECT doc_id,
+                  {duck_md5_int('CAST(doc_id AS VARCHAR)')}
+                      % {_PACK_SHARDS} AS shard,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+           FROM documents),
+p AS (SELECT *, SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS run
+      FROM d)
+SELECT shard, CAST(floor((run - tokens) / {_PACK_CAP}) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Z-order layout key: interleave the low bits of two scan dimensions so ONE
+# sort gives locality on BOTH (the Delta/Iceberg OPTIMIZE ZORDER move) —
+# files then carry tight min/max ranges on either column and scans with a
+# predicate on just one of them still prune. The z-value is a pure bitwise
+# projection (whole-stage codegen, no shuffle); the demonstration groups by
+# coarse z-bucket and shows both dimensions are range-bounded per bucket.
+# --------------------------------------------------------------------------
+_Z_BITS = 10  # per dimension -> 20-bit z-value
+
+
+def _interleave(xe: str, ye: str) -> str:
+    """Bit-interleave SQL, valid in both engines: x gets even bit lanes,
+    y odd. & / << / >> and the CASE parse identically in Spark and DuckDB.
+    """
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({xe} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    z = _interleave(
+        f"(l_partkey % {1 << _Z_BITS})", f"(l_suppkey % {1 << _Z_BITS})"
+    )
+    return (
+        li.withColumn("zbucket", F.expr(f"({z}) >> 14"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+_ZORDER_SQL = f"""
+SELECT (({_interleave(f'(l_partkey % {1 << _Z_BITS})',
+                      f'(l_suppkey % {1 << _Z_BITS})')}) >> 14) AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+       MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "domain_mix": q_domain_mix,
+    "pack_sequences": q_pack_sequences,
+    "zorder_layout": q_zorder_layout,
+}
+
+ORACLE = {
+    "domain_mix": _DOMAIN_MIX_SQL,
+    "pack_sequences": _PACK_SQL,
+    "zorder_layout": _ZORDER_SQL,
+}

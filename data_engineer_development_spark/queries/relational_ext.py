@@ -317,6 +317,172 @@ def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_UNPIVOT_SQL)
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral shipping volume between two nations by year.
+# The 100 TB plan: both nation dims broadcast (25 rows), the disjunctive
+# nation-pair predicate evaluates AFTER the broadcast joins at map speed,
+# and the only shuffles are the lineitem⋈orders / orders⋈customer key
+# joins on the already-date-pruned lineitem. Year extraction happens once
+# in a projection, never in the group key expression twice.
+# --------------------------------------------------------------------------
+_Q7_NATIONS = ("NATION_3", "NATION_7")
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    a, b = _Q7_NATIONS
+    pair = (
+        (F.col("supp_nation") == a) & (F.col("cust_nation") == b)
+    ) | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(5,4)")
+        - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_VOLUME_SHIPPING_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
+    OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}'))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share for one ship-month. Conditional
+# aggregation over a single scan: the date filter prunes lineitem, part
+# broadcasts into the join, both sums accumulate in one pass (no second
+# scan for the denominator). The share divides two exact decimal sums in
+# IEEE double — deterministic in both engines.
+# --------------------------------------------------------------------------
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(5,4)")
+        - F.col("l_discount").cast("decimal(8,4)")
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+            F.lit(0).cast("decimal(22,8)")
+        )
+    )
+    total = F.sum(disc_price)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * promo.cast("double")
+                / total.cast("double")
+            ).alias("promo_revenue_pct"),
+            F.round(total, 4).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_PROMO_REVENUE_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(5,4))
+                         - CAST(l_discount AS DECIMAL(8,4)))
+                 ELSE CAST(0 AS DECIMAL(22,8)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (CAST(1 AS DECIMAL(5,4))
+                 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+       AS promo_revenue_pct,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4)
+            AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-attribute predicate (OR of ANDs over
+# brand × size × quantity). The part-side conjuncts sit under the OR, but
+# Catalyst still pushes the common join key through, broadcasts part, and
+# evaluates the whole disjunction codegen'd in the join output — no
+# fallback to a cartesian, no per-arm scans (one lineitem pass).
+# --------------------------------------------------------------------------
+_Q19_ARMS_SPARK = (
+    "(p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 "
+    " AND l_quantity >= 1 AND l_quantity <= 20)",
+    "(p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 "
+    " AND l_quantity >= 10 AND l_quantity <= 30)",
+    "(p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50 "
+    " AND l_quantity >= 20 AND l_quantity <= 40)",
+)
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(5,4)")
+        - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.expr(" OR ".join(_Q19_ARMS_SPARK)))
+        .agg(
+            F.round(F.sum(disc_price), 4).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_DISJUNCTIVE_SQL = f"""
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4)
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {" OR ".join(_Q19_ARMS_SPARK)}
+"""
+
+
 QUERIES = {
     "exists_high_quantity": q_exists_high_quantity,
     "scalar_subquery_pricey_parts": q_scalar_subquery_pricey_parts,
@@ -329,6 +495,9 @@ QUERIES = {
     "filtered_agg": q_filtered_agg,
     "unpivot_part_metrics": q_unpivot_part_metrics,
     "returned_item_revenue": q_returned_item_revenue,
+    "volume_shipping": q_volume_shipping,
+    "promo_revenue": q_promo_revenue,
+    "disjunctive_revenue": q_disjunctive_revenue,
 }
 
 ORACLE = {
@@ -343,4 +512,7 @@ ORACLE = {
     "filtered_agg": _FILTERED_AGG_SQL,
     "unpivot_part_metrics": _UNPIVOT_SQL,
     "returned_item_revenue": _RETURNED_REVENUE_SQL,
+    "volume_shipping": _VOLUME_SHIPPING_SQL,
+    "promo_revenue": _PROMO_REVENUE_SQL,
+    "disjunctive_revenue": _DISJUNCTIVE_SQL,
 }

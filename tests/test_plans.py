@@ -132,3 +132,35 @@ def test_scd2_merge_is_single_key_join(spark):
     plan = _plan(all_queries()["scd2_customer_merge"](spark, SF_CORRECT))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_volume_shipping_broadcasts_nations_pushes_dates(spark):
+    plan = _plan(all_queries()["volume_shipping"](spark, SF_CORRECT))
+    # both nation sides broadcast; the ship-date range reaches the scan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    seg = plan.split("PushedFilters")
+    assert any("l_shipdate" in s[:300] for s in seg[1:]), plan
+
+
+def test_promo_and_disjunctive_broadcast_part(spark):
+    qs = all_queries()
+    for name in ("promo_revenue", "disjunctive_revenue"):
+        plan = _plan(qs[name](spark, SF_CORRECT))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "HashAggregate" in plan, name
+
+
+def test_training_mix_plans(spark):
+    qs = all_queries()
+    # domain_mix / zorder_layout: scan -> filter/project -> one partial+final
+    # agg; no joins at all
+    for name in ("domain_mix", "zorder_layout"):
+        plan = _plan(qs[name](spark, SF_CORRECT))
+        assert "Join" not in plan, name
+        assert plan.count("HashAggregate") >= 2, name  # partial + final
+    # pack_sequences: exactly one hash exchange (the shard window); the
+    # report agg reuses the shard partitioning upstream of the window
+    plan = _plan(qs["pack_sequences"](spark, SF_CORRECT))
+    assert "Join" not in plan
+    assert "Window" in plan

@@ -119,8 +119,66 @@ FROM d ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Repetition signal (the Gopher-rules "fraction of characters in the most
+# common n-gram" family): top-bigram share per document. High values mark
+# boilerplate/spam for corpus filtering. Shape at 100 TB: bigram explode is
+# a narrow flatMap; the (doc, bigram) count partially aggregates map-side
+# before its one shuffle keyed by doc — no global dictionary, no skew (a
+# doc's bigrams are bounded by its length). The ratio divides two exact
+# int64 counts in IEEE double; no string "winner" column so bigram-count
+# ties can't break determinism.
+# --------------------------------------------------------------------------
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    counts = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.max("n").alias("top_bigram_n"),
+            F.sum("n").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "top_bigram_n",
+            "n_bigrams",
+            (
+                F.col("top_bigram_n").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TEXT_REPETITION_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1]))) AS bg
+       FROM d),
+c AS (SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY 1, 2)
+SELECT doc_id, CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS rep_ratio
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
+    "text_repetition": q_text_repetition,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
@@ -128,6 +186,7 @@ QUERIES = {
 
 ORACLE = {
     "text_token_stats": _TEXT_TOKEN_STATS_SQL,
+    "text_repetition": _TEXT_REPETITION_SQL,
     "text_lang_id": _lang_id_sql(),
     "text_quality": _TEXT_QUALITY_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,

@@ -131,13 +131,63 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_HISTOGRAM_SQL)
 
 
+# --------------------------------------------------------------------------
+# Incremental view maintenance: merge partial aggregate STATES instead of
+# recomputing. The base slice (history) and the delta slice (new arrivals)
+# each reduce to (group, count, decimal-sum) partials; the merged view
+# re-aggregates the two partial sets — count-sum and sum-sum are the state
+# merge functions. At 100 TB this is THE pattern for daily rollups: the
+# base partials are a tiny materialized table, each day only the delta
+# scans, and decimal addition's associativity makes merged == full-recompute
+# bit-for-bit (asserted by the oracle, which computes the full aggregate
+# directly — the equality IS the test).
+# --------------------------------------------------------------------------
+_INCR_CUT = "1999-01-01"
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("tot"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < _INCR_CUT))
+    delta = partial(orders.filter(F.col("o_orderdate") >= _INCR_CUT))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("cnt").alias("n_orders"), F.sum("tot").alias("t"))
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.round(F.col("t"), 4).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# the oracle recomputes the FULL aggregate in one pass: matching it proves
+# the partial-state merge is lossless
+_INCREMENTAL_AGG_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,4))), 4) AS DOUBLE)
+           AS total_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "incremental_agg": q_incremental_agg,
     "scd2_customer_merge": q_scd2_customer_merge,
     "rule_quarantine": q_rule_quarantine,
     "price_histogram": q_price_histogram,
 }
 
 ORACLE = {
+    "incremental_agg": _INCREMENTAL_AGG_SQL,
     "scd2_customer_merge": _SCD2_SQL,
     "rule_quarantine": _QUARANTINE_SQL,
     "price_histogram": _HISTOGRAM_SQL,

@@ -127,3 +127,38 @@ def test_shingles_short_docs_are_empty(spark):
         .select(F.size(shingles_expr("t", 3)).alias("n"))
     )
     assert [r["n"] for r in df.collect()] == [0, 1, 2]
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    # The 100 TB fact⋈fact case: neither side broadcasts, but the selective
+    # filter on one side should still prune the other side's shuffle via an
+    # injected runtime bloom filter (Spark's InjectRuntimeFilter). At test
+    # scale the app-side threshold is lowered to let the rule fire; the
+    # creation-side selectivity logic is the real one.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_CORRECT, "lineitem")
+        o = load_table(spark, SF_CORRECT, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        [row] = j.collect()  # and it still computes the right count
+        assert row["count"] > 0
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -128,8 +128,107 @@ FROM documents WHERE doc_id < 100 ORDER BY media_id
 """
 
 
+def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keyed-state sessionization (applyInPandasWithState) proven
+    equal to the engine's built-in ``session_window``: the oracle below is
+    the SAME gap-sessionization SQL that checks q_session_windows. The
+    custom path exists as the template for session logic the builtin can't
+    express (per-session models, conditional gaps); state is one open
+    session per user, money accumulates in quantized Decimal so the Python
+    stage adds no float drift."""
+    import uuid as _uuid
+
+    from data_engineer_development_spark.streaming import stream_events
+    from data_engineer_development_spark.streaming.stateful import (
+        gap_sessions,
+    )
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    ev = stream_events(spark, sf_dir).filter(F.col("user_id") < 15)
+    name = f"q_sess_{_uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(
+        gap_sessions(ev, gap_minutes=10), name, output_mode="update"
+    )
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+_STATEFUL_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '10 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS boundary
+  FROM events WHERE user_id < 15
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM e
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '10 minutes' AS session_end,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def q_manifest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-file ingest through the registered Python DataSource
+    (sources/manifest_source.py): nation is sharded into three TSV files +
+    a JSON manifest in scratch space, then read back with one input
+    partition per manifest entry — the reference's FTP-manifest model as a
+    first-class Spark source. The oracle is plain SELECT over nation: a
+    lossless roundtrip IS the check."""
+    import json
+    import uuid as _uuid
+
+    from data_engineer_development_spark.sources.manifest_source import (
+        ManifestDataSource,
+    )
+
+    spark.dataSource.register(ManifestDataSource)
+    rows = (
+        load_table(spark, sf_dir, "nation")
+        .orderBy("n_nationkey")
+        .collect()  # 25-row dim seed: bounded control-plane landing write
+    )
+    d = tempfile.mkdtemp(prefix=f"manifest-{_uuid.uuid4().hex[:8]}-")
+    files = []
+    for shard in range(3):
+        p = os.path.join(d, f"part-{shard}.tsv")
+        with open(p, "w", encoding="utf-8") as fh:
+            for r in rows[shard::3]:
+                fh.write(
+                    f"{r['n_nationkey']}\t{r['n_name']}\t{r['n_regionkey']}\n"
+                )
+        files.append(p)
+    mf = os.path.join(d, "manifest.json")
+    with open(mf, "w", encoding="utf-8") as fh:
+        json.dump({"files": files, "delimiter": "\t"}, fh)
+    return (
+        spark.read.format("manifest")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("manifest", mf)
+        .load()
+        .orderBy("n_nationkey")
+    )
+
+
+_MANIFEST_SOURCE_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+"""
+
+
 QUERIES = {
     "streaming_running_totals": q_streaming_running_totals,
+    "stateful_sessions": q_stateful_sessions,
+    "manifest_source": q_manifest_source,
     "kv_store_roundtrip": q_kv_store_roundtrip,
     "multimodal_features": q_multimodal_features,
     "multimodal_metadata": q_multimodal_metadata,
@@ -145,4 +244,6 @@ QUERIES = {
 ORACLE: dict[str, str] = {
     "kv_store_roundtrip": _KV_ROUNDTRIP_SQL,
     "multimodal_metadata": _MULTIMODAL_METADATA_SQL,
+    "stateful_sessions": _STATEFUL_SESSIONS_SQL,
+    "manifest_source": _MANIFEST_SOURCE_SQL,
 }

@@ -19,8 +19,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 STATE_SCHEMA = StructType(
@@ -63,4 +65,105 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Custom gap-based sessionization — the "operator Spark lacks" template
+# proven EQUAL to the one it has: output matches ``F.session_window``
+# batch semantics bit-for-bit (oracle-paired in queries/contract_extras).
+# State per user is the single OPEN session (start, last_ts, n, total);
+# a batch closes sessions whose gap exceeded ``gap`` and re-stores the
+# open tail, so state is O(#active users), independent of stream length.
+# Money math accumulates in quantized Decimal — the same HALF_UP
+# double→DECIMAL(20,4) step as the JVM/DuckDB duals — so the Python path
+# introduces no float-order drift.
+# --------------------------------------------------------------------------
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start", LongType()),  # micros since epoch
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+        StructField("total", StringType()),  # exact Decimal, serialized
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _dec4(v: float):
+    """double → DECIMAL(20,4) exactly as Spark/DuckDB cast it: shortest
+    decimal repr of the double, then HALF_UP to 4 places."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(float(v))).quantize(
+        Decimal("0.0001"), rounding=ROUND_HALF_UP
+    )
+
+
+def make_session_update(gap_minutes: int):
+    gap_us = gap_minutes * 60_000_000
+
+    def _session_update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from decimal import Decimal
+
+        rows = pd.concat(list(pdfs))
+        # event-time order within the batch (arrival order is arbitrary)
+        rows = rows.sort_values("ts")
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+        vals = rows["value"].tolist()
+        cur: list | None = None
+        if state.exists:
+            s, last, n, tot = state.get
+            cur = [s, last, n, Decimal(tot)]
+        out: list[list] = []
+        for t, v in zip(ts_us, vals):
+            if cur is None:
+                cur = [t, t, 1, _dec4(v)]
+            elif t - cur[1] > gap_us:
+                out.append(cur)
+                cur = [t, t, 1, _dec4(v)]
+            else:
+                cur = [cur[0], t, cur[2] + 1, cur[3] + _dec4(v)]
+        state.update((cur[0], cur[1], cur[2], str(cur[3])))
+        out.append(cur)  # open-session snapshot (re-emitted if extended)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "session_start": [
+                    pd.Timestamp(s[0], unit="us") for s in out
+                ],
+                "session_end": [
+                    pd.Timestamp(s[1] + gap_us, unit="us") for s in out
+                ],
+                "n": [s[2] for s in out],
+                "total_value": [float(s[3]) for s in out],
+            }
+        )
+
+    return _session_update
+
+
+def gap_sessions(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
+    """Per-user gap sessionization in custom keyed state (user_id, ts,
+    value → one row per session, ``session_end = last_ts + gap`` matching
+    ``F.session_window``)."""
+    return events.select("user_id", "ts", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        make_session_update(gap_minutes),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -123,3 +123,32 @@ def test_http_fetch_to_landing(tmp_path):
         assert open(dest, "rb").read() == payload
     finally:
         srv.shutdown()
+
+
+def test_manifest_datasource_partition_per_file(spark, tmp_path):
+    # the manifest IS the partitioning: N listed files -> N input partitions
+    import json
+
+    from data_engineer_development_spark.sources.manifest_source import (
+        ManifestDataSource,
+    )
+
+    spark.dataSource.register(ManifestDataSource)
+    files = []
+    for i in range(4):
+        p = tmp_path / f"f{i}.tsv"
+        p.write_text(f"{i}\tname_{i}\t{i * 1.5}\n{i + 100}\tother_{i}\t\n")
+        files.append(str(p))
+    mf = tmp_path / "manifest.json"
+    mf.write_text(json.dumps({"files": files, "delimiter": "\t"}))
+    df = (
+        spark.read.format("manifest")
+        .schema("id long, name string, score double")
+        .option("manifest", str(mf))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {tuple(r) for r in df.collect()}
+    assert (0, "name_0", 0.0) in rows
+    assert (103, "other_3", None) in rows  # empty field -> NULL
+    assert len(rows) == 8

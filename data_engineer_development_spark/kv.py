@@ -101,17 +101,23 @@ class KVStore:
         overwrite-after-seed and tombstone-after-overwrite resolve exactly as
         the equivalent sequence of individual commits — at 1/Nth the write
         cost. The scale rationale: a commit is a full Spark write job; batch
-        callers pay one."""
+        callers pay one.
+
+        Atomic on failure: if the with-body raises, the buffered mutations
+        are DISCARDED (nothing reaches the log), so a half-built seed or
+        overwrite sequence never partially commits."""
         if self._buffer is not None:  # nested batch: outer flush wins
             yield self
             return
         self._buffer = []
         try:
             yield self
-        finally:
-            rows, self._buffer = self._buffer, None
-            if rows:
-                self._append(rows)
+        except BaseException:
+            self._buffer = None
+            raise
+        rows, self._buffer = self._buffer, None
+        if rows:
+            self._append(rows)
 
     def put(self, kind: str, key: str, props: dict[str, str]) -> None:
         """K9: create-or-replace entity by key (datastore.py:17-26 — the

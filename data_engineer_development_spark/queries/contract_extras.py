@@ -27,6 +27,7 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_totals,
     )
     from data_engineer_development_spark.streaming.windows import (
+        latest_snapshots,
         run_to_memory_sink,
     )
 
@@ -36,7 +37,12 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         name,
         output_mode="update",
     )
-    return spark.table(name).orderBy("user_id")
+    # update mode appends each batch's re-emission of a changed key; keep
+    # only the final (highest-count) snapshot so a batch split can't leave
+    # stale intermediate totals in the result
+    return latest_snapshots(
+        spark.table(name), ["user_id"], "n_events"
+    ).orderBy("user_id")
 
 
 def q_kv_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,6 +149,7 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_sessions,
     )
     from data_engineer_development_spark.streaming.windows import (
+        latest_snapshots,
         run_to_memory_sink,
     )
 
@@ -151,7 +158,12 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_to_memory_sink(
         gap_sessions(ev, gap_minutes=10), name, output_mode="update"
     )
-    return spark.table(name).orderBy("user_id", "session_start")
+    # a session's identity is (user_id, session_start); an open session
+    # extended across micro-batches re-emits with a larger n, so keeping the
+    # max-n snapshot per session makes the result batch-split-independent
+    return latest_snapshots(
+        spark.table(name), ["user_id", "session_start"], "n"
+    ).orderBy("user_id", "session_start")
 
 
 _STATEFUL_SESSIONS_SQL = """

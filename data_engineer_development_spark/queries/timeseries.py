@@ -162,7 +162,11 @@ def q_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
     )
     name = f"q_dedup_{_uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(deduped, name, output_mode="append")
+    # 1-day watermark would drop "late" rows if the source ever split into
+    # multiple micro-batches — fail loudly instead of returning a subset
+    run_to_memory_sink(
+        deduped, name, output_mode="append", assert_single_batch=True
+    )
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -262,7 +266,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "c_ts", "p_ts")
     name = f"q_ssj_{_uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(joined, name, output_mode="append")
+    # same watermark-vs-late-rows exactness contract as stream_dedup_users
+    run_to_memory_sink(
+        joined, name, output_mode="append", assert_single_batch=True
+    )
     return spark.table(name).orderBy("user_id", "c_ts", "p_ts")
 
 

@@ -122,6 +122,7 @@ def run_to_memory_sink(
     name: str,
     output_mode: str = "complete",
     state_partitions: int = 8,
+    assert_single_batch: bool = False,
 ) -> None:
     """Drive a streaming plan to completion with Trigger.AvailableNow into an
     in-memory table (test/bench harness path).
@@ -134,6 +135,13 @@ def run_to_memory_sink(
     whose state fits in far fewer (measured 8.3 s -> 2.2 s on the interval
     join at sf0.1). At production volume, raise it to match state size —
     it's a knob per stream, not a global.
+
+    ``assert_single_batch`` is for append-mode queries whose OUTPUT is only
+    exact when the whole source drains in one micro-batch (e.g. a long
+    watermark that would drop late rows arriving in a later batch): rather
+    than silently emitting a subset, fail loudly if the source ever splits
+    (more part files, maxFilesPerTrigger set). Update-mode snapshot streams
+    don't need it — post-process those with ``latest_snapshots`` instead.
     """
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -147,5 +155,36 @@ def run_to_memory_sink(
             .start()
         )
         q.awaitTermination()
+        if assert_single_batch:
+            data_batches = [
+                p
+                for p in q.recentProgress
+                if p.get("numInputRows", 0) > 0
+            ]
+            if len(data_batches) != 1:
+                raise RuntimeError(
+                    f"stream {name!r} processed {len(data_batches)} "
+                    "non-empty micro-batches but this query's semantics "
+                    "(watermark vs. late rows) require exactly one; "
+                    "unset maxFilesPerTrigger / use a single source file"
+                )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def latest_snapshots(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Collapse an update-mode memory-sink table to the LATEST snapshot per
+    key. Update mode appends each micro-batch's re-emission of a changed key,
+    so when the source splits into several batches the table holds stale
+    intermediate rows (e.g. an open session at n=3 and again at n=5). The
+    final state of a key is the row with the greatest ``order_col`` (a
+    monotone progress column such as the event count) — keep exactly that
+    row, making the result batch-split-independent."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -37,23 +37,50 @@ TABLES = (
 )
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP (LTZ, epoch-UTC).
+
+    The driver testdata has shipped ``ts`` two ways across rounds:
+    parquet TIMESTAMP(NANOS) — which with
+    ``spark.sql.legacy.parquet.nanosAsLong`` arrives as a long we truncate to
+    micros, the same nano→micro truncation DuckDB applies — and plain
+    ``timestamp[us]`` with no zone, which Spark 4 reads as TIMESTAMP_NTZ.
+    Watermarks require LTZ, so NTZ is pinned to UTC via ``to_utc_timestamp``
+    (session-timezone-independent; DuckDB's naive reading of the same file is
+    value-identical), keeping batch, streaming and the oracle bit-for-bit
+    aligned whichever physical type the file carries.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table (S4). Plain ``spark.read.parquet`` keeps the
     scan eligible for column pruning, predicate pushdown and (when the layout
     has partition dirs) partition pruning — verified via .explain in tests.
 
-    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
-    it arrives as a long we truncate to micros — the same nano→micro
-    truncation DuckDB applies, so oracle comparisons agree. The conf is
-    runtime-settable and is applied here (not only in the session factory) so
-    any caller-provided SparkSession — e.g. the correctness harness's own —
-    can scan events.parquet.
+    ``spark.sql.legacy.parquet.nanosAsLong`` is needed only while the scan is
+    planned against a TIMESTAMP(NANOS) file; it is set for the read and the
+    caller's previous value restored after, so a caller-provided session —
+    e.g. the correctness harness's own — is left exactly as it arrived.
     """
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    needed_nanos = name == "events" and dict(df.dtypes).get("ts") == "bigint"
+    if name == "events":
+        df = normalize_event_ts(df)
+    if not needed_nanos:
+        # leave the caller's session exactly as it arrived; when the file IS
+        # nanos the conf must stay live until the job runs, so it is kept
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return df
 
 

@@ -48,14 +48,15 @@ def stream_events(
         if not os.path.exists(link):
             os.symlink(src, link)
         src = d
-    # runtime-settable so caller-provided sessions (the correctness harness)
-    # can scan the TIMESTAMP(NANOS) events table — same conf as load_table
+    # same physical-type normalization as the batch loader (nanos-as-long or
+    # timestamp_ntz → LTZ) so batch and stream agree bit-for-bit; watermarks
+    # additionally require LTZ, which normalize_event_ts guarantees
+    from data_engineer_development_spark.sources.readers import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     df = reader.schema(batch_schema).load(src)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_event_ts(df)
 
 
 def tumbling_counts(

@@ -2,12 +2,15 @@
 
 Media are opaque ``binary`` payloads with a typed metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
-stages. The image/audio codec libraries are NOT in this container, so the
-codec call itself is stubbed: with ``fake=True`` (default) each stage emits
-a DETERMINISTIC fake derived from md5(payload) — schema, partitioning, UDF
-signature and batch shape are all real and tested; with ``fake=False`` the
-stage raises NotImplementedError at the exact point a codec (PIL/ffmpeg/
-torchaudio) would be invoked.
+stages. Decoding is REAL for the self-describing uncompressed formats the
+engine carries codecs for (PPM/PGM, 24-bit BMP, PCM WAV, concatenated-PPM
+frame streams — operators/codecs.py); compressed formats (JPEG/PNG/MP3)
+have no decoder in this container, so with ``fake=True`` each stage instead
+emits a DETERMINISTIC stand-in derived from md5(payload) — schema,
+partitioning, UDF signature and batch shape identical to the real path.
+With the default ``fake=False`` an undecodable payload raises ``ValueError``
+naming the format, so a bad corpus fails loudly instead of silently
+degrading to fakes.
 
 Scale design: payloads never leave the executor (mapInPandas streams Arrow
 record batches); feature vectors are fixed-width ``array<float>`` so the
@@ -66,28 +69,78 @@ def attach_media(df: DataFrame, id_col: str, bytes_col: str, mime: str) -> DataF
     )
 
 
-def extract_features(
-    media: DataFrame, dims: int = 64, fake: bool = True
+def synth_solid_ppm_media(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 16,
+    height: int = 16,
 ) -> DataFrame:
-    """Decode + feature-extract: (media_id, embedding array<float>, n_bytes).
+    """Fixture encoder: one REAL solid-color P6 payload per row, colored
+    (R, G, B) = first three bytes of md5(utf8(text)).
 
-    Real path would decode the payload (PIL/librosa) and run an encoder;
-    stubbed per module docstring. Output is directly consumable by
-    cosine_topk / neardup_pairs_cosine.
+    Because the color is md5-derived, the channel means that
+    ``extract_features`` recovers by actually decoding the payload are
+    independently computable in plain SQL (DuckDB ``md5`` + hex substring) —
+    this is what anchors the real decode path inside the hash-checked oracle
+    gate (queries/contract_extras.py: ``multimodal_features``). Encoding
+    runs executor-side over Arrow batches like every other media stage.
     """
+    from data_engineer_development_spark.operators import codecs
+
+    meta = f'{{"w": {width}, "h": {height}}}'
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if not fake:
-                raise NotImplementedError(
-                    "media codec not available in this environment: "
-                    "plug PIL/librosa decode here"
+            payloads = []
+            for t in pdf[text_col]:
+                rgb = hashlib.md5((t or "").encode()).digest()[:3]
+                px = np.tile(
+                    np.frombuffer(rgb, dtype=np.uint8), (height, width, 1)
                 )
-            feats = [
-                _fake_floats(p, dims, "feat") for p in pdf["payload"]
-            ]
+                payloads.append(codecs.encode_ppm(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "mime": ["image/x-portable-pixmap"] * len(payloads),
+                    "meta": [meta] * len(payloads),
+                }
+            )
+
+    return df.mapInPandas(
+        run, "media_id long, payload binary, mime string, meta string"
+    )
+
+
+def extract_features(
+    media: DataFrame, dims: int = 64, fake: bool = False
+) -> DataFrame:
+    """Decode + feature-extract: (media_id, embedding array<float>, n_bytes).
+
+    Real path: decode the payload with the engine's own codecs
+    (operators/codecs.py — PPM/BMP/WAV) and derive a fixed-width content
+    signature (channel means + grayscale chunk means for images, amplitude
+    chunk means for audio), all in [0, 1]. Output is directly consumable by
+    cosine_topk / neardup_pairs_cosine.
+    """
+    from data_engineer_development_spark.operators import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if fake:
+                feats = [
+                    _fake_floats(p, dims, "feat") for p in pdf["payload"]
+                ]
+            else:
+                feats = [
+                    codecs.media_features(p, m, dims)
+                    for p, m in zip(pdf["payload"], pdf["mime"])
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -132,28 +185,46 @@ def extract_metadata(media: DataFrame) -> DataFrame:
 
 
 def resize_images(
-    media: DataFrame, width: int = 32, height: int = 32, fake: bool = True
+    media: DataFrame, width: int = 32, height: int = 32, fake: bool = False
 ) -> DataFrame:
-    """Resize: emits a new payload of deterministic size (w*h bytes in the
-    fake path; re-encoded image bytes in a real deployment)."""
+    """Resize: decode (PPM/BMP), nearest-neighbor resample to (width,
+    height), re-encode as P6 — every output payload is itself decodable, so
+    resize stages compose. Fake path emits w*h deterministic bytes."""
+    from data_engineer_development_spark.operators import codecs
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if not fake:
-                raise NotImplementedError("plug PIL Image.resize here")
-            out = [
-                (_fake_floats(p, width * height, "resize") * 255)
-                .astype(np.uint8)
-                .tobytes()
-                for p in pdf["payload"]
-            ]
+            if fake:
+                out = [
+                    (_fake_floats(p, width * height, "resize") * 255)
+                    .astype(np.uint8)
+                    .tobytes()
+                    for p in pdf["payload"]
+                ]
+                mimes = pdf["mime"]
+            else:
+                out = []
+                for p, m in zip(pdf["payload"], pdf["mime"]):
+                    decoded = codecs.decode_media(p, m)
+                    if decoded["kind"] != "image":
+                        raise ValueError(
+                            f"resize_images got non-image payload (mime={m!r})"
+                        )
+                    out.append(
+                        codecs.encode_ppm(
+                            codecs.resize_nearest(
+                                decoded["pixels"], width, height
+                            )
+                        )
+                    )
+                mimes = ["image/x-portable-pixmap"] * len(out)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "payload": out,
-                    "mime": pdf["mime"],
+                    "mime": mimes,
                     "meta": pdf["meta"],
                 }
             )
@@ -167,29 +238,48 @@ def sample_frames(
     media: DataFrame,
     interval_ms: int = 1000,
     duration_ms: int = 5000,
-    fake: bool = True,
+    fake: bool = False,
 ) -> DataFrame:
     """Frame sampling: one row per sampled frame (bounded row amplification,
-    duration/interval frames per media). Real path = ffmpeg seek+decode."""
+    duration/interval frames per media).
+
+    Real path decodes the engine's concatenated-P6 stream container
+    (operators/codecs.py:iter_ppm_frames — stored frames are
+    ``interval_ms`` apart, a real seek+decode, no ffmpeg needed); sampling
+    clamps to the last stored frame when the requested duration outruns the
+    stream. Emitted frames are re-encoded P6, so downstream image stages
+    (resize, features) apply per-frame unchanged."""
     n_frames = max(1, duration_ms // interval_ms)
+
+    from data_engineer_development_spark.operators import codecs
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if not fake:
-                raise NotImplementedError("plug ffmpeg frame extraction here")
             ids, frame_idx, ts, frames = [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if fake:
+                    stored = None
+                else:
+                    stored = [
+                        codecs.encode_ppm(fr)
+                        for fr in codecs.iter_ppm_frames(p or b"")
+                    ]
+                    if not stored:
+                        raise ValueError("empty ppm-stream payload")
                 for i in range(n_frames):
                     ids.append(mid)
                     frame_idx.append(i)
                     ts.append(i * interval_ms)
-                    frames.append(
-                        (_fake_floats(p, 16, f"frame{i}") * 255)
-                        .astype(np.uint8)
-                        .tobytes()
-                    )
+                    if fake:
+                        frames.append(
+                            (_fake_floats(p, 16, f"frame{i}") * 255)
+                            .astype(np.uint8)
+                            .tobytes()
+                        )
+                    else:
+                        frames.append(stored[min(i, len(stored) - 1)])
             yield pd.DataFrame(
                 {
                     "media_id": ids,

@@ -90,20 +90,27 @@ ORDER BY key
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload → fixed-width feature vectors via the mapInPandas
-    plumbing (deterministic fake codec), joined back to doc metadata."""
+    """REAL image decode → feature vectors, hash-checked against SQL.
+
+    Each document becomes a genuine 16×16 P6 image colored by the first
+    three md5(text) bytes (synth_solid_ppm_media); extract_features then
+    actually parses the netpbm header and raster (operators/codecs.py) and
+    recovers per-channel means — which the DuckDB oracle computes
+    independently from md5 hex, so a codec bug (offset, channel order,
+    header parse) breaks the hash match."""
     from data_engineer_development_spark.operators import multimodal as M
 
-    docs = load_table(spark, sf_dir, "documents").limit(50)
-    media = M.attach_media(
-        docs.select("doc_id", F.encode("text", "utf-8").alias("blob")),
-        "doc_id",
-        "blob",
-        "application/octet-stream",
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.synth_solid_ppm_media(
+        docs.select("doc_id", "text"), "doc_id", "text"
     )
     feats = M.extract_features(media, dims=8)
     return feats.select(
-        "media_id", "n_bytes", F.col("embedding")[0].alias("f0")
+        "media_id",
+        "n_bytes",
+        F.round(F.col("embedding")[0] * 255).cast("long").alias("r_byte"),
+        F.round(F.col("embedding")[1] * 255).cast("long").alias("g_byte"),
+        F.round(F.col("embedding")[2] * 255).cast("long").alias("b_byte"),
     ).orderBy("media_id")
 
 
@@ -248,13 +255,24 @@ QUERIES = {
 
 # streaming_running_totals stays rows-only: its totals are float sums
 # accumulated in pandas batch order, which no ANSI SUM() reproduces
-# bit-for-bit. multimodal_features stays rows-only: the fake codec is
-# md5-seeded numpy PRNG output, not SQL-expressible (its byte-level sibling
-# multimodal_metadata IS oracle-checked). The KV roundtrip's expected
-# output IS plain SQL over nation, so it graduates to a full hash-checked
-# oracle.
+# bit-for-bit. multimodal_features is hash-checked: the payloads are real
+# P6 images colored by md5(text) bytes, so the decoded channel means are
+# SQL-derivable (hex-pair → int) without the oracle needing a codec; 13 is
+# the exact "P6\n16 16\n255\n" header length, so n_bytes checks the encoder
+# too. The KV roundtrip's expected output IS plain SQL over nation, so it
+# graduates to a full hash-checked oracle.
+_MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(13 + 16*16*3 AS BIGINT) AS n_bytes,
+       CAST(CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) AS BIGINT) AS r_byte,
+       CAST(CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) AS BIGINT) AS g_byte,
+       CAST(CAST(concat('0x', substr(md5(text), 5, 2)) AS INTEGER) AS BIGINT) AS b_byte
+FROM documents WHERE doc_id < 100 ORDER BY media_id
+"""
+
 ORACLE: dict[str, str] = {
     "kv_store_roundtrip": _KV_ROUNDTRIP_SQL,
+    "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_metadata": _MULTIMODAL_METADATA_SQL,
     "stateful_sessions": _STATEFUL_SESSIONS_SQL,
     "manifest_source": _MANIFEST_SOURCE_SQL,

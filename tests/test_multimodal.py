@@ -1,10 +1,14 @@
-"""Multimodal plumbing: schemas, determinism, batch shape, stub gating."""
+"""Multimodal plumbing: schemas, real-codec e2e, determinism, stub gating."""
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from data_engineer_development_spark.operators import codecs
 from data_engineer_development_spark.operators import multimodal as M
 from data_engineer_development_spark.operators.similarity import cosine_topk
 from data_engineer_development_spark.sources import load_table
@@ -12,26 +16,64 @@ from tests.conftest import SF_SMOKE
 
 
 @pytest.fixture(scope="module")
-def media(spark):
-    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+def docs(spark):
+    return (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+    )
+
+
+@pytest.fixture(scope="module")
+def media(spark, docs):
+    """Real P6 payloads, one per document (the oracle-checked fixture)."""
+    return M.synth_solid_ppm_media(docs, "doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def opaque_media(spark, docs):
+    """Undecodable payloads (raw utf-8 text) for the stub/gating paths."""
     return M.attach_media(
         docs.select("doc_id", F.encode("text", "utf-8").alias("blob")),
-        "media_id" if "media_id" in docs.columns else "doc_id",
+        "doc_id",
         "blob",
         "application/octet-stream",
     )
 
 
-def test_attach_media_schema(media):
-    assert [f.name for f in media.schema.fields] == [
+def test_attach_media_schema(opaque_media):
+    assert [f.name for f in opaque_media.schema.fields] == [
         "media_id", "payload", "mime", "meta",
     ]
-    assert media.count() == 20
+    assert opaque_media.count() == 20
 
 
-def test_extract_features_deterministic(media):
-    a = M.extract_features(media, dims=16)
-    b = M.extract_features(media, dims=16)
+def test_synth_media_payloads_are_real_ppm(media):
+    rows = media.collect()
+    assert len(rows) == 20
+    for r in rows:
+        px = codecs.decode_ppm(bytes(r["payload"]))
+        assert px.shape == (16, 16, 3)
+        # solid color by construction
+        assert len({tuple(p) for p in px.reshape(-1, 3)}) == 1
+
+
+def test_extract_features_real_decode_matches_md5(media, docs):
+    """The distributed decode recovers exactly the md5-derived color."""
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    feats = M.extract_features(media, dims=8).collect()
+    assert len(feats) == 20
+    for r in feats:
+        rgb = hashlib.md5((texts[r["media_id"]] or "").encode()).digest()[:3]
+        got = [round(float(r["embedding"][i]) * 255) for i in range(3)]
+        assert got == list(rgb)
+        assert len(r["embedding"]) == 8
+        assert r["n_bytes"] == 13 + 16 * 16 * 3
+
+
+def test_extract_features_fake_path_deterministic(opaque_media):
+    a = M.extract_features(opaque_media, dims=16, fake=True)
+    b = M.extract_features(opaque_media, dims=16, fake=True)
     ra = {r["media_id"]: list(r["embedding"]) for r in a.collect()}
     rb = {r["media_id"]: list(r["embedding"]) for r in b.collect()}
     assert ra == rb
@@ -47,12 +89,47 @@ def test_features_feed_similarity_ops(media):
     assert len(topk) == 2 * 3
 
 
-def test_resize_and_frame_sample_shapes(media):
+def test_resize_real_reencodes_decodable_ppm(media):
     resized = M.resize_images(media, width=8, height=8)
     rows = resized.collect()
-    assert all(len(r["payload"]) == 64 for r in rows)
+    for r in rows:
+        px = codecs.decode_ppm(bytes(r["payload"]))
+        assert px.shape == (8, 8, 3)
+        assert r["mime"] == "image/x-portable-pixmap"
+    # resize of a solid image preserves the color exactly
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in rows:
+        assert np.array_equal(
+            codecs.decode_ppm(bytes(r["payload"]))[0, 0],
+            codecs.decode_ppm(orig[r["media_id"]])[0, 0],
+        )
 
-    frames = M.sample_frames(media, interval_ms=1000, duration_ms=3000)
+
+def test_sample_frames_real_ppm_stream(spark):
+    """Frame sampling over the concatenated-P6 container decodes the actual
+    stored frames at the right offsets."""
+    frames = [
+        np.full((4, 4, 3), i * 40, dtype=np.uint8) for i in range(3)
+    ]
+    stream = b"".join(codecs.encode_ppm(f) for f in frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(stream), "video/x-ppm-stream", "{}")],
+        "media_id long, payload binary, mime string, meta string",
+    )
+    out = M.sample_frames(df, interval_ms=1000, duration_ms=5000)
+    rows = sorted(out.collect(), key=lambda r: r["frame_idx"])
+    assert [r["ts_ms"] for r in rows] == [0, 1000, 2000, 3000, 4000]
+    # frames 0..2 are the stored ones; 3,4 clamp to the last stored frame
+    for r in rows:
+        px = codecs.decode_ppm(bytes(r["frame"]))
+        expect = min(r["frame_idx"], 2) * 40
+        assert int(px[0, 0, 0]) == expect
+
+
+def test_sample_frames_fake_shapes(opaque_media):
+    frames = M.sample_frames(
+        opaque_media, interval_ms=1000, duration_ms=3000, fake=True
+    )
     per_media = frames.groupBy("media_id").count().collect()
     assert all(r["count"] == 3 for r in per_media)
     one = frames.filter(F.col("frame_idx") == 1).first()
@@ -60,9 +137,7 @@ def test_resize_and_frame_sample_shapes(media):
     assert len(one["frame"]) == 16
 
 
-def test_real_codec_path_is_gated(media):
-    with pytest.raises(Exception) as ei:
-        M.extract_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
-    )
+def test_undecodable_payload_fails_loudly(opaque_media):
+    """Real path on a codec-less format must raise, not silently fake."""
+    with pytest.raises(Exception, match="no codec"):
+        M.extract_features(opaque_media).collect()

@@ -119,10 +119,15 @@ def update_table_schema(
     spark.sql(f"DROP TABLE {tmp}")
 
 
+#: load-time partition column name (K5 ingest-date flavor)
+INGEST_DATE_COL = "_ingest_date"
+
+
 def materialize(
     df: DataFrame,
     table: str,
     partition_by: str | list[str] | None = None,
+    ingest_date: bool = False,
 ) -> None:
     """K1/K2/K5: query→table materialization with truncate semantics.
 
@@ -131,7 +136,25 @@ def materialize(
     ``partitionBy`` — at 100 TB the partition column is what makes
     downstream partition pruning possible, so it's part of the write
     contract, not an afterthought.
+
+    ``ingest_date=True`` is the reference's LOAD-TIME partitioning flavor
+    (bigquery.py:41-51: ``TimePartitioning(type_=DAY)`` with **no field** —
+    BigQuery then partitions on the row's load time): rows are stamped with
+    a ``_ingest_date = current_date()`` column and the table is partitioned
+    on it, so daily re-loads land in their own partition and date-ranged
+    scans prune to the loads in range.
     """
+    if ingest_date and partition_by:
+        raise ValueError(
+            "ingest_date=True is the no-field partitioning flavor; pass "
+            "either a partition_by field OR ingest_date, not both "
+            "(mirrors bigquery.py:41-51: field=None → load-time)"
+        )
+    if ingest_date:
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(INGEST_DATE_COL, F.current_date())
+        partition_by = INGEST_DATE_COL
     w = df.write.mode("overwrite")
     if partition_by:
         cols = [partition_by] if isinstance(partition_by, str) else partition_by

@@ -202,11 +202,25 @@ def neardup_pairs_cosine(
     auto-switches to the LSH path rather than collect a matrix the driver
     can't hold.
     """
-    if not use_lsh and vectors.count() > max_broadcast_rows:
-        use_lsh = True
-    if use_lsh:
+    n_vec: int | None = None
+    if not use_lsh:
+        # one count() job, paid only when the caller asked for the exact
+        # path (explicit use_lsh=True skips it entirely)
         n_vec = vectors.count()
-        parts = _pair_partitions(n_vec * (n_vec - 1) // 2, vectors.sparkSession)
+        if n_vec > max_broadcast_rows:
+            warnings.warn(
+                f"neardup_pairs_cosine: {n_vec} vectors exceed the exact-path "
+                f"broadcast ceiling ({max_broadcast_rows}); switching to the "
+                "LSH-bucketed path (recall < 1). Pass use_lsh=True to opt in "
+                "explicitly, or raise max_broadcast_rows.",
+                stacklevel=2,
+            )
+            use_lsh = True
+    if use_lsh:
+        # no count() here: the bucket equi-join repartitions on its key
+        # anyway (and AQE re-coalesces), so input parallelism just needs a
+        # sane floor — defaultParallelism, not a pair-count-sized job
+        parts = vectors.sparkSession.sparkContext.defaultParallelism
         with_norm = vectors.repartition(parts).select(
             F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("nrm")
         )

@@ -71,15 +71,29 @@ class ManifestReader(DataSourceReader):
                 casts.append(float)
             else:
                 casts.append(str)
+        n_cols = len(casts)
         with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
+            for lineno, line in enumerate(fh, start=1):
                 line = line.rstrip("\n")
                 if not line:
                     continue
                 parts = line.split(partition.delimiter)
-                yield tuple(
-                    None if p == "" else c(p) for c, p in zip(casts, parts)
-                )
+                if len(parts) != n_cols:
+                    raise ValueError(
+                        f"{partition.path}:{lineno}: expected {n_cols} "
+                        f"fields, got {len(parts)} (delimiter "
+                        f"{partition.delimiter!r}): {line[:120]!r}"
+                    )
+                try:
+                    yield tuple(
+                        None if p == "" else c(p)
+                        for c, p in zip(casts, parts)
+                    )
+                except ValueError as err:
+                    raise ValueError(
+                        f"{partition.path}:{lineno}: cast failed ({err}): "
+                        f"{line[:120]!r}"
+                    ) from err
 
 
 class ManifestDataSource(DataSource):

@@ -152,3 +152,32 @@ def test_manifest_datasource_partition_per_file(spark, tmp_path):
     assert (0, "name_0", 0.0) in rows
     assert (103, "other_3", None) in rows  # empty field -> NULL
     assert len(rows) == 8
+
+
+def test_ingest_date_partitioning_and_pruning(spark):
+    # K5 load-time flavor (bigquery.py:41-51: TimePartitioning with no
+    # field → partition on load time): materialize stamps _ingest_date and
+    # partitions on it; a date filter must PRUNE partitions, not scan+filter
+    db = fresh_db(spark, "ingest_test")
+    df = spark.range(50).select(F.col("id"))
+    catalog.materialize(df, f"{db}.loads", ingest_date=True)
+
+    tbl = spark.table(f"{db}.loads")
+    assert catalog.INGEST_DATE_COL in tbl.columns
+    assert tbl.count() == 50
+    # every row of this load carries today's load date
+    assert (
+        tbl.select(catalog.INGEST_DATE_COL).distinct().count() == 1
+    )
+
+    pruned = tbl.filter(F.col(catalog.INGEST_DATE_COL) == F.current_date())
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert catalog.INGEST_DATE_COL in plan.split("PartitionFilters")[1][:250]
+
+    # field-partitioning and load-time partitioning are mutually exclusive,
+    # exactly like the reference's field=None switch
+    with pytest.raises(ValueError, match="not both"):
+        catalog.materialize(df, f"{db}.bad", partition_by="id", ingest_date=True)

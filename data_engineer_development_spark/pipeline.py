@@ -66,6 +66,53 @@ class Pipeline:
         return results
 
 
+def make_alert_hook(
+    transport: Callable[[dict], None],
+    pipeline_name: str,
+    headline: str = "Task failed",
+    env_level: str = "prod",
+    log_url_base: str = "",
+    clock: Callable[[], str] | None = None,
+) -> Callable[[str, Exception], None]:
+    """C5 default formatter: the reference's Slack failure payload shape.
+
+    Mirrors helper.py:7-38 (slack_alert → _internal): a factory that closes
+    over the destination and returns a ``(stage, exc)`` callback producing
+    the same fields — env level + headline line, *Dag* (pipeline name),
+    *Task* (stage), *Execution Datetime* (UTC ISO, the reference's
+    ``dt.utcnow().strftime('%Y-%m-%dT%H:%M:%S+00:00')``), *Log Url*. The
+    transport is any ``dict -> None`` callable (the reference's
+    SlackWebhookOperator.execute analogue): webhook POST in a deployment, a
+    list.append in tests. ``clock`` is injectable so tests pin the
+    timestamp.
+    """
+
+    def hook(stage: str, exc: Exception) -> None:
+        exec_dt = (
+            clock()
+            if clock is not None
+            else time.strftime("%Y-%m-%dT%H:%M:%S+00:00", time.gmtime())
+        )
+        payload = {
+            "message": (
+                f"[{env_level}] {headline}\n"
+                f"*Dag*: {pipeline_name}\n"
+                f"*Task*: {stage}\n"
+                f"*Execution Datetime*: {exec_dt}\n"
+                f"*Log Url*: {log_url_base}/{pipeline_name}/{stage}\n"
+                f"*Error*: {exc}"
+            ),
+            "dag": pipeline_name,
+            "task": stage,
+            "exec_date": exec_dt,
+            "log_url": f"{log_url_base}/{pipeline_name}/{stage}",
+            "username": "pipeline",
+        }
+        transport(payload)
+
+    return hook
+
+
 def split_sql_script(script: str) -> list[str]:
     """K3: split a multi-statement SQL script into executable statements.
 

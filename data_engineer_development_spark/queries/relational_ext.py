@@ -483,6 +483,137 @@ WHERE {" OR ".join(_Q19_ARMS_SPARK)}
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity-order revenue with a CORRELATED 0.2×AVG
+# scalar subquery, decorrelated the scale-correct way — restrict lineitem to
+# the brand's parts via a broadcast join FIRST, compute per-part (sum, count)
+# once (one shuffle over the reduced set), broadcast the tiny stats back.
+# The 0.2×avg comparison is algebraically cleared of division:
+# qty < sum/(5·cnt)  ⟺  qty·5·cnt < sum — all in DECIMAL, so both engines
+# compare exactly.
+# --------------------------------------------------------------------------
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li_b = li.join(
+        F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey
+    ).select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(20,4)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(20,4)").alias("price"),
+    )
+    stats = li_b.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li_b.join(F.broadcast(stats.withColumnRenamed("l_partkey", "pk")),
+                  F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(F.sum("price"), 4).cast("double").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SMALL_QTY_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,4))), 4) AS DOUBLE)
+           AS small_qty_revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND CAST(l.l_quantity AS DECIMAL(20,4)) * 5
+      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(20,4)))
+         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who kept finished orders waiting — the
+# multi-EXISTS decorrelation (one semi join + one anti join, never a
+# per-row subquery). "Late" is adapted to this star schema's columns
+# (no receipt/commit dates): l_shipdate > o_orderdate + 90 days. The left
+# side is nation-filtered EARLY (broadcast supplier⋈nation), while the
+# semi/anti right sides stay unfiltered — the correlation is on the order,
+# not the supplier's nation.
+# --------------------------------------------------------------------------
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = late.join(F.broadcast(sup), late.l_suppkey == sup.s_suppkey)
+    other = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_other = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    return (
+        l1.join(
+            other,
+            (l1.l_orderkey == other.ok2) & (l1.l_suppkey != other.sk2),
+            "left_semi",
+        )
+        .join(
+            late_other,
+            (F.col("l_orderkey") == late_other.ok3)
+            & (F.col("l_suppkey") != late_other.sk3),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+_WAITING_SUPPLIERS_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
 QUERIES = {
     "exists_high_quantity": q_exists_high_quantity,
     "scalar_subquery_pricey_parts": q_scalar_subquery_pricey_parts,
@@ -498,6 +629,8 @@ QUERIES = {
     "volume_shipping": q_volume_shipping,
     "promo_revenue": q_promo_revenue,
     "disjunctive_revenue": q_disjunctive_revenue,
+    "small_qty_revenue": q_small_qty_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
 }
 
 ORACLE = {
@@ -515,4 +648,6 @@ ORACLE = {
     "volume_shipping": _VOLUME_SHIPPING_SQL,
     "promo_revenue": _PROMO_REVENUE_SQL,
     "disjunctive_revenue": _DISJUNCTIVE_SQL,
+    "small_qty_revenue": _SMALL_QTY_SQL,
+    "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
 }

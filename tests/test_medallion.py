@@ -179,3 +179,48 @@ def test_tag_from_template_mirrors_reference(spark):
     props = get_table_properties(spark, "t_tags.t")
     assert props["tag.zone"] == "quality"
     assert props["tag.data_classification"] == "internal"
+
+
+def test_failure_alert_payload_matches_reference_shape(spark):
+    # C5 (helper.py:7-38): a failing stage fires the default formatter with
+    # the reference's dag/task/exec-date/log-url payload through the
+    # injected transport
+    from data_engineer_development_spark.pipeline import Pipeline, make_alert_hook
+
+    sent: list[dict] = []
+    pipe = Pipeline(
+        name="civil_cases_elt",
+        on_failure=make_alert_hook(
+            sent.append,
+            "civil_cases_elt",
+            headline="Task failed",
+            log_url_base="https://logs.example",
+            clock=lambda: "2026-01-02T03:04:05+00:00",
+        ),
+    )
+
+    @pipe.stage("boom")
+    def boom(s):
+        raise RuntimeError("stage exploded")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        pipe.run(spark)
+
+    assert len(sent) == 1
+    p = sent[0]
+    assert p["dag"] == "civil_cases_elt"
+    assert p["task"] == "boom"
+    assert p["exec_date"] == "2026-01-02T03:04:05+00:00"
+    assert p["log_url"] == "https://logs.example/civil_cases_elt/boom"
+    assert p["username"] == "pipeline"
+    for line in (
+        "[prod] Task failed",
+        "*Dag*: civil_cases_elt",
+        "*Task*: boom",
+        "*Execution Datetime*: 2026-01-02T03:04:05+00:00",
+        "*Log Url*: https://logs.example/civil_cases_elt/boom",
+        "*Error*: stage exploded",
+    ):
+        assert line in p["message"]

@@ -164,3 +164,27 @@ def test_training_mix_plans(spark):
     plan = _plan(qs["pack_sequences"](spark, SF_CORRECT))
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_small_qty_revenue_plan_shape(spark):
+    # Q17 shape: brand restriction + per-part stats both arrive by
+    # BroadcastHashJoin; the correlated 0.2×avg never becomes a cartesian
+    # or a per-row subquery
+    plan = _plan(all_queries()["small_qty_revenue"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # brand filter reaches the part scan
+    assert "PushedFilters" in plan and "p_brand" in plan
+
+
+def test_waiting_suppliers_plan_shape(spark):
+    # Q21 shape: EXISTS/NOT EXISTS run as semi/anti joins; the supplier ⋈
+    # nation side broadcasts; no cartesian anywhere
+    plan = _plan(all_queries()["waiting_suppliers"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    low = plan.lower()
+    assert "leftsemi" in low or "left semi" in low
+    assert "leftanti" in low or "left anti" in low

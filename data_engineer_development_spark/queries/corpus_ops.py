@@ -265,6 +265,90 @@ ORDER BY n.o_orderstatus
 
 
 # --------------------------------------------------------------------------
+# MERGEABLE KMV: the sketch state (the ≤k smallest distinct hashes per
+# group) is a proper commutative monoid — merge = union ∪ re-top-k. The
+# query computes the state INDEPENDENTLY on two disjoint date slices,
+# merges the two partial states, and estimates from the merged state; the
+# oracle estimates from a single full pass. Equality proves the merge is
+# lossless — the property that lets 1000 executors sketch 100 TB with
+# k-row partials and a k-row shuffle per group (incremental_agg's pattern,
+# applied to an order-statistic sketch where plain SUM doesn't exist).
+# --------------------------------------------------------------------------
+_KMV_MERGE_CUT = "1999-01-01"
+
+
+def _kmv_state(dh: DataFrame, k: int) -> DataFrame:
+    """KMV partial state: ≤k smallest (already-distinct) hashes per group."""
+    w = Window.partitionBy("o_orderstatus").orderBy("h")
+    return (
+        dh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    h = F.expr(spark_md5_int("cast(o_custkey as string)")).alias("h")
+
+    base = (
+        o.filter(F.col("o_orderdate") < _KMV_MERGE_CUT)
+        .select("o_orderstatus", h)
+        .distinct()
+    )
+    delta = (
+        o.filter(F.col("o_orderdate") >= _KMV_MERGE_CUT)
+        .select("o_orderstatus", h)
+        .distinct()
+    )
+    # two independent partial states → merge: union (dedup: the same
+    # custkey can appear in both slices) → re-top-k
+    merged = _kmv_state(
+        _kmv_state(base, _KMV_K)
+        .unionByName(_kmv_state(delta, _KMV_K))
+        .distinct(),
+        _KMV_K,
+    )
+    agg = merged.groupBy("o_orderstatus").agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_state")
+    )
+    est = F.when(
+        F.col("n_state") >= _KMV_K,
+        F.floor(
+            F.lit(float(_KMV_K - 1))
+            * F.lit(float(1 << 60))
+            / F.col("hk").cast("double")
+        ),
+    ).otherwise(F.col("n_state"))
+    return agg.select(
+        "o_orderstatus", est.cast("bigint").alias("est_distinct")
+    ).orderBy("o_orderstatus")
+
+
+# full single-pass recompute: matching it proves the two-slice state merge
+# loses nothing
+_KMV_MERGE_SQL = f"""
+WITH dh AS (SELECT DISTINCT o_orderstatus,
+                   {duck_md5_int('CAST(o_custkey AS VARCHAR)')} AS h
+            FROM orders),
+r AS (SELECT o_orderstatus, h,
+             row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rk
+      FROM dh),
+k AS (SELECT o_orderstatus, MAX(h) AS hk FROM r WHERE rk <= {_KMV_K}
+      GROUP BY o_orderstatus),
+n AS (SELECT o_orderstatus, COUNT(*) AS nd FROM dh GROUP BY o_orderstatus)
+SELECT n.o_orderstatus,
+       CAST(CASE WHEN n.nd >= {_KMV_K}
+                 THEN floor({float(_KMV_K - 1)} * {float(1 << 60)}
+                            / CAST(k.hk AS DOUBLE))
+                 ELSE CAST(n.nd AS DOUBLE) END
+            AS BIGINT) AS est_distinct
+FROM n JOIN k ON n.o_orderstatus = k.o_orderstatus
+ORDER BY n.o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
 # PII-style masking: collapse digit runs in the events props JSON (the
 # stand-in for phone/account-number scrubbing; the mechanism — a JVM-side
 # regexp_replace at scan speed — is what matters). Spark replaces globally
@@ -289,6 +373,7 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "emb_quantize": q_emb_quantize,
     "distinct_kmv": q_distinct_kmv,
+    "kmv_merge": q_kmv_merge,
     "pii_mask": q_pii_mask,
 }
 
@@ -297,5 +382,6 @@ ORACLE = {
     "contamination_check": _CONTAMINATION_SQL,
     "emb_quantize": _EMB_QUANTIZE_SQL,
     "distinct_kmv": _DISTINCT_KMV_SQL,
+    "kmv_merge": _KMV_MERGE_SQL,
     "pii_mask": _PII_MASK_SQL,
 }

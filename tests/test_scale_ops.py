@@ -105,8 +105,14 @@ def test_neardup_exact_autoswitches_to_lsh(spark):
         neardup_pairs_cosine,
     )
 
+    import warnings as _warnings
+
     vecs = load_table(spark, SF_CORRECT, "embeddings").limit(200)
-    auto = neardup_pairs_cosine(vecs, 0.9, max_broadcast_rows=10)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        auto = neardup_pairs_cosine(vecs, 0.9, max_broadcast_rows=10)
+    # the switch must be LOUD (recall drops below 1), never silent
+    assert any("LSH" in str(w.message) for w in caught)
     # the LSH path is a bucket equi-join — no mapInPandas stage in the plan
     assert "mapInPandas" not in auto._jdf.queryExecution().analyzed().toString()
     lsh = neardup_pairs_cosine(vecs, 0.9, use_lsh=True)

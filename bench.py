@@ -50,7 +50,10 @@ def main() -> None:
     # min-of-2 for cheap queries: the box is shared, so a single run can
     # absorb an unrelated CPU burst; the min is the reproducible number.
     # Re-runs are budgeted so total bench time stays bounded.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
+    # sized so min-of-2 covers the whole registry: 95 queries × 2 runs ≈
+    # 185 s of query wall at sf0.1 — a 420 s budget exhausted mid-alphabet
+    # and left late queries with a single (noise-exposed) run
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
     start = time.perf_counter()
     timings: dict[str, float] = {}
     failed: list[str] = []
@@ -67,8 +70,12 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             failed.append(name)
         # Queries that cache small intermediates must not leak into the next
-        # measurement.
+        # measurement — and neither must JVM garbage debt from a heavy
+        # predecessor (the e2e/dedup entries leave old-gen + broadcast litter
+        # that otherwise taxes every later query's timed run). Both run
+        # OUTSIDE the timed section.
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     # total = sum of SUCCESSFUL runs only; failures are listed, never summed
     # (a -1 sentinel would *reduce* the headline metric).

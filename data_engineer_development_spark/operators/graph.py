@@ -61,8 +61,12 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the PREVIOUS label rides along as ``old`` so the convergence check
+        # below is a filter on the already-checkpointed round output — no
+        # extra labels⋈new_labels join job per round
         cand = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
             "node",
+            F.col("label").alias("old"),
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
                 "label"
             ),
@@ -78,6 +82,7 @@ def connected_components(
             )
             .select(
                 F.col("a.node").alias("node"),
+                F.col("a.old").alias("old"),
                 F.least(
                     F.col("a.label"),
                     F.coalesce(F.col("b.label"), F.col("a.label")),
@@ -86,13 +91,9 @@ def connected_components(
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     und.unpersist()

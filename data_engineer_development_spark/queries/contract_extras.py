@@ -114,6 +114,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode → resize → re-encode → re-decode, hash-checked.
+
+    Solid 16×16 P6 images (md5-colored, as in multimodal_features) go
+    through resize_images(8×8) — an actual netpbm parse, nearest-neighbor
+    resample, P6 re-encode — then extract_features decodes the NEW payload.
+    Nearest-neighbor resampling of a solid image preserves the color
+    exactly and the output header is "P6\\n8 8\\n255\\n" (11 bytes) + 192
+    raster bytes, so byte length AND recovered color are SQL-predictable;
+    any bug in either codec direction breaks the hash."""
+    from data_engineer_development_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.synth_solid_ppm_media(
+        docs.select("doc_id", "text"), "doc_id", "text"
+    )
+    small = M.resize_images(media, width=8, height=8)
+    feats = M.extract_features(small, dims=4)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.col("embedding")[0] * 255).cast("long").alias("r_byte"),
+    ).orderBy("media_id")
+
+
+_MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(11 + 8*8*3 AS BIGINT) AS n_bytes,
+       CAST(CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) AS BIGINT) AS r_byte
+FROM documents WHERE doc_id < 100 ORDER BY media_id
+"""
+
+
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata extraction through the SAME mapInPandas
     plumbing as the codec stages — but byte length + content md5 need no
@@ -250,6 +283,7 @@ QUERIES = {
     "manifest_source": q_manifest_source,
     "kv_store_roundtrip": q_kv_store_roundtrip,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
     "multimodal_metadata": q_multimodal_metadata,
 }
 
@@ -273,6 +307,7 @@ FROM documents WHERE doc_id < 100 ORDER BY media_id
 ORACLE: dict[str, str] = {
     "kv_store_roundtrip": _KV_ROUNDTRIP_SQL,
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+    "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
     "multimodal_metadata": _MULTIMODAL_METADATA_SQL,
     "stateful_sessions": _STATEFUL_SESSIONS_SQL,
     "manifest_source": _MANIFEST_SOURCE_SQL,

@@ -441,6 +441,7 @@ QUERIES = {
     "emb_quantize": q_emb_quantize,
     "distinct_kmv": q_distinct_kmv,
     "kmv_merge": q_kmv_merge,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "pii_mask": q_pii_mask,
 }
 
@@ -450,5 +451,6 @@ ORACLE = {
     "emb_quantize": _EMB_QUANTIZE_SQL,
     "distinct_kmv": _DISTINCT_KMV_SQL,
     "kmv_merge": _KMV_MERGE_SQL,
+    "tfidf_top_terms": _TFIDF_SQL,
     "pii_mask": _PII_MASK_SQL,
 }

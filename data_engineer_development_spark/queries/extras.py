@@ -300,14 +300,17 @@ ORDER BY promo_id, o_orderkey
 """
 
 
+# token_count_bpe / sim_ivf_topk first: they are the module's two entries
+# without a recent external correctness row (the other five earned theirs
+# in rounds 3-4), and the driver samples the registry's first 50 keys
 QUERIES = {
+    "token_count_bpe": q_token_count_bpe,
+    "sim_ivf_topk": q_sim_ivf_topk,
     "range_join_promos": q_range_join_promos,
     "pivot_status": q_pivot_status,
     "array_agg_orders": q_array_agg_orders,
     "cube_status_priority": q_cube_status_priority,
     "date_funcs": q_date_funcs,
-    "token_count_bpe": q_token_count_bpe,
-    "sim_ivf_topk": q_sim_ivf_topk,
 }
 
 ORACLE = {

@@ -195,14 +195,71 @@ FROM lineitem GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Context-window chunking: split each document's token stream into
+# fixed-width windows with a stride (overlap = window − stride), the
+# standard pre-tokenization step for long documents. Chunk starts are
+# 1 + i·stride for i in 0..ceil(max(0, n−W)/stride); the last chunk may be
+# short. Pure projection + explode — no shuffle at any corpus size; rows
+# amplify by ≈ n/stride, bounded and predictable. All arithmetic is
+# integer (ceil(a/b) = (a+b-1) div b), so both engines agree exactly.
+# --------------------------------------------------------------------------
+_CHUNK_W = 32
+_CHUNK_STRIDE = 24
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    W, S = _CHUNK_W, _CHUNK_STRIDE
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (greatest(size(t) - {W}, 0) + {S} - 1) div {S}), "
+                f"i -> named_struct('chunk_idx', i, "
+                f"'chunk', slice(t, i * {S} + 1, {W})))"
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("c.chunk").cast("int").alias("n_tokens"),
+        F.array_join("c.chunk", " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_CHUNK_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           WHERE doc_id < 200),
+c AS (SELECT doc_id, t,
+             unnest(generate_series(
+                 0, (greatest(len(t) - {_CHUNK_W}, 0) + {_CHUNK_STRIDE} - 1)
+                    // {_CHUNK_STRIDE})) AS chunk_idx
+      FROM d)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(list_slice(t, chunk_idx * {_CHUNK_STRIDE} + 1,
+                           chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_W})) AS INT)
+           AS n_tokens,
+       array_to_string(list_slice(t, chunk_idx * {_CHUNK_STRIDE} + 1,
+                                  chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_W}), ' ')
+           AS chunk_text
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "domain_mix": q_domain_mix,
     "pack_sequences": q_pack_sequences,
+    "chunk_documents": q_chunk_documents,
     "zorder_layout": q_zorder_layout,
 }
 
 ORACLE = {
     "domain_mix": _DOMAIN_MIX_SQL,
     "pack_sequences": _PACK_SQL,
+    "chunk_documents": _CHUNK_SQL,
     "zorder_layout": _ZORDER_SQL,
 }

@@ -70,12 +70,15 @@ def q_civil_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey") < _KEY_CAP
     )
     landing = os.path.join(
-        tempfile.gettempdir(), f"civil-landing-{uuid.uuid4().hex}.tsv"
+        tempfile.gettempdir(), f"civil-landing-{uuid.uuid4().hex}"
     )
-    # land the derived raw file the way the reference's download stage does
-    # (driver-side blob into the landing area, export_svg.py:85-105) — the
-    # e2e slice is capped, so this is a bounded control-plane write
-    _derive_raw(orders).toPandas().to_csv(landing, sep="\t", index=False)
+    # land the derived raw TSV the way the reference's download stage does
+    # (a blob arrives in the landing area, export_svg.py:85-105) — written
+    # executor-side as one part file rather than serializing 46 × 10k cells
+    # through the driver (toPandas cost ~2 s per bench run at this cap)
+    _derive_raw(orders).coalesce(1).write.option("sep", "\t").option(
+        "header", "true"
+    ).mode("overwrite").csv(landing)
 
     # fresh zones: drop metastore entries AND any orphaned warehouse dirs a
     # previous (killed) run left, else saveAsTable hits LOCATION_ALREADY_EXISTS
@@ -90,7 +93,7 @@ def q_civil_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, landing, zone_prefix=_ZONE_PREFIX
         ).run(spark)
     finally:
-        os.unlink(landing)
+        shutil.rmtree(landing, ignore_errors=True)
 
     trusted = spark.table(f"{_ZONE_PREFIX}trusted.civil_cases")
     dim_c = spark.table(f"{_ZONE_PREFIX}dimensions.DimCircuit")

@@ -188,3 +188,38 @@ def test_waiting_suppliers_plan_shape(spark):
     low = plan.lower()
     assert "leftsemi" in low or "left semi" in low
     assert "leftanti" in low or "left anti" in low
+
+
+def test_tfidf_plan_shape(spark):
+    # posting-list TF-IDF: the corpus-size scalar arrives by broadcast (the
+    # crossJoin is 1-row), term stats meet tf by equi-join — no cartesian
+    # against anything bigger than the one-row count
+    plan = _plan(all_queries()["tfidf_top_terms"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row n_docs broadcast
+    assert plan.count("HashAggregate") >= 4  # tf + df partial/final pairs
+
+
+def test_chunk_documents_is_shuffle_free_before_sort(spark):
+    # chunking is projection + explode: the ONLY exchange in the plan is the
+    # final presentation orderBy, so the operator itself runs at scan speed
+    from data_engineer_development_spark.queries.training_mix import (
+        _CHUNK_STRIDE,
+        _CHUNK_W,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (greatest(size(t) - {_CHUNK_W}, 0) "
+                f"+ {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE}), "
+                f"i -> slice(t, i * {_CHUNK_STRIDE} + 1, {_CHUNK_W}))"
+            )
+        ).alias("chunk"),
+    )
+    plan = _plan(chunks)
+    assert "Exchange" not in plan, plan

@@ -69,6 +69,7 @@ def jaccard_pairs(
     tau: float,
     max_doc_freq: int | None = None,
     persist_posts: bool = True,
+    hash_join_keys: bool = True,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ tau.
 
@@ -78,20 +79,33 @@ def jaccard_pairs(
     plus one aggregate (the plan a warehouse engine would pick). The division
     is int/int in IEEE double so both engines agree exactly.
 
+    ``hash_join_keys=True`` replaces each shingle string with its 60-bit md5
+    int BEFORE the self-join: the shuffled join key drops from ~25 bytes of
+    text to 8 bytes, which at 100 TB is a ~3× cut in shuffle volume for the
+    operator's dominant exchange. Distinct shingles stay distinct with
+    probability ≈ 1 − k²/2⁶¹; the DuckDB oracle applies the IDENTICAL hash,
+    so the comparison is exact either way. Pass ``False`` to join on raw
+    strings (e.g. when postings feed a debugging view).
+
     ``persist_posts=True`` caches the exploded postings so the two join sides
     don't each re-run tokenize→shingle→explode; at cluster scale the same
     role is played by materializing the posting table — recomputing the
     tokenizer per consumer is the thing to avoid at 100 TB.
     """
+    sh_expr = shingles_col
+    if hash_join_keys:
+        sh_expr = f"transform({shingles_col}, x -> {spark_md5_int('x')})"
     if max_doc_freq is not None:
         # Pruned mode: set sizes must reflect the pruned sets, so recount.
-        posts = shingle_sets(df, id_col, shingles_col, max_doc_freq)
+        posts = shingle_sets(
+            df.withColumn("__shk", F.expr(sh_expr)), id_col, "__shk", max_doc_freq
+        )
         sizes = posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
         posts = posts.join(sizes, id_col)
     else:
         posts = df.select(
             F.col(id_col),
-            F.explode(shingles_col).alias("s"),
+            F.explode(F.expr(sh_expr)).alias("s"),
             F.size(shingles_col).alias("n"),
         )
     if persist_posts:

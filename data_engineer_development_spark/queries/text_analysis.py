@@ -176,12 +176,48 @@ FROM c GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Normalization: the canonical pre-dedup cleanup (lowercase → strip
+# non-alphanumerics → collapse whitespace runs → trim). Three JVM regexp
+# passes at scan speed, no shuffle; DuckDB's regexp_replace with the 'g'
+# flag is the exact dual (ASCII lower() agrees in both engines).
+# --------------------------------------------------------------------------
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars_raw"),
+        norm.alias("norm_text"),
+        F.length(norm).cast("int").alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+_TEXT_NORMALIZE_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_raw,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm_text,
+       CAST(length(trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+            ' +', ' ', 'g'))) AS INT) AS n_chars_norm
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_repetition": q_text_repetition,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
+    "text_normalize": q_text_normalize,
 }
 
 ORACLE = {
@@ -190,4 +226,5 @@ ORACLE = {
     "text_lang_id": _lang_id_sql(),
     "text_quality": _TEXT_QUALITY_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,
+    "text_normalize": _TEXT_NORMALIZE_SQL,
 }

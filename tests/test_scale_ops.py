@@ -168,3 +168,34 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_jaccard_pruned_mode_and_hash_keys(spark):
+    """max_doc_freq pruning (hot-shingle skew control) must run on the same
+    hashed-key postings as the default path: a huge cap reproduces the
+    unpruned pairs exactly; a tiny cap drops pairs (hot shingles gone), and
+    set sizes are recounted on the pruned sets rather than reused."""
+    from data_engineer_development_spark.operators.dedup import jaccard_pairs
+    from data_engineer_development_spark.operators.text import shingles_expr
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, SF_CORRECT, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .withColumn("sh", shingles_expr("t", k=3))
+    )
+    base = sorted(
+        map(tuple, jaccard_pairs(docs, "doc_id", "sh", 0.1).collect())
+    )
+    loose = sorted(
+        map(
+            tuple,
+            jaccard_pairs(
+                docs, "doc_id", "sh", 0.1, max_doc_freq=10_000_000
+            ).collect(),
+        )
+    )
+    assert loose == base and len(base) > 0
+    tight = jaccard_pairs(docs, "doc_id", "sh", 0.1, max_doc_freq=2).collect()
+    assert len(tight) <= len(base)

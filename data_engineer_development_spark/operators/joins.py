@@ -77,13 +77,38 @@ def salted_agg(
     ``salt_buckets`` reducers; phase 2 re-aggregates the per-salt partials.
     Only algebraic aggregates decompose this way — the caller passes the
     *partial* aggregate expressions (each ``.alias``-ed), and this helper
-    re-applies them by the same alias for the final phase using SUM/MAX/MIN
-    according to ``_MERGE`` (count→sum, sum→sum, max→max, min→min).
+    re-applies them by alias for the final phase, picking the merge
+    function from the aggregate EXPRESSION itself (count→sum, sum→sum,
+    max→max, min→min) — never from the alias text, so a creatively-named
+    alias cannot silently mis-merge.
 
     Spark's AQE skew handling covers sort-merge *joins*; skewed *group-by*
     keys still funnel into one reducer without salting — this is the
     standard fix, made reusable.
     """
+    import re as _re
+
+    _MERGE = {"count": F.sum, "sum": F.sum, "max": F.max, "min": F.min}
+    merge_by_alias: dict[str, Column] = {}
+    for a in aggs:
+        # Column reprs as "Column<'fn(args) AS alias'>" — parse the leading
+        # aggregate function and the trailing alias
+        text = str(a)
+        m = _re.match(r"Column<'\s*([A-Za-z_]+)\s*\(.*\sAS\s(\w+)'?>?$", text)
+        if not m:
+            raise ValueError(
+                f"salted_agg: cannot parse aggregate expression {text!r}; "
+                "pass fn(col).alias(name) expressions"
+            )
+        fn, alias = m.group(1).lower(), m.group(2)
+        if fn not in _MERGE:
+            raise ValueError(
+                f"salted_agg: aggregate '{fn}' (alias '{alias}') is not "
+                "algebraically mergeable here; supported: count/sum/max/min "
+                "(compute avg as sum+count merged then divide)"
+            )
+        merge_by_alias[alias] = _MERGE[fn](alias).alias(alias)
+
     salted = df.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )
@@ -92,17 +117,12 @@ def salted_agg(
     for c in partial.columns:
         if c in group_cols or c == "__salt":
             continue
-        if c.startswith("cnt_") or c.startswith("sum_") or c.startswith("n_"):
-            merge_exprs.append(F.sum(c).alias(c))
-        elif c.startswith("max_"):
-            merge_exprs.append(F.max(c).alias(c))
-        elif c.startswith("min_"):
-            merge_exprs.append(F.min(c).alias(c))
-        else:
+        if c not in merge_by_alias:
             raise ValueError(
-                f"salted_agg: alias '{c}' must start with cnt_/sum_/n_/max_/min_ "
-                "so the merge phase knows how to recombine it"
+                f"salted_agg: no merge rule for output column '{c}' "
+                "(every aggregate must carry an explicit .alias)"
             )
+        merge_exprs.append(merge_by_alias[c])
     return partial.groupBy(*group_cols).agg(*merge_exprs)
 
 

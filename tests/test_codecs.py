@@ -113,3 +113,43 @@ def test_resize_nearest_preserves_solid_and_downsamples():
     # nearest-neighbor: every output pixel exists in the input
     flat_in = {tuple(p) for p in img.reshape(-1, 3)}
     assert all(tuple(p) in flat_in for p in out.reshape(-1, 3))
+
+
+def test_bmp_top_down_negative_height():
+    # height < 0 ⇒ rows stored top-down: build the payload by hand from a
+    # bottom-up encode and flip the height sign + row order
+    import struct
+
+    img = _img(3, 2, seed=21)
+    payload = bytearray(codecs.encode_bmp(img[::-1]))  # rows pre-flipped
+    struct.pack_into("<i", payload, 22, -3)  # declare top-down
+    assert np.array_equal(codecs.decode_bmp(bytes(payload)), img)
+
+
+def test_wav_8bit_unsigned_decodes_centered():
+    # 8-bit WAV is unsigned; decoder must center to signed int16 range
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(1)
+        f.setframerate(8000)
+        f.writeframes(bytes([0, 128, 255]))
+    out, rate = codecs.decode_wav(buf.getvalue())
+    assert rate == 8000
+    assert out[:, 0].tolist() == [(0 - 128) * 256, 0, (255 - 128) * 256]
+
+
+def test_media_features_pgm_grayscale():
+    gray = np.full((4, 4), 100, dtype=np.uint8)
+    payload = b"P5\n4 4\n255\n" + gray.tobytes()
+    feats = codecs.media_features(payload, None, dims=4)
+    # gray replicated to RGB: all three channel means are 100
+    assert [round(float(f) * 255) for f in feats[:3]] == [100, 100, 100]
+
+
+def test_ppm_maxval_over_255_rejected():
+    with pytest.raises(ValueError, match="maxval"):
+        codecs.decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)

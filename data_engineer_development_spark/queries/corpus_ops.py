@@ -69,6 +69,44 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Cleaned-corpus emission: the terminal dedup step — keep exactly ONE
+# representative per near-dup cluster (the min doc_id, i.e. the node whose
+# cluster label is itself; singletons keep themselves) and return the
+# surviving corpus with its metadata. This is what a corpus user actually
+# ships to training: clusters in, deduped documents out. One extra
+# doc_id-keyed join over the cluster labels — nothing beyond the
+# dedup_clusters cost.
+# --------------------------------------------------------------------------
+def q_dedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    labels = q_dedup_clusters(spark, sf_dir)
+    kept = labels.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return (
+        docs.join(kept, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_DEDUP_CLEANED_SQL = f"""
+WITH RECURSIVE {duck_jaccard_pairs_cte()},
+e AS (SELECT id1 AS a, id2 AS b FROM vp UNION ALL SELECT id2, id1 FROM vp),
+reach(node, m) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.a, r.m FROM e JOIN reach r ON r.node = e.b
+),
+lab AS (SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN lab ON d.doc_id = lab.doc_id
+WHERE lab.doc_id = lab.cluster_id
+ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Contamination check: does any eval-split document share a 5-gram with the
 # train split? Splits are deterministic (md5 parity on doc_id). Shape:
 # exploded postings, DISTINCT train-shingle set, one equi-join — the same
@@ -437,6 +475,7 @@ FROM events WHERE event_id < 2000 ORDER BY event_id
 
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
+    "dedup_cleaned_corpus": q_dedup_cleaned_corpus,
     "contamination_check": q_contamination_check,
     "emb_quantize": q_emb_quantize,
     "distinct_kmv": q_distinct_kmv,
@@ -447,6 +486,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "dedup_cleaned_corpus": _DEDUP_CLEANED_SQL,
     "contamination_check": _CONTAMINATION_SQL,
     "emb_quantize": _EMB_QUANTIZE_SQL,
     "distinct_kmv": _DISTINCT_KMV_SQL,

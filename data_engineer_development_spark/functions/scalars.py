@@ -65,10 +65,21 @@ def decode_map(col: str | Column, mapping: Mapping[str, str]) -> Column:
 def split_date_parts_to_date(col: str | Column, sep: str = "/") -> Column:
     """F3+F4+F5: ``DATE(CONCAT(SPLIT(s,'/')[OFFSET(2)],'-',[0],'-',[1]))`` —
     the reference's M/D/YYYY → DATE rebuild (export_svg.py:216-217,228,232-233).
-    BigQuery OFFSET(n) is 0-based like Spark getItem(n)."""
+    BigQuery OFFSET(n) is 0-based like Spark element access.
+
+    Uses ``F.get`` (NULL on out-of-bounds under ANY ANSI setting) rather than
+    ``getItem``: sentinel-filled cells like ``'-8'`` split to a 1-element array,
+    and ``getItem(2)`` throws INVALID_ARRAY_INDEX under Spark 4's default
+    ANSI-on session while returning NULL under ANSI-off — the driver gate runs
+    ANSI on, so the expression must be ANSI-safe.
+    ``concat_ws`` skips NULLs, so a short array would yield a partial string
+    like ``'-8'``; ANSI-on ``to_date`` throws on that, so parse with
+    ``try_to_date`` (NULL on failure under any ANSI setting) behind a size
+    guard — malformed inputs map to NULL everywhere, matching the ANSI-off
+    behavior the oracle expects."""
     parts = F.split(_c(col), sep)
-    iso = F.concat_ws("-", parts.getItem(2), parts.getItem(0), parts.getItem(1))
-    return F.to_date(iso, "yyyy-M-d")
+    iso = F.concat_ws("-", F.get(parts, 2), F.get(parts, 0), F.get(parts, 1))
+    return F.when(F.size(parts) == 3, F.try_to_date(iso, "yyyy-M-d"))
 
 
 def base64_json(*cols: Column | str) -> Column:

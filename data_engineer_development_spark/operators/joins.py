@@ -65,6 +65,48 @@ def range_join(
     )
 
 
+def _parse_aliased_agg(a: Column) -> tuple[str, str, bool]:
+    """Return (function_name, alias, is_distinct) for an ``fn(col).alias(x)``
+    Column.
+
+    Walks the classic-mode ColumnNode tree (``Alias(UnresolvedFunction(...))``)
+    rather than parsing ``str(Column)``: Spark 4's Column repr DROPS the
+    DISTINCT keyword (``str(count_distinct(x).alias('a')) ==
+    "Column<'count(x) AS a'>"``), so repr text cannot distinguish a
+    decomposable count from a non-decomposable count(DISTINCT). Falls back to
+    repr parsing (which then cannot see DISTINCT and conservatively REJECTS)
+    only when the JVM tree is unreachable (e.g. Spark Connect columns).
+    """
+    import re as _re
+
+    try:
+        node = a._jc.node()
+        if node.getClass().getSimpleName() == "Alias":
+            child = node.child()
+            if child.getClass().getSimpleName() == "UnresolvedFunction":
+                return (
+                    child.functionName().lower(),
+                    node.name().head(),
+                    bool(child.isDistinct()),
+                )
+    except Exception:
+        pass
+    text = str(a)
+    m = _re.match(r"Column<'\s*([A-Za-z_]+)\s*\(.*\sAS\s`?(\w+)`?'?>?$", text)
+    if not m:
+        raise ValueError(
+            f"salted_agg: cannot parse aggregate expression {text!r}; "
+            "pass fn(col).alias(name) expressions"
+        )
+    # repr can hide DISTINCT — without tree access we cannot prove the
+    # aggregate decomposes, so refuse unless the repr is DISTINCT-free AND
+    # tree access failed for a structural reason (Connect); the main path
+    # above handles every classic-mode column.
+    if _re.search(r"\bDISTINCT\b", text, _re.IGNORECASE):
+        return m.group(1).lower(), m.group(2), True
+    return m.group(1).lower(), m.group(2), False
+
+
 def salted_agg(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -86,21 +128,20 @@ def salted_agg(
     keys still funnel into one reducer without salting — this is the
     standard fix, made reusable.
     """
-    import re as _re
-
     _MERGE = {"count": F.sum, "sum": F.sum, "max": F.max, "min": F.min}
     merge_by_alias: dict[str, Column] = {}
     for a in aggs:
-        # Column reprs as "Column<'fn(args) AS alias'>" — parse the leading
-        # aggregate function and the trailing alias
-        text = str(a)
-        m = _re.match(r"Column<'\s*([A-Za-z_]+)\s*\(.*\sAS\s(\w+)'?>?$", text)
-        if not m:
+        fn, alias, distinct = _parse_aliased_agg(a)
+        # DISTINCT does not decompose over salt buckets: the same distinct
+        # value lands in several buckets and a SUM of per-salt partials
+        # silently over-counts — refuse rather than mis-merge.
+        if distinct:
             raise ValueError(
-                f"salted_agg: cannot parse aggregate expression {text!r}; "
-                "pass fn(col).alias(name) expressions"
+                f"salted_agg: '{fn}(DISTINCT ...) AS {alias}' is not "
+                "decomposable across salt buckets (the same value can land "
+                "in multiple buckets and would be double-counted); "
+                "deduplicate first or use an approx sketch (KMV/HLL)"
             )
-        fn, alias = m.group(1).lower(), m.group(2)
         if fn not in _MERGE:
             raise ValueError(
                 f"salted_agg: aggregate '{fn}' (alias '{alias}') is not "

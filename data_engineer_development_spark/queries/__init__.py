@@ -31,17 +31,19 @@ from data_engineer_development_spark.queries import (
     timeseries,
 )
 
-# Registry order. The first-listed modules are the ones whose entries have
-# not yet earned a hard driver CORRECTNESS row (rounds 1-4 sampled the first
-# 50 keys in insertion order, covering core/scalar_ops/analytics/timeseries/
-# text_analysis/dedup/similarity and part of extras); rotating the remaining
-# modules to the front lets the driver's sample reach them while every pair —
-# all 92+, regardless of order — stays verified by tests/test_oracle_parity.py.
+# Registry order. The driver samples the first 50 keys in insertion order,
+# so the front-listed modules are the ones needing a fresh driver row this
+# round: pipeline_e2e (ANSI fix re-check), contract_extras (new
+# streaming_running_totals oracle + multimodal NULL-text oracle fix),
+# text_analysis (text_normalize's first-ever row), then the modules whose
+# rows date from rounds 1-4 (core/scalar_ops/analytics/timeseries/dedup) to
+# refresh them on the regenerated testdata. Every pair — all entries,
+# regardless of order — stays verified by tests/test_oracle_parity.py.
 _MODULES = [
-    pipeline_e2e, warehouse_ops, corpus_ops, relational_ext, behavior,
-    training_mix, sampling, contract_extras, extras,
-    core, scalar_ops, analytics, timeseries, text_analysis, dedup,
-    similarity,
+    pipeline_e2e, contract_extras, text_analysis,
+    core, scalar_ops, analytics, timeseries, dedup, similarity,
+    warehouse_ops, corpus_ops, relational_ext, behavior,
+    training_mix, sampling, extras,
 ]
 
 

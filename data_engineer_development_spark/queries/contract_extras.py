@@ -139,10 +139,13 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# md5(coalesce(text,'')) mirrors synth_solid_ppm_media's (t or "") null
+# handling: a NULL-text doc gets the md5('') color on the Spark side, so
+# the oracle must hash the empty string too, not propagate NULL.
 _MULTIMODAL_RESIZE_SQL = """
 SELECT doc_id AS media_id,
        CAST(11 + 8*8*3 AS BIGINT) AS n_bytes,
-       CAST(CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) AS BIGINT) AS r_byte
+       CAST(CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 2)) AS INTEGER) AS BIGINT) AS r_byte
 FROM documents WHERE doc_id < 100 ORDER BY media_id
 """
 
@@ -287,9 +290,11 @@ QUERIES = {
     "multimodal_metadata": q_multimodal_metadata,
 }
 
-# streaming_running_totals stays rows-only: its totals are float sums
-# accumulated in pandas batch order, which no ANSI SUM() reproduces
-# bit-for-bit. multimodal_features is hash-checked: the payloads are real
+# streaming_running_totals is hash-checked as of round 6: the state kernel
+# accumulates counts as long and sums in exact Decimal(20,4)
+# (streaming/stateful.py), so the final table is independent of micro-batch
+# split and pandas batch order and equals the plain GROUP BY below.
+# multimodal_features is hash-checked: the payloads are real
 # P6 images colored by md5(text) bytes, so the decoded channel means are
 # SQL-derivable (hex-pair → int) without the oracle needing a codec; 13 is
 # the exact "P6\n16 16\n255\n" header length, so n_bytes checks the encoder
@@ -298,13 +303,21 @@ QUERIES = {
 _MULTIMODAL_FEATURES_SQL = """
 SELECT doc_id AS media_id,
        CAST(13 + 16*16*3 AS BIGINT) AS n_bytes,
-       CAST(CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) AS BIGINT) AS r_byte,
-       CAST(CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) AS BIGINT) AS g_byte,
-       CAST(CAST(concat('0x', substr(md5(text), 5, 2)) AS INTEGER) AS BIGINT) AS b_byte
+       CAST(CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 2)) AS INTEGER) AS BIGINT) AS r_byte,
+       CAST(CAST(concat('0x', substr(md5(coalesce(text, '')), 3, 2)) AS INTEGER) AS BIGINT) AS g_byte,
+       CAST(CAST(concat('0x', substr(md5(coalesce(text, '')), 5, 2)) AS INTEGER) AS BIGINT) AS b_byte
 FROM documents WHERE doc_id < 100 ORDER BY media_id
 """
 
+_STREAMING_RUNNING_TOTALS_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
 ORACLE: dict[str, str] = {
+    "streaming_running_totals": _STREAMING_RUNNING_TOTALS_SQL,
     "kv_store_roundtrip": _KV_ROUNDTRIP_SQL,
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,

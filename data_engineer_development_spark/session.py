@@ -51,7 +51,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # ANSI off: BigQuery CAST on already-cleansed data and Spark non-ANSI
         # CAST agree (SURVEY.md §7.3); sentinel cleanup precedes every cast.
-        .config("spark.sql.ansi.enabled", "false")
+        # SPARK_GRAFT_ANSI=1 flips it on to mimic the driver's default Spark 4
+        # session (ANSI ON) — run the oracle-parity sweep in BOTH modes; every
+        # expression must be ANSI-safe (try_*/F.get/guards), since local
+        # ANSI-off green does not imply driver green.
+        .config(
+            "spark.sql.ansi.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_ANSI") == "1" else "false",
+        )
         # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in the loader (readers.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

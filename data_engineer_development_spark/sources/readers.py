@@ -45,16 +45,26 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` arrives as a long we truncate to
     micros, the same nano→micro truncation DuckDB applies — and plain
     ``timestamp[us]`` with no zone, which Spark 4 reads as TIMESTAMP_NTZ.
-    Watermarks require LTZ, so NTZ is pinned to UTC via ``to_utc_timestamp``
-    (session-timezone-independent; DuckDB's naive reading of the same file is
-    value-identical), keeping batch, streaming and the oracle bit-for-bit
-    aligned whichever physical type the file carries.
+    Watermarks require LTZ, so the NTZ wall clock is pinned AS UTC:
+    ``convert_timezone('UTC', current_timezone(), ntz)`` rewrites the wall
+    clock into the session zone's rendering of that UTC instant, so the
+    following LTZ cast (which interprets wall clock in the SESSION zone)
+    lands on the exact instant the file stored. This is identity under a
+    UTC session and — unlike a bare ``to_utc_timestamp(col, 'UTC')``, which
+    first session-casts the NTZ and is then a no-op — stays correct under
+    any session timezone, keeping batch, streaming and DuckDB's naive
+    reading of the same file bit-for-bit aligned.
     """
     dt = dict(df.dtypes).get(col)
     if dt == "bigint":
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if dt == "timestamp_ntz":
-        return df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
+        return df.withColumn(
+            col,
+            F.convert_timezone(
+                F.lit("UTC"), F.current_timezone(), F.col(col)
+            ).cast("timestamp"),
+        )
     return df
 
 

@@ -28,7 +28,12 @@ from pyspark.sql.types import (
 STATE_SCHEMA = StructType(
     [
         StructField("n", LongType()),
-        StructField("total", DoubleType()),
+        # exact Decimal(20,4) accumulation, serialized — same discipline as
+        # the sessionizer below: decimal addition is associative and
+        # commutative, so the final total is independent of micro-batch
+        # split and pandas batch order, which makes the entry oracle-able
+        # (CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) in ANSI SQL).
+        StructField("total", StringType()),
     ]
 )
 
@@ -44,13 +49,21 @@ OUTPUT_SCHEMA = StructType(
 def _update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    from decimal import Decimal
+
+    if state.exists:
+        n, total_s = state.get
+        total = Decimal(total_s)
+    else:
+        n, total = 0, Decimal(0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        vals = pdf["value"].dropna()
+        for v in vals:
+            total += _dec4(v)
+    state.update((n, str(total)))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [float(total)]}
     )
 
 

@@ -39,6 +39,24 @@ def test_salted_agg_rejects_unknown_merge(spark):
         salted_agg(li, ["l_returnflag"], [F.avg("l_quantity").alias("avg_qty")])
 
 
+def test_salted_agg_rejects_distinct(spark):
+    import pytest
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    # count(DISTINCT x) parses as count and would silently over-count when
+    # the same value lands in several salt buckets — must be refused
+    with pytest.raises(ValueError, match="DISTINCT"):
+        salted_agg(
+            li, ["l_returnflag"],
+            [F.count_distinct(F.col("l_partkey")).alias("n_parts")],
+        )
+    with pytest.raises(ValueError, match="DISTINCT"):
+        salted_agg(
+            li, ["l_returnflag"],
+            [F.sum_distinct(F.col("l_quantity")).alias("sum_qty")],
+        )
+
+
 def test_range_join_is_equijoin_plan(spark):
     from data_engineer_development_spark.queries import all_queries
 

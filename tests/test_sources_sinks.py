@@ -181,3 +181,37 @@ def test_ingest_date_partitioning_and_pruning(spark):
     # exactly like the reference's field=None switch
     with pytest.raises(ValueError, match="not both"):
         catalog.materialize(df, f"{db}.bad", partition_by="id", ingest_date=True)
+
+
+def test_normalize_event_ts_session_tz_independent(spark, tmp_path):
+    """NTZ parquet wall clocks must pin to the same UTC instant whatever
+    spark.sql.session.timeZone is — a bare to_utc_timestamp(col,'UTC') is
+    session-dependent (the NTZ is first session-cast, making it a no-op)."""
+    import datetime
+
+    from data_engineer_development_spark.sources.readers import (
+        normalize_event_ts,
+    )
+
+    p = str(tmp_path / "ntz.parquet")
+    spark.sql(
+        "SELECT TIMESTAMP_NTZ'2024-03-01 12:00:00' AS ts"
+    ).write.mode("overwrite").parquet(p)
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        instants = {}
+        for tz in ("UTC", "America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = normalize_event_ts(spark.read.parquet(p))
+            assert dict(df.dtypes)["ts"] == "timestamp"
+            micros = df.select(F.unix_micros("ts").alias("u")).collect()[0]["u"]
+            instants[tz] = micros
+        expect = int(
+            datetime.datetime(
+                2024, 3, 1, 12, tzinfo=datetime.timezone.utc
+            ).timestamp()
+        ) * 1_000_000
+        assert instants == {tz: expect for tz in instants}, instants
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -47,25 +47,30 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # min-of-2 for cheap queries: the box is shared, so a single run can
-    # absorb an unrelated CPU burst; the min is the reproducible number.
-    # Re-runs are budgeted so total bench time stays bounded.
-    # sized so min-of-2 covers the whole registry: 95 queries × 2 runs ≈
-    # 185 s of query wall at sf0.1 — a 420 s budget exhausted mid-alphabet
-    # and left late queries with a single (noise-exposed) run
+    # FIXED min-of-N policy (default 3): every query gets the same repeat
+    # count so per-query numbers are comparable round-over-round — a
+    # budget-scaled policy gave early-alphabet queries more repeats (lower
+    # mins) and made r4→r5 deltas unreadable. The budget is only a safety
+    # valve: repeats stop early if the whole bench nears it, and the emitted
+    # JSON records the per-query run count so a degraded run is visible.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
     start = time.perf_counter()
     timings: dict[str, float] = {}
+    runs_done: dict[str, int] = {}
     failed: list[str] = []
     for name in sorted(queries):
         try:
+            # the box is shared: any single run can absorb an unrelated CPU
+            # burst (observed 0.5 s queries reading 60 s); the min of the
+            # fixed repeat count is the reproducible number
             t = run_once(name)
-            # the box is shared: any first run can absorb an unrelated CPU
-            # burst (observed 0.5 s queries reading 60 s); retry while the
-            # budget allows and keep the min
-            if (time.perf_counter() - start) < 0.6 * budget:
+            n = 1
+            while n < repeats and (time.perf_counter() - start) < 0.9 * budget:
                 t = min(t, run_once(name))
+                n += 1
             timings[name] = round(t, 4)
+            runs_done[name] = n
         except Exception as exc:  # noqa: BLE001 — one bad query ≠ no bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             failed.append(name)
@@ -87,6 +92,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "failed": failed,
+                "repeats": repeats,
+                "min_runs": min(runs_done.values(), default=0),
                 "sf": sf,
             }
         )

@@ -98,13 +98,13 @@ def _parse_aliased_agg(a: Column) -> tuple[str, str, bool]:
             f"salted_agg: cannot parse aggregate expression {text!r}; "
             "pass fn(col).alias(name) expressions"
         )
-    # repr can hide DISTINCT — without tree access we cannot prove the
-    # aggregate decomposes, so refuse unless the repr is DISTINCT-free AND
-    # tree access failed for a structural reason (Connect); the main path
-    # above handles every classic-mode column.
-    if _re.search(r"\bDISTINCT\b", text, _re.IGNORECASE):
-        return m.group(1).lower(), m.group(2), True
-    return m.group(1).lower(), m.group(2), False
+    # Fallback path (non-classic columns only): flag DISTINCT when the repr
+    # shows it. Classic-mode columns never reach here, and Connect column
+    # reprs render the expression text (including DISTINCT), so the silent
+    # repr-hides-DISTINCT hole is specific to classic mode — which the tree
+    # walk above covers.
+    distinct = bool(_re.search(r"\bDISTINCT\b", text, _re.IGNORECASE))
+    return m.group(1).lower(), m.group(2), distinct
 
 
 def salted_agg(

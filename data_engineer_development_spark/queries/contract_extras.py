@@ -32,6 +32,9 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"q_state_{uuid.uuid4().hex[:8]}"
+    # default state partitions: the applyInPandasWithState stage runs one
+    # Python worker per partition, so unlike the JVM-state streams, fewer
+    # partitions LOSE here (alternating A/B at sf0.1: 2.2 s @8 vs 2.8 s @4)
     run_to_memory_sink(
         running_user_totals(stream_events(spark, sf_dir)),
         name,

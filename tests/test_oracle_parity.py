@@ -13,10 +13,26 @@ _QUERIES = all_queries()
 _ORACLES = all_oracles()
 
 
+@pytest.fixture(params=["off", "on"], ids=["ansi_off", "ansi_on"])
+def ansi_mode(spark, request):
+    """Run every pair under BOTH ANSI modes: the repo session is ANSI-off
+    (session.py), but the driver's correctness gate builds a default Spark 4
+    session with ANSI ON — round 5 proved local ANSI-off green does not imply
+    driver green (getItem threw INVALID_ARRAY_INDEX only under the driver).
+    spark.sql.ansi.enabled is a runtime conf, so one session serves both legs.
+    """
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set(
+        "spark.sql.ansi.enabled", "true" if request.param == "on" else "false"
+    )
+    yield request.param
+    spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 @pytest.mark.parametrize("name", sorted(_ORACLES))
-def test_oracle_parity(spark, name):
+def test_oracle_parity(spark, ansi_mode, name):
     ok, msg = compare(spark, SF_CORRECT, name, _QUERIES[name], _ORACLES[name])
-    assert ok, msg
+    assert ok, f"[ansi_{ansi_mode}] {msg}"
 
 
 def test_every_query_runs_and_has_rows(spark):

@@ -211,6 +211,115 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus-familiarity score: per-document mean token DOCUMENT frequency — a
+# perplexity proxy without transcendental math. Docs dominated by rare
+# tokens (low mean_df) are out-of-distribution/noise candidates; docs of
+# only ubiquitous tokens (high mean_df) are boilerplate candidates. All
+# integer arithmetic until one final int/int double division, so the Spark
+# and DuckDB values are bit-identical (no log/float accumulation). Shape is
+# the postings pattern: explode distinct tokens, count docs per token, join
+# back, aggregate — two hash shuffles on bounded keys, scales like TF-IDF.
+# --------------------------------------------------------------------------
+def q_text_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", T.tokens())
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct("t")).alias("tok")
+    )
+    dfc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(dfc, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("df").alias("sum_df"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct",
+            F.col("sum_df").cast("long").alias("sum_df"),
+            (F.col("sum_df").cast("double") / F.col("n_distinct")).alias(
+                "mean_df"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TEXT_FAMILIARITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+dfc AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok)
+SELECT toks.doc_id,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(df) AS BIGINT) AS sum_df,
+       CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_df
+FROM toks JOIN dfc USING (tok)
+GROUP BY toks.doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Length trimming: drop the shortest 1% and longest 1% of the corpus by
+# character count — the standard outlier cut before training. The scalable
+# shape: aggregate to a LENGTH HISTOGRAM first (domain = distinct lengths,
+# small at any corpus size), run the cumulative window over that tiny
+# table, derive the kept-length set, and semi-join the corpus on it — no
+# global row-number over all documents. A length bucket is kept iff it
+# intersects the middle 98% of cumulative mass; the boundary test is pure
+# integer arithmetic (100*cum > N and 100*(cum-c) < 99*N), so both engines
+# agree exactly — no float percentile interpolation.
+# --------------------------------------------------------------------------
+def q_text_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy()
+    bounds = hist.select(
+        "n_chars",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wtot).alias("n"),
+    )
+    kept = bounds.filter(
+        (100 * F.col("cum") > F.col("n"))
+        & (100 * (F.col("cum") - F.col("c")) < 99 * F.col("n"))
+    ).select("n_chars")
+    return (
+        docs.join(F.broadcast(kept), "n_chars")
+        .select("doc_id", "n_chars", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+_TEXT_LENGTH_TRIM_SQL = """
+WITH hist AS (
+  SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars
+),
+bounds AS (
+  SELECT n_chars, c,
+         SUM(c) OVER (ORDER BY n_chars
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER () AS n
+  FROM hist
+),
+kept AS (
+  SELECT n_chars FROM bounds
+  WHERE 100 * cum > n AND 100 * (cum - c) < 99 * n
+)
+SELECT doc_id, n_chars, lang, source
+FROM documents JOIN kept USING (n_chars)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_repetition": q_text_repetition,
@@ -218,6 +327,8 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "text_normalize": q_text_normalize,
+    "text_familiarity": q_text_familiarity,
+    "text_length_trim": q_text_length_trim,
 }
 
 ORACLE = {
@@ -227,4 +338,6 @@ ORACLE = {
     "text_quality": _TEXT_QUALITY_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,
     "text_normalize": _TEXT_NORMALIZE_SQL,
+    "text_familiarity": _TEXT_FAMILIARITY_SQL,
+    "text_length_trim": _TEXT_LENGTH_TRIM_SQL,
 }

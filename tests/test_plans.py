@@ -223,3 +223,24 @@ def test_chunk_documents_is_shuffle_free_before_sort(spark):
     )
     plan = _plan(chunks)
     assert "Exchange" not in plan, plan
+
+
+def test_length_trim_broadcasts_kept_lengths(spark):
+    """text_length_trim must trim via histogram + broadcast semi-shape, not
+    a global row window: the only Window ops run over the (tiny) length
+    histogram and the corpus join is a BroadcastHashJoin on n_chars."""
+    from data_engineer_development_spark.queries import all_queries
+
+    df = all_queries()["text_length_trim"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # no SortMergeJoin of the full corpus against itself
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_familiarity_is_posting_equijoin(spark):
+    from data_engineer_development_spark.queries import all_queries
+
+    df = all_queries()["text_familiarity"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan

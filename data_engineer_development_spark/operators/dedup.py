@@ -133,6 +133,59 @@ def jaccard_pairs(
     )
 
 
+def jaccard_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    tau: float,
+    hash_join_keys: bool = True,
+) -> DataFrame:
+    """Bipartite near-dup join: ``(id1 ∈ left, id2 ∈ right)`` pairs with
+    shingle-set Jaccard ≥ tau ACROSS two corpora — the incremental-dedup
+    shape (new crawl batch vs existing corpus). Ids must be distinct across
+    the two sides.
+
+    Same posting-equi-join math as :func:`jaccard_pairs`, but postings are
+    built per side and only left×right candidates exist — within-side pairs
+    are never generated, so deduping a small new batch against a huge
+    corpus costs |batch postings| ⋈ |corpus postings| on the shingle key,
+    not the corpus self-join. Same 60-bit md5 join-key compression and
+    exact int/int→double Jaccard as the self-join variant.
+    """
+    sh_expr = shingles_col
+    if hash_join_keys:
+        sh_expr = f"transform({shingles_col}, x -> {spark_md5_int('x')})"
+
+    def posts(df: DataFrame, out_id: str, out_n: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.expr(sh_expr)).alias("s"),
+            F.size(shingles_col).alias(out_n),
+        )
+
+    a = posts(left, "id1", "n1")
+    b = posts(right, "id2", "n2")
+    inter = (
+        a.join(b, "s")
+        .groupBy("id1", "id2")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("c").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("c")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("id1", "id2", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, shingles_col: str, num_perm: int = 16
 ) -> DataFrame:

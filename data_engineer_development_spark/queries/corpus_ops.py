@@ -473,9 +473,155 @@ FROM events WHERE event_id < 2000 ORDER BY event_id
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental dedup: the "new crawl batch vs existing corpus" operation —
+# every new document either keeps or points at the oldest corpus document
+# it duplicates. Two passes, cheap first: (1) exact text-hash equi-join,
+# (2) bipartite Jaccard posting join (jaccard_cross_pairs) that only
+# generates batch×corpus candidates, never corpus×corpus. At 100 TB the
+# batch side is small, so both passes shuffle O(|batch|) keys against the
+# corpus posting/hash table instead of re-deduping the whole corpus.
+# The new batch is the highest-numbered source shards (srcN, N ≥ 15).
+# --------------------------------------------------------------------------
+_NEW_SRC_MIN = 15
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "srcn", F.regexp_extract("source", "src(\\d+)", 1).cast("int")
+    )
+    old = docs.filter(F.col("srcn") < _NEW_SRC_MIN)
+    new = docs.filter(F.col("srcn") >= _NEW_SRC_MIN)
+
+    exact = (
+        new.select("doc_id", F.md5("text").alias("h"))
+        .join(old.select(F.col("doc_id").alias("old_id"), F.md5("text").alias("h")), "h")
+        .select(F.col("doc_id").alias("id2"), F.col("old_id").alias("id1"))
+    )
+    sh = lambda df: df.select(  # noqa: E731 — local shaping helper
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).withColumn("sh", shingles_expr("t", k=3))
+    near = D.jaccard_cross_pairs(
+        sh(old), sh(new), "doc_id", "sh", JACCARD_TAU
+    ).select("id1", "id2")
+    dup_of = (
+        exact.unionByName(near)
+        .groupBy("id2")
+        .agg(F.min("id1").alias("dup_of"))
+    )
+    return (
+        new.select("doc_id")
+        .join(dup_of.withColumnRenamed("id2", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DEDUP_INCREMENTAL_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t,
+         CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS srcn
+  FROM documents
+),
+s AS (SELECT doc_id, srcn,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+      FROM d),
+po AS (SELECT doc_id, unnest(list_transform(sh, x -> {duck_md5_int('x')})) AS sg,
+              len(sh) AS n FROM s WHERE srcn < {_NEW_SRC_MIN}),
+pn AS (SELECT doc_id, unnest(list_transform(sh, x -> {duck_md5_int('x')})) AS sg,
+              len(sh) AS n FROM s WHERE srcn >= {_NEW_SRC_MIN}),
+i AS (SELECT po.doc_id AS id1, pn.doc_id AS id2, count(*) AS c,
+             any_value(po.n) AS n1, any_value(pn.n) AS n2
+      FROM po JOIN pn ON po.sg = pn.sg GROUP BY po.doc_id, pn.doc_id),
+near AS (SELECT id1, id2 FROM i
+         WHERE CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) >= {JACCARD_TAU}),
+exact AS (SELECT o.doc_id AS id1, n.doc_id AS id2
+          FROM d o JOIN d n ON md5(o.text) = md5(n.text)
+          WHERE o.srcn < {_NEW_SRC_MIN} AND n.srcn >= {_NEW_SRC_MIN}),
+dup AS (SELECT id2, MIN(id1) AS dup_of
+        FROM (SELECT * FROM exact UNION ALL SELECT * FROM near)
+        GROUP BY id2)
+SELECT d.doc_id, dup.dup_of, dup.dup_of IS NULL AS keep
+FROM d LEFT JOIN dup ON d.doc_id = dup.id2
+WHERE d.srcn >= {_NEW_SRC_MIN}
+ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-label quantized centroids: the IVF/clustering companion to
+# emb_quantize. Each vector is int8-quantized (identical IEEE double steps
+# to emb_quantize: floor(x*127/maxabs + 0.5)), then centroids are integer
+# sums over the quantized grid divided once at the end — so the cross-row
+# aggregation is exact integer math and order-independent, sidestepping the
+# float-accumulation-order problem a raw-float centroid would have. Output
+# is long-form (label, dim, n_vectors, sum_q, mean_q): one shuffle on
+# (label, dim), the partial-aggregate-friendly shape at any scale.
+# --------------------------------------------------------------------------
+def q_emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "mx",
+        F.expr(
+            "aggregate(transform(embedding, x -> abs(cast(x as double))),"
+            " cast(0.0 as double), (a, x) -> greatest(a, x))"
+        ),
+    )
+    q = emb.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> cast(if(mx = 0.0d, 0.0d,"
+                " floor(cast(x as double) * 127.0d / mx + 0.5d)) as bigint))"
+            )
+        ).alias("dim", "qv"),
+    )
+    return (
+        q.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("qv").alias("sum_q"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vectors",
+            F.col("sum_q").cast("long").alias("sum_q"),
+            (F.col("sum_q").cast("double") / F.col("n_vectors")).alias("mean_q"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+_EMB_CENTROID_SQL = """
+WITH m AS (SELECT label, embedding,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                      (a, v) -> greatest(a, v)) AS mx
+           FROM embeddings),
+q AS (SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(list_transform(embedding, x -> CAST(
+                 CASE WHEN mx = 0.0 THEN 0.0
+                      ELSE floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) END
+                 AS BIGINT))) AS qv
+      FROM m)
+SELECT label, dim, COUNT(*) AS n_vectors,
+       CAST(SUM(qv) AS BIGINT) AS sum_q,
+       CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS mean_q
+FROM q GROUP BY label, dim ORDER BY label, dim
+"""
+
+
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_cleaned_corpus": q_dedup_cleaned_corpus,
+    "dedup_incremental": q_dedup_incremental,
+    "emb_centroid_by_label": q_emb_centroid_by_label,
     "contamination_check": q_contamination_check,
     "emb_quantize": q_emb_quantize,
     "distinct_kmv": q_distinct_kmv,
@@ -487,6 +633,8 @@ QUERIES = {
 ORACLE = {
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_cleaned_corpus": _DEDUP_CLEANED_SQL,
+    "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
+    "emb_centroid_by_label": _EMB_CENTROID_SQL,
     "contamination_check": _CONTAMINATION_SQL,
     "emb_quantize": _EMB_QUANTIZE_SQL,
     "distinct_kmv": _DISTINCT_KMV_SQL,

@@ -244,3 +244,13 @@ def test_familiarity_is_posting_equijoin(spark):
     df = all_queries()["text_familiarity"](spark, SF_CORRECT)
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_dedup_is_bipartite_equijoin(spark):
+    """dedup_incremental must dedup the batch against the corpus via
+    hash/posting equi-joins — no cartesian/nested-loop shapes."""
+    from data_engineer_development_spark.queries import all_queries
+
+    df = all_queries()["dedup_incremental"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan

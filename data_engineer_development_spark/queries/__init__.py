@@ -20,6 +20,7 @@ from data_engineer_development_spark.queries import (
     corpus_ops,
     dedup,
     extras,
+    passage_ops,
     pipeline_e2e,
     relational_ext,
     sampling,
@@ -33,16 +34,18 @@ from data_engineer_development_spark.queries import (
 
 # Registry order. The driver samples the first 50 keys in insertion order,
 # so the front-listed modules are the ones needing a fresh driver row this
-# round: pipeline_e2e (ANSI fix re-check), contract_extras (new
-# streaming_running_totals oracle + multimodal NULL-text oracle fix),
-# text_analysis (text_normalize's first-ever row), then the modules whose
-# rows date from rounds 1-4 (core/scalar_ops/analytics/timeseries/dedup) to
-# refresh them on the regenerated testdata. Every pair — all entries,
-# regardless of order — stays verified by tests/test_oracle_parity.py.
+# round: pipeline_e2e (the round-5 ANSI fix re-check), passage_ops (new this
+# round: substring_dedup / phrase_search / heavy_hitters), warehouse_ops
+# (new compaction_plan / skew_profile / event_anomaly), contract_extras
+# (streaming_running_totals' new oracle + multimodal NULL-text oracle fix),
+# text_analysis (text_normalize's first-ever row), then core / scalar_ops /
+# analytics — exactly 50 keys. Every pair — all entries, regardless of
+# order — stays verified by tests/test_oracle_parity.py under both ANSI
+# modes.
 _MODULES = [
-    pipeline_e2e, contract_extras, text_analysis,
-    core, scalar_ops, analytics, timeseries, dedup, similarity,
-    warehouse_ops, corpus_ops, relational_ext, behavior,
+    pipeline_e2e, passage_ops, warehouse_ops, contract_extras,
+    text_analysis, core, scalar_ops, analytics, timeseries, dedup,
+    similarity, corpus_ops, relational_ext, behavior,
     training_mix, sampling, extras,
 ]
 

@@ -1,0 +1,179 @@
+"""Passage-level corpus operators (north-star extension wave 5): exact
+substring-level duplication detection, inverted-index phrase search, and
+exact corpus heavy hitters.
+
+These complement the document-level dedup family (queries/dedup.py — whole
+docs via MinHash/SimHash/Jaccard) with the *intra-document passage* view a
+training-data pipeline also needs: repeated boilerplate passages shared
+across documents (the "Deduplicating Training Data Makes Language Models
+Better" problem — suffix-style repeated-substring removal, approximated
+here at fixed n-gram granularity so the plan stays a single hash
+aggregation), token-positional search over an inverted index, and the
+exact top-k vocabulary scan that sits behind tokenizer/frequency audits.
+
+Scale notes (100 TB):
+- ``substring_dedup`` is explode → per-doc DISTINCT → one hash aggregation
+  on the gram. Partial (map-side) aggregation absorbs hot grams before the
+  shuffle; at extreme scale the groupBy key can be the 60-bit md5 of the
+  gram (functions/portable_hash.py) to cut shuffle bytes ~5× — the pattern
+  queries/dedup.py already uses for posting joins.
+- ``phrase_search`` derives its phrase from the data (top trigram), making
+  the plan: gram stream → hash agg → 1-row top-k broadcast → equi-join.
+  Never a cartesian; the broadcast side is exactly one row.
+- ``heavy_hitters`` is the canonical two-phase top-k: hash agg with map-side
+  combine, then TakeOrdered (per-partition top-25 → single 25-row merge on
+  the driver) — no global sort of the vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.sources import load_table
+
+#: fixed passage width (words). 8 is the smallest width at which the
+#: synthetic corpus's small vocabulary still separates boilerplate from
+#: chance collisions; production passage dedup uses 50-token windows.
+_GRAM_N = 8
+
+#: phrase width for the positional search.
+_PHRASE_N = 3
+
+
+def _grams(docs: DataFrame, n: int, with_pos: bool = False) -> DataFrame:
+    """(doc_id, [pos,] gram) for every overlapping word n-gram.
+
+    transform(sequence(...)) builds all window starts JVM-side (whole-stage
+    codegen — no Python); slice+array_join materializes the gram text.
+    """
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram_at = lambda i: F.array_join(F.slice(toks, i, n), " ")  # noqa: E731
+    base = docs.filter(F.size(toks) >= n)
+    if with_pos:
+        pairs = F.transform(starts, lambda i: F.struct(i.alias("pos"), gram_at(i).alias("gram")))
+        return base.select(
+            "doc_id", F.explode(pairs).alias("pg")
+        ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    return base.select(
+        "doc_id", F.explode(F.transform(starts, gram_at)).alias("gram")
+    )
+
+
+# --------------------------------------------------------------------------
+# Substring-level dedup: word 8-grams appearing in >= 2 distinct documents
+# (cross-document repeated passages). Per-doc DISTINCT first so a passage
+# repeated inside ONE document does not inflate its document count.
+# --------------------------------------------------------------------------
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = _grams(docs, _GRAM_N).distinct()
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("gram")
+    )
+
+
+_SUBSTRING_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             array_to_string(list_slice(toks, i, i + {_GRAM_N - 1}), ' ') AS gram
+      FROM t, LATERAL unnest(range(1, len(toks) - {_GRAM_N - 2})) AS u(i)
+      WHERE len(toks) >= {_GRAM_N})
+SELECT gram, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+FROM g GROUP BY gram HAVING COUNT(*) >= 2
+ORDER BY gram
+"""
+
+
+# --------------------------------------------------------------------------
+# Inverted-index phrase search: find every occurrence of the corpus's most
+# frequent trigram. The phrase is data-derived (count DESC, gram ASC
+# tiebreak — deterministic), broadcast as a 1-row build side, and matched
+# positionally. Returns one row per containing document with its match
+# count and first match position (1-based).
+# --------------------------------------------------------------------------
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = _grams(docs, _PHRASE_N, with_pos=True)
+    top1 = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "gram")
+        .limit(1)
+        .select(F.col("gram").alias("phrase"))
+    )
+    return (
+        grams.join(F.broadcast(top1), grams["gram"] == top1["phrase"])
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("pos").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PHRASE_SEARCH_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, i AS pos,
+             array_to_string(list_slice(toks, i, i + {_PHRASE_N - 1}), ' ') AS gram
+      FROM t, LATERAL unnest(range(1, len(toks) - {_PHRASE_N - 2})) AS u(i)
+      WHERE len(toks) >= {_PHRASE_N}),
+top1 AS (SELECT gram AS phrase FROM g GROUP BY gram
+         ORDER BY COUNT(*) DESC, gram LIMIT 1)
+SELECT doc_id, phrase, COUNT(*) AS n_matches, MIN(pos) AS first_pos
+FROM g JOIN top1 ON g.gram = top1.phrase
+GROUP BY doc_id, phrase
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact corpus heavy hitters: top-25 tokens by total occurrences, with
+# document frequency. count DESC, token ASC tiebreak keeps the cut
+# deterministic.
+# --------------------------------------------------------------------------
+_TOP_K = 25
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(_TOP_K)
+    )
+
+
+_HEAVY_HITTERS_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents)
+SELECT token, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM tok GROUP BY token
+ORDER BY n_occurrences DESC, token LIMIT {_TOP_K}
+"""
+
+
+QUERIES = {
+    "substring_dedup": q_substring_dedup,
+    "phrase_search": q_phrase_search,
+    "heavy_hitters": q_heavy_hitters,
+}
+
+ORACLE = {
+    "substring_dedup": _SUBSTRING_DEDUP_SQL,
+    "phrase_search": _PHRASE_SEARCH_SQL,
+    "heavy_hitters": _HEAVY_HITTERS_SQL,
+}

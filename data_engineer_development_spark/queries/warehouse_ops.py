@@ -179,11 +179,276 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# Small-file compaction planner (the OPTIMIZE/compact step of a lakehouse
+# table maintenance loop). Each document stands in for one data file of
+# n_chars bytes inside its `source` partition; files are packed next-fit in
+# doc_id order into groups targeting _COMPACT_TARGET bytes (a group closes
+# once its cumulative size crosses a multiple of the target). One window
+# cumsum per partition — at 100 TB this runs over the FILE LISTING (one row
+# per file, metadata scale), not the data, so a per-partition window is
+# cheap and embarrassingly parallel across `source` partitions.
+# --------------------------------------------------------------------------
+_COMPACT_TARGET = 16_384
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = F.floor(
+        (F.sum("n_chars").over(w) - F.col("n_chars")) / F.lit(_COMPACT_TARGET)
+    )
+    return (
+        docs.withColumn("group_id", grp)
+        .groupBy("source", "group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").alias("total_bytes"),
+            F.min("doc_id").alias("first_file"),
+        )
+        .orderBy("source", "group_id")
+    )
+
+
+_COMPACTION_SQL = f"""
+WITH f AS (SELECT doc_id, source, n_chars,
+                  SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_chars AS prior
+           FROM documents)
+SELECT source, CAST(FLOOR(prior / {_COMPACT_TARGET}) AS BIGINT) AS group_id,
+       COUNT(*) AS n_files, SUM(n_chars) AS total_bytes,
+       MIN(doc_id) AS first_file
+FROM f GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Key-skew profile: log2-bucketed frequency histogram of events.user_id —
+# the diagnostic a pipeline runs BEFORE choosing a salting factor for a
+# skewed join/agg (operators/joins.py salted_agg). Bucket = bit-length of
+# the per-key count (length of its binary rendering: exact integer math in
+# both engines — no float log2 whose boundary rounding could diverge).
+# Two hash aggregations, both with map-side combine.
+# --------------------------------------------------------------------------
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_key.withColumn("bucket", F.length(F.bin(F.col("c"))))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_rows_per_key"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SKEW_PROFILE_SQL = """
+WITH per_key AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
+SELECT CAST(length(printf('%b', c)) AS INTEGER) AS bucket,
+       COUNT(*) AS n_keys, SUM(c) AS n_rows, MAX(c) AS max_rows_per_key
+FROM per_key GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Hourly-volume anomaly detection: per event_type, flag hours whose event
+# count sits more than 2 population standard deviations from that type's
+# hourly mean. The 2σ test is evaluated in INTEGER arithmetic —
+# (c·n − s)² > 4·(n·ssq − s²) is |c − s/n| > 2σ with both sides scaled by
+# n² — so Spark and the oracle agree bit-for-bit (no float mean/stddev).
+# Operands stay < 2^63 while total events < ~3M·√hours; beyond that, cast
+# the same expressions to DECIMAL(38,0). Plan: one hourly hash agg, one
+# per-type stats agg broadcast back — two shuffles, both key-partitioned.
+# --------------------------------------------------------------------------
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+    )
+    dev = F.col("c") * F.col("n") - F.col("s")
+    var_n2 = F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(dev * dev > F.lit(4) * var_n2)
+        .select("event_type", "hour", "c")
+        .orderBy("event_type", "hour")
+    )
+
+
+_EVENT_ANOMALY_SQL = """
+WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1, 2),
+stats AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ssq
+          FROM hourly GROUP BY 1)
+SELECT h.event_type, h.hour, h.c
+FROM hourly h JOIN stats t ON h.event_type = t.event_type
+WHERE (h.c * t.n - t.s) * (h.c * t.n - t.s)
+      > 4 * (t.n * t.ssq - t.s * t.s)
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (CDC-style change detection): compare yesterday's orders
+# snapshot (o_orderkey % 11 != 0, totalprice as-was) with today's (every
+# 13th key re-priced, keys % 11 == 0 newly arrived) and classify each key
+# as added / removed / changed / unchanged — counted per class. The row
+# comparison hashes the non-key payload (md5 of a canonical concat) so the
+# diff never carries wide payloads through the join — at 100 TB the
+# full-outer join shuffles (key, 60-bit hash) pairs only. Both snapshots
+# derive deterministically from `orders` so the oracle replays the diff.
+# --------------------------------------------------------------------------
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = orders.filter(F.col("o_orderkey") % 11 != 0)
+    new = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        payload = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
+                "o_orderstatus",
+            )
+        )
+        return df.select("o_orderkey", payload.alias(f"h_{tag}"))
+
+    diff = hashed(old, "old").join(
+        hashed(new, "new"), "o_orderkey", "full_outer"
+    )
+    cls = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        diff.select(cls.alias("change"))
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("change")
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (SELECT o_orderkey,
+                    md5(concat_ws('|',
+                        CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR),
+                        o_orderstatus)) AS h_old
+             FROM orders WHERE o_orderkey % 11 != 0),
+new AS (SELECT o_orderkey,
+               md5(concat_ws('|',
+                   CAST(CAST(CASE WHEN o_orderkey % 13 = 0
+                             THEN o_totalprice + 1.0 ELSE o_totalprice END
+                        AS DECIMAL(15,2)) AS VARCHAR),
+                   o_orderstatus)) AS h_new
+        FROM orders)
+SELECT CASE WHEN h_old IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'removed'
+            WHEN h_old != h_new THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       COUNT(*) AS n_keys
+FROM old FULL OUTER JOIN new USING (o_orderkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit: for each foreign-key edge of the star
+# schema, count rows whose FK has no match in the parent (plus the rows
+# checked, so a clean run still reports). Each edge is one left-anti-
+# shaped aggregate — expressed as LEFT JOIN + COUNT(parent IS NULL) so all
+# edges union into one result. Dimension parents broadcast; the
+# lineitem→orders edge shuffles on the key like any fact join.
+# --------------------------------------------------------------------------
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def edge(
+        child: DataFrame, parent: DataFrame, fk: str, pk: str, name: str
+    ) -> DataFrame:
+        j = child.select(F.col(fk).alias("fk")).join(
+            parent.select(F.col(pk).alias("pk")),
+            F.col("fk") == F.col("pk"),
+            "left",
+        )
+        return j.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("pk").isNull(), 1)).alias("n_orphans"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    edges = [
+        edge(li, orders, "l_orderkey", "o_orderkey", "lineitem->orders"),
+        edge(orders, cust, "o_custkey", "c_custkey", "orders->customer"),
+        edge(cust, nation, "c_nationkey", "n_nationkey", "customer->nation"),
+        edge(supp, nation, "s_nationkey", "n_nationkey", "supplier->nation"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("fk_edge")
+
+
+_FK_INTEGRITY_SQL = """
+SELECT 'lineitem->orders' AS fk_edge, COUNT(*) AS n_rows,
+       COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders->customer', COUNT(*),
+       COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer->nation', COUNT(*),
+       COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'supplier->nation', COUNT(*),
+       COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END)
+FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY fk_edge
+"""
+
+
 QUERIES = {
     "incremental_agg": q_incremental_agg,
     "scd2_customer_merge": q_scd2_customer_merge,
     "rule_quarantine": q_rule_quarantine,
     "price_histogram": q_price_histogram,
+    "compaction_plan": q_compaction_plan,
+    "skew_profile": q_skew_profile,
+    "event_anomaly": q_event_anomaly,
+    "snapshot_diff": q_snapshot_diff,
+    "fk_integrity": q_fk_integrity,
 }
 
 ORACLE = {
@@ -191,4 +456,9 @@ ORACLE = {
     "scd2_customer_merge": _SCD2_SQL,
     "rule_quarantine": _QUARANTINE_SQL,
     "price_histogram": _HISTOGRAM_SQL,
+    "compaction_plan": _COMPACTION_SQL,
+    "skew_profile": _SKEW_PROFILE_SQL,
+    "event_anomaly": _EVENT_ANOMALY_SQL,
+    "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+    "fk_integrity": _FK_INTEGRITY_SQL,
 }

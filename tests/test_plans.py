@@ -254,3 +254,77 @@ def test_incremental_dedup_is_bipartite_equijoin(spark):
     df = all_queries()["dedup_incremental"](spark, SF_CORRECT)
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_substring_dedup_is_single_hash_agg(spark):
+    """Passage dedup must be explode → distinct → hash agg: equi-shapes
+    only, with a map-side partial phase ahead of each shuffle."""
+    df = all_queries()["substring_dedup"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial+final
+
+
+def test_phrase_search_broadcasts_top1(spark):
+    """The data-derived phrase is a 1-row build side: the postings⋈phrase
+    join must be a broadcast hash join, never a shuffle of the gram stream
+    against a 1-row table (or worse, a cartesian)."""
+    df = all_queries()["phrase_search"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_heavy_hitters_is_takeordered(spark):
+    """Top-k must reduce via TakeOrderedAndProject (per-partition top-25,
+    25-row driver merge) — not a global Sort of the vocabulary."""
+    df = all_queries()["heavy_hitters"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_skew_profile_and_anomaly_shapes(spark):
+    """skew_profile: two hash aggs, no join at all. event_anomaly: the
+    per-type stats side is tiny and must broadcast."""
+    plan = _plan(all_queries()["skew_profile"](spark, SF_CORRECT))
+    assert plan.count("HashAggregate") >= 4, plan  # two partial/final pairs
+    assert "Join" not in plan, plan
+
+    plan = _plan(all_queries()["event_anomaly"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_compaction_plan_windows_per_partition(spark):
+    """The next-fit cumsum must window PARTITION BY source (parallel across
+    partitions) — a global single-partition window would serialize the file
+    listing through one task."""
+    df = all_queries()["compaction_plan"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "Window" in plan, plan
+    # partitioned window → hashpartitioning exchange on source, never a
+    # SinglePartition exchange feeding the Window
+    import re
+
+    win_exch = re.findall(r"Exchange SinglePartition[^\n]*", plan)
+    assert not win_exch, plan
+
+
+def test_snapshot_diff_joins_hashed_payloads(spark):
+    """The CDC diff must full-outer join on the key carrying only 32-char
+    payload hashes — the plan's join keys are the order key and the
+    projected columns are the md5s, never the wide payload columns."""
+    df = all_queries()["snapshot_diff"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+
+
+def test_fk_integrity_broadcasts_dim_parents(spark):
+    """nation/customer parents are small: the audit edges against them must
+    broadcast; only fact->fact edges may shuffle."""
+    df = all_queries()["fk_integrity"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

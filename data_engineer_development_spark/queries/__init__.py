@@ -32,22 +32,42 @@ from data_engineer_development_spark.queries import (
     timeseries,
 )
 
-# Registry order. The driver samples the first 50 keys in insertion order,
-# so the front-listed modules are the ones needing a fresh driver row this
-# round: pipeline_e2e (the round-5 ANSI fix re-check), passage_ops (new this
-# round: substring_dedup / phrase_search / heavy_hitters), warehouse_ops
-# (new compaction_plan / skew_profile / event_anomaly), contract_extras
-# (streaming_running_totals' new oracle + multimodal NULL-text oracle fix),
-# text_analysis (text_normalize's first-ever row), then core / scalar_ops /
-# analytics — exactly 50 keys. Every pair — all entries, regardless of
-# order — stays verified by tests/test_oracle_parity.py under both ANSI
-# modes.
 _MODULES = [
     pipeline_e2e, passage_ops, warehouse_ops, contract_extras,
-    text_analysis, core, scalar_ops, analytics, timeseries, dedup,
-    similarity, corpus_ops, relational_ext, behavior,
+    text_analysis, core, scalar_ops, behavior, analytics,
+    timeseries, dedup, similarity, corpus_ops, relational_ext,
     training_mix, sampling, extras,
 ]
+
+# The driver samples the FIRST 50 registry keys each round for its
+# CORRECTNESS gate, so entries that have never earned a driver row (or
+# whose latest row was red) are pinned to the front explicitly — module
+# order alone can't express that across modules (round 5's text_normalize
+# lesson). Round-6 front: the round-5 red/weak rows (civil_pipeline_e2e
+# ANSI fix, streaming_running_totals' first real oracle) and every entry
+# added this round. The remaining ~half of the window refreshes in module
+# order. Every pair — all entries, regardless of order — stays verified by
+# tests/test_oracle_parity.py under both ANSI modes.
+_FRONT = [
+    # round-5 red rows, now fixed
+    "civil_pipeline_e2e", "streaming_running_totals",
+    # never driver-checked (added round 5 after the window)
+    "text_normalize", "text_familiarity", "text_length_trim",
+    # new this round
+    "substring_dedup", "phrase_search", "heavy_hitters",
+    "compaction_plan", "skew_profile", "event_anomaly",
+    "snapshot_diff", "fk_integrity", "range_partition_plan",
+    "supplier_pagerank", "priority_order_check", "market_share",
+    "sales_opportunity", "gapfill_daily",
+]
+
+
+def _ordered(full: dict) -> dict:
+    missing = [k for k in _FRONT if k not in full]
+    assert not missing, f"_FRONT names not in registry: {missing}"
+    out = {k: full[k] for k in _FRONT}
+    out.update((k, v) for k, v in full.items() if k not in out)
+    return out
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -56,11 +76,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         overlap = set(out) & set(m.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(m.QUERIES)
-    return out
+    return _ordered(out)
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
         out.update(m.ORACLE)
-    return out
+    return _ordered(out)

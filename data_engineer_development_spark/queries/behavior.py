@@ -177,11 +177,92 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Link analysis: integer-exact PageRank (operators/graph.py) over the
+# customer↔supplier interaction graph (DISTINCT trading pairs from
+# orders⋈lineitem, both directions — supplier ids offset by 1e6 into a
+# shared node space). 3 fixed rounds, damping 0.85, all arithmetic in
+# scaled BIGINTs with truncating division so result is independent of
+# partitioning/aggregation order — what makes an iterative float algorithm
+# hash-checkable. Oracle: the same three rounds unrolled as CTEs.
+# --------------------------------------------------------------------------
+_PR_OFFSET = 1_000_000
+_PR_TOPK = 20
+
+
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("c"),
+            (F.col("l_suppkey") + F.lit(_PR_OFFSET)).cast("long").alias("s"),
+        )
+        .distinct()
+    )
+    und = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(und, iterations=3)
+    return (
+        ranks.orderBy(F.col("rank").desc(), "id")
+        .limit(_PR_TOPK)
+        .select(F.col("id").alias("node_id"), "rank")
+    )
+
+
+_PAGERANK_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                  CAST(l_suppkey + {_PR_OFFSET} AS BIGINT) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+und AS (SELECT c AS src, s AS dst FROM pairs
+        UNION ALL SELECT s, c FROM pairs),
+deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+nodes AS (SELECT DISTINCT src AS id FROM und),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+r1 AS (SELECT n.id,
+              CAST(150000 + COALESCE(SUM((85 * r.rank) // (100 * d.deg)), 0)
+                   AS BIGINT) AS rank
+       FROM nodes n
+       LEFT JOIN und ON und.dst = n.id
+       LEFT JOIN r0 r ON r.id = und.src
+       LEFT JOIN deg d ON d.src = und.src
+       GROUP BY n.id),
+r2 AS (SELECT n.id,
+              CAST(150000 + COALESCE(SUM((85 * r.rank) // (100 * d.deg)), 0)
+                   AS BIGINT) AS rank
+       FROM nodes n
+       LEFT JOIN und ON und.dst = n.id
+       LEFT JOIN r1 r ON r.id = und.src
+       LEFT JOIN deg d ON d.src = und.src
+       GROUP BY n.id),
+r3 AS (SELECT n.id,
+              CAST(150000 + COALESCE(SUM((85 * r.rank) // (100 * d.deg)), 0)
+                   AS BIGINT) AS rank
+       FROM nodes n
+       LEFT JOIN und ON und.dst = n.id
+       LEFT JOIN r2 r ON r.id = und.src
+       LEFT JOIN deg d ON d.src = und.src
+       GROUP BY n.id)
+SELECT id AS node_id, rank FROM r3
+ORDER BY rank DESC, id LIMIT {_PR_TOPK}
+"""
+
+
 QUERIES = {
     "funnel_signup_purchase": q_funnel_signup_purchase,
     "retention_cohorts": q_retention_cohorts,
     "latest_event_per_user": q_latest_event_per_user,
     "salted_agg_event_types": q_salted_agg_event_types,
+    "supplier_pagerank": q_supplier_pagerank,
 }
 
 ORACLE = {
@@ -189,4 +270,5 @@ ORACLE = {
     "retention_cohorts": _RETENTION_SQL,
     "latest_event_per_user": _LATEST_EVENT_SQL,
     "salted_agg_event_types": _SALTED_AGG_SQL,
+    "supplier_pagerank": _PAGERANK_SQL,
 }

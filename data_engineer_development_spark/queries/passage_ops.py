@@ -99,8 +99,11 @@ ORDER BY gram
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     grams = _grams(docs, _PHRASE_N, with_pos=True)
+    # the frequency pass doesn't need positions — build it from the cheaper
+    # no-pos gram stream (no per-gram struct allocation)
     top1 = (
-        grams.groupBy("gram")
+        _grams(docs.select("doc_id", "text"), _PHRASE_N)
+        .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), "gram")
         .limit(1)

@@ -614,6 +614,209 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape (order priority checking), adapted to this slim schema:
+# the published Q4 flags orders with a line where l_commitdate <
+# l_receiptdate; those columns don't exist here, so the late-line predicate
+# becomes l_shipdate > o_orderdate + 60 days — same decorrelation shape
+# (EXISTS → left-semi join on the order key), same output (priority, count).
+# Catalyst turns the EXISTS into a shuffle semi-join on o_orderkey; the
+# date-window filter on orders prunes the probe side at the scan.
+# --------------------------------------------------------------------------
+_Q4_WINDOW = ("1996-07-01", "1996-10-01")
+_Q4_LATE_DAYS = 60
+
+
+def q_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _Q4_WINDOW[0])
+        & (F.col("o_orderdate") < _Q4_WINDOW[1])
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (
+            li.l_shipdate
+            > F.date_add(F.col("o_orderdate"), _Q4_LATE_DAYS)
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= DATE '{_Q4_WINDOW[0]}'
+  AND o_orderdate < DATE '{_Q4_WINDOW[1]}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape (national market share): of ECONOMY-type part volume sold
+# into the EUROPE region's customers by year, how much came from NATION_3
+# suppliers? Division semantics differ across engines at ulp level, so the
+# share ships as (numerator, denominator) decimal pair — the Q17 trick
+# (division-free decimal compare) applied to reporting. Plan: region →
+# nation → customer chain and both nation dims broadcast; the two big
+# fact joins (lineitem⋈orders, lineitem⋈part) shuffle on their keys; the
+# CASE numerator folds into the same aggregate pass as the denominator.
+# --------------------------------------------------------------------------
+_Q8_NATION = "NATION_3"
+_Q8_REGION = "EUROPE"
+_Q8_TYPE = "ECONOMY"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == _Q8_TYPE
+    )
+    nat_c = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q8_REGION
+    )
+    nat_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(5,4)")
+        - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(
+                nat_c.join(
+                    F.broadcast(region),
+                    nat_c.n_regionkey == region.r_regionkey,
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .withColumn("vol", vol)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == _Q8_NATION, F.col("vol")
+                    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("nation_volume"),
+            F.round(F.sum("vol"), 4).cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(ROUND(SUM(CASE WHEN n2.n_name = '{_Q8_NATION}'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                           * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END), 4) AS DOUBLE)
+           AS nation_volume,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DOUBLE)
+           AS total_volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = '{_Q8_TYPE}'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = '{_Q8_REGION}'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape (global sales opportunity), adapted: the published query
+# keys on phone country codes (no c_phone here), so the cohort is keyed on
+# the customer's nation. Semantics preserved: customers with
+# above-average positive balances who never ordered, counted per nation.
+# The avg compare is division-free (acctbal·N > S over the positive-balance
+# cohort, DECIMAL cross-multiply — the Q17 discipline); the "never ordered"
+# test is a left-anti join on o_custkey; the per-nation rollup broadcasts
+# the 25-row nation dim. The global (N, S) pair arrives via a 1-row
+# broadcast, not a collected scalar.
+# --------------------------------------------------------------------------
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(15,2)").alias("bal"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = load_table(spark, sf_dir, "nation")
+    pos = cust.filter(F.col("bal") > 0)
+    stats = pos.agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum("bal").alias("s_pos"),
+    )
+    rich = (
+        pos.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal") * F.col("n_pos") > F.col("s_pos"))
+        .select("c_custkey", "c_nationkey", "bal")
+    )
+    never_ordered = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        never_ordered.join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_Q22_SQL = """
+WITH pos AS (SELECT c_custkey, c_nationkey,
+                    CAST(c_acctbal AS DECIMAL(15,2)) AS bal
+             FROM customer WHERE CAST(c_acctbal AS DECIMAL(15,2)) > 0),
+stats AS (SELECT COUNT(*) AS n_pos, SUM(bal) AS s_pos FROM pos),
+rich AS (SELECT c_custkey, c_nationkey, bal
+         FROM pos, stats WHERE bal * n_pos > s_pos)
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(ROUND(SUM(bal), 2) AS DOUBLE) AS totacctbal
+FROM rich
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = rich.c_custkey)
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 QUERIES = {
     "exists_high_quantity": q_exists_high_quantity,
     "scalar_subquery_pricey_parts": q_scalar_subquery_pricey_parts,
@@ -631,6 +834,9 @@ QUERIES = {
     "disjunctive_revenue": q_disjunctive_revenue,
     "small_qty_revenue": q_small_qty_revenue,
     "waiting_suppliers": q_waiting_suppliers,
+    "priority_order_check": q_priority_order_check,
+    "market_share": q_market_share,
+    "sales_opportunity": q_sales_opportunity,
 }
 
 ORACLE = {
@@ -650,4 +856,7 @@ ORACLE = {
     "disjunctive_revenue": _DISJUNCTIVE_SQL,
     "small_qty_revenue": _SMALL_QTY_SQL,
     "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
+    "priority_order_check": _Q4_SQL,
+    "market_share": _Q8_SQL,
+    "sales_opportunity": _Q22_SQL,
 }

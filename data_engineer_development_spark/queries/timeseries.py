@@ -295,6 +295,55 @@ ORDER BY c.user_id, c_ts, p_ts
 """
 
 
+# --------------------------------------------------------------------------
+# Gap filling: the dense (event_type × day) grid with zero-filled missing
+# days — what a monitoring/forecasting consumer needs from a sparse daily
+# rollup. The day spine is generated from the global [min, max] date pair
+# (a 1-row broadcast), crossed with the distinct type dim — both
+# metadata-scale, so the "cross join" is a tiny dimension grid, never
+# data×data; the fact side then LEFT-joins onto the grid by its key.
+# --------------------------------------------------------------------------
+def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    types = daily.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_GAPFILL_SQL = """
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                AS day
+         FROM b),
+types AS (SELECT DISTINCT event_type FROM daily)
+SELECT t.event_type, d.day, COALESCE(daily.n, 0) AS n
+FROM days d CROSS JOIN types t
+LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_hourly": q_sliding_hourly,
@@ -303,6 +352,7 @@ QUERIES = {
     "stream_dedup_users": q_stream_dedup_users,
     "stream_enrich_join": q_stream_enrich_join,
     "stream_stream_join": q_stream_stream_join,
+    "gapfill_daily": q_gapfill_daily,
 }
 
 ORACLE = {
@@ -313,4 +363,5 @@ ORACLE = {
     "stream_dedup_users": _STREAM_DEDUP_SQL,
     "stream_enrich_join": _STREAM_ENRICH_SQL,
     "stream_stream_join": _STREAM_STREAM_JOIN_SQL,
+    "gapfill_daily": _GAPFILL_SQL,
 }

@@ -439,6 +439,76 @@ ORDER BY fk_edge
 """
 
 
+# --------------------------------------------------------------------------
+# Range-partition planner: the boundary table a sorted/range-partitioned
+# writer needs (Spark's repartitionByRange samples; this is the exact,
+# deterministic version a planner can pin). Prices collapse to 1000-wide
+# bins first — a BOUNDED domain, so the cumulative window runs over a tiny
+# histogram (same discipline as text_length_trim), never over rows. For
+# each of the 7 interior boundaries of an 8-way split, emit the first bin
+# whose cumulative count crosses k/8 of the total — pure integer
+# crossing test (8·cum ≥ k·N and 8·(cum−c) < k·N), bit-identical in both
+# engines.
+# --------------------------------------------------------------------------
+_RANGE_BINS = 1000
+_RANGE_SPLITS = 8
+
+
+def q_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") / _RANGE_BINS).alias("bin")
+    )
+    hist = orders.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy()
+    cum = hist.select(
+        "bin",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wtot).alias("n"),
+    )
+    k = F.explode(
+        F.sequence(F.lit(1), F.lit(_RANGE_SPLITS - 1))
+    ).alias("k")
+    return (
+        cum.select("bin", "c", "cum", "n", k)
+        .filter(
+            (_RANGE_SPLITS * F.col("cum") >= F.col("k") * F.col("n"))
+            & (
+                _RANGE_SPLITS * (F.col("cum") - F.col("c"))
+                < F.col("k") * F.col("n")
+            )
+        )
+        .select(
+            "k",
+            F.col("bin").alias("boundary_bin"),
+            F.col("cum").alias("cum_rows"),
+        )
+        .orderBy("k")
+    )
+
+
+_RANGE_PLAN_SQL = f"""
+WITH hist AS (SELECT CAST(FLOOR(o_totalprice / {_RANGE_BINS}) AS BIGINT)
+                     AS bin, COUNT(*) AS c
+              FROM orders GROUP BY 1),
+cum AS (SELECT bin, c,
+               SUM(c) OVER (ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS n
+        FROM hist)
+SELECT k, bin AS boundary_bin, cum AS cum_rows
+FROM cum, LATERAL unnest(range(1, {_RANGE_SPLITS})) AS u(k)
+WHERE {_RANGE_SPLITS} * cum >= k * n
+  AND {_RANGE_SPLITS} * (cum - c) < k * n
+ORDER BY k
+"""
+
+
 QUERIES = {
     "incremental_agg": q_incremental_agg,
     "scd2_customer_merge": q_scd2_customer_merge,
@@ -449,6 +519,7 @@ QUERIES = {
     "event_anomaly": q_event_anomaly,
     "snapshot_diff": q_snapshot_diff,
     "fk_integrity": q_fk_integrity,
+    "range_partition_plan": q_range_partition_plan,
 }
 
 ORACLE = {
@@ -461,4 +532,5 @@ ORACLE = {
     "event_anomaly": _EVENT_ANOMALY_SQL,
     "snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "fk_integrity": _FK_INTEGRITY_SQL,
+    "range_partition_plan": _RANGE_PLAN_SQL,
 }

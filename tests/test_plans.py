@@ -328,3 +328,64 @@ def test_fk_integrity_broadcasts_dim_parents(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_round_is_equijoin(spark):
+    """Each PageRank round must be an edges⋈ranks equi-join + hash agg —
+    no cartesian/nested-loop anywhere in the unrolled 3-round plan."""
+    df = all_queries()["supplier_pagerank"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # top-20, not a global sort
+
+
+def test_market_share_broadcasts_dims_and_prunes_part(spark):
+    """Q8: part (filtered on p_type), region→nation chain and supplier
+    nation must broadcast; no cartesian anywhere; the p_type filter reaches
+    the part scan."""
+    df = all_queries()["market_share"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert any(
+        "p_type" in seg[:400] for seg in plan.split("PushedFilters")[1:]
+    ), plan
+
+
+def test_sales_opportunity_shape(spark):
+    """Q22: the (N, S) stats pair is a 1-row broadcast (nested-loop against
+    one row is fine); the never-ordered test is a real anti join."""
+    df = all_queries()["sales_opportunity"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_priority_order_check_is_semi_join(spark):
+    """Q4: EXISTS must decorrelate to a semi join, and the date window must
+    reach the orders scan."""
+    df = all_queries()["priority_order_check"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gapfill_grid_is_dimension_cross(spark):
+    """The day×type grid may cross-join (both sides metadata-scale), but the
+    fact join onto the grid must be an equi-join, and the spine derives from
+    a 1-row bounds broadcast."""
+    df = all_queries()["gapfill_daily"](spark, SF_CORRECT)
+    plan = _plan(df)
+    # the only nested-loop is the tiny dimension grid; fact join is hash
+    assert "SortMergeJoin" not in plan or "LeftOuter" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_range_plan_windows_tiny_histogram(spark):
+    """The cumulative window must run over the binned histogram (bounded
+    domain), after a partial+final hash agg — the same
+    histogram-not-rows discipline as text_length_trim."""
+    df = all_queries()["range_partition_plan"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "Window" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan

@@ -58,7 +58,9 @@ _FRONT = [
     "compaction_plan", "skew_profile", "event_anomaly",
     "snapshot_diff", "fk_integrity", "range_partition_plan",
     "supplier_pagerank", "priority_order_check", "market_share",
-    "sales_opportunity", "gapfill_daily",
+    "sales_opportunity", "gapfill_daily", "vocab_coverage",
+    "export_jsonl_roundtrip", "variant_json_stats",
+    "stream_dedup_within_watermark",
 ]
 
 

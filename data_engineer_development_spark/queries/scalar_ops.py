@@ -166,9 +166,47 @@ FROM part ORDER BY p_partkey
 """
 
 
+# --------------------------------------------------------------------------
+# Spark 4 VARIANT path for semi-structured data: parse_json once into the
+# binary variant encoding, then extract typed fields with variant_get —
+# the at-scale replacement for get_json_object string re-parsing (each
+# get_json_object call re-parses the JSON text; a variant column parses
+# once and every extraction is a binary-offset read). Rolled up per
+# extracted value so the oracle checks the full distribution, not a
+# sample.
+# --------------------------------------------------------------------------
+def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.parse_json(F.col("props")).alias("var"), "event_type"
+    )
+    k = F.expr("variant_get(var, '$.k', 'long')")
+    return (
+        v.select("event_type", k.alias("k_value"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_value").alias("k_sum"),
+            F.min("k_value").alias("k_min"),
+            F.max("k_value").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "message_envelope": q_message_envelope,
     "json_extract": q_json_extract,
+    "variant_json_stats": q_variant_json_stats,
     "regexp_clean": q_regexp_clean,
     "string_funcs": q_string_funcs,
     "null_handling": q_null_handling,
@@ -176,6 +214,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "variant_json_stats": _VARIANT_SQL,
     "message_envelope": _MESSAGE_ENVELOPE_SQL,
     "json_extract": _JSON_EXTRACT_SQL,
     "regexp_clean": _REGEXP_CLEAN_SQL,

@@ -344,6 +344,51 @@ ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark (Spark 4 streaming dedup with BOUNDED
+# state): unlike dropDuplicates — whose per-key state lives forever unless
+# the key column set includes the event-time column — the WithinWatermark
+# variant evicts a key's state once the watermark passes its first-seen
+# timestamp, which is the only dedup whose state is bounded on an
+# unbounded stream. With the whole source draining in one micro-batch and
+# a 1-day delay, nothing is evicted mid-run, so the output equals exact
+# distinct — which is what the oracle pins (the arrival-order-independent
+# projection of it, counted per type).
+# --------------------------------------------------------------------------
+def q_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import uuid as _uuid
+
+    from data_engineer_development_spark.streaming import stream_events
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    deduped = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    name = f"q_ddww_{_uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(
+        deduped, name, output_mode="append", assert_single_batch=True,
+        state_partitions=4,
+    )
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+_STREAM_DDWW_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_hourly": q_sliding_hourly,
@@ -353,6 +398,7 @@ QUERIES = {
     "stream_enrich_join": q_stream_enrich_join,
     "stream_stream_join": q_stream_stream_join,
     "gapfill_daily": q_gapfill_daily,
+    "stream_dedup_within_watermark": q_stream_dedup_within_watermark,
 }
 
 ORACLE = {
@@ -364,4 +410,5 @@ ORACLE = {
     "stream_enrich_join": _STREAM_ENRICH_SQL,
     "stream_stream_join": _STREAM_STREAM_JOIN_SQL,
     "gapfill_daily": _GAPFILL_SQL,
+    "stream_dedup_within_watermark": _STREAM_DDWW_SQL,
 }

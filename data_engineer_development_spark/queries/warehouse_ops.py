@@ -407,11 +407,14 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
     edges = [
         edge(li, orders, "l_orderkey", "o_orderkey", "lineitem->orders"),
         edge(orders, cust, "o_custkey", "c_custkey", "orders->customer"),
         edge(cust, nation, "c_nationkey", "n_nationkey", "customer->nation"),
         edge(supp, nation, "s_nationkey", "n_nationkey", "supplier->nation"),
+        edge(emb, docs, "vec_id", "doc_id", "embeddings->documents"),
     ]
     out = edges[0]
     for e in edges[1:]:
@@ -435,6 +438,10 @@ UNION ALL
 SELECT 'supplier->nation', COUNT(*),
        COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END)
 FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'embeddings->documents', COUNT(*),
+       COUNT(CASE WHEN d.doc_id IS NULL THEN 1 END)
+FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
 ORDER BY fk_edge
 """
 

@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the deterministic kernels.
+
+These pin the invariants the oracle-parity machinery RELIES on but can
+only spot-check: the portable 60-bit md5 hash must agree between Python,
+DuckDB SQL, and Spark SQL for arbitrary inputs (every sketch/salt/sample
+operator builds on it), and the pure-numpy media codecs must roundtrip
+arbitrary pixel/sample payloads bit-exactly (the multimodal entries hash
+their decoded output).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_engineer_development_spark.functions.portable_hash import (
+    duck_md5_int,
+    spark_md5_int,
+)
+from data_engineer_development_spark.operators.codecs import (
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+)
+
+
+def _py_md5_int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# printable ASCII without quotes/backslash (they'd need SQL escaping the
+# production call sites never face: inputs there are hex digests and keys)
+_SAFE_TEXT = st.text(
+    alphabet=st.characters(
+        min_codepoint=32, max_codepoint=126, blacklist_characters="'\\\""
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_SAFE_TEXT)
+def test_portable_hash_python_equals_duckdb(s):
+    con = duckdb.connect()
+    got = con.execute(f"SELECT {duck_md5_int(f_sql(s))}").fetchone()[0]
+    con.close()
+    assert got == _py_md5_int(s)
+
+
+def f_sql(s: str) -> str:
+    return "'" + s + "'"
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_SAFE_TEXT, min_size=1, max_size=20, unique=True))
+def test_portable_hash_spark_equals_python(spark, ss):
+    df = spark.createDataFrame([(x,) for x in ss], "s string")
+    rows = df.selectExpr("s", f"{spark_md5_int('s')} AS h").collect()
+    for r in rows:
+        assert r["h"] == _py_md5_int(r["s"]), r["s"]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_ppm_roundtrip(w, h, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_bmp_roundtrip(w, h, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_wav_roundtrip(n, rate, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(2**15), 2**15, size=n, dtype=np.int16)
+    decoded, got_rate = decode_wav(encode_wav(samples, rate))
+    assert got_rate == rate
+    assert decoded.shape == (n, 1)  # decode contract: (frames, channels)
+    assert np.array_equal(decoded[:, 0], samples)

@@ -143,8 +143,14 @@ def run_civil_cases_pipeline(
     @pipe.stage("ingestion_raw_zone")
     def _raw(s: SparkSession) -> None:  # export_svg.py:143-205
         df = read_typed_csv(s, landing_path, RAW_SCHEMA, sep="\t", header=True)
-        # the landing file is one (gz) blob — spread before any downstream work
-        materialize(df.repartition(s.sparkContext.defaultParallelism),
+        # the landing file is one (gz) blob — spread before any downstream
+        # work. Hash-repartition on the key COLUMN (not a fixed width): an
+        # explicit repartition(N) pins N and disables AQE, so a 10k-row
+        # daily file would write 32 near-empty parquet files that every
+        # downstream zone then re-opens; hashing on DOCKET lets AQE
+        # coalesce to the data's natural width at small volume while still
+        # fanning out to the full shuffle width on a 100× day.
+        materialize(df.repartition(F.col("DOCKET")),
                     f"{z['raw']}.civil_cases")
 
     @pipe.stage("data_quality_zone")

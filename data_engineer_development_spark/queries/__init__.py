@@ -60,7 +60,8 @@ _FRONT = [
     "supplier_pagerank", "priority_order_check", "market_share",
     "sales_opportunity", "gapfill_daily", "vocab_coverage",
     "export_jsonl_roundtrip", "variant_json_stats",
-    "stream_dedup_within_watermark",
+    "stream_dedup_within_watermark", "recursive_reachability",
+    "lateral_topk_orders",
 ]
 
 

@@ -48,6 +48,44 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) driven to
+    completion; the order-independent accumulators (count/max/max-ts) make
+    the drained state equal the batch GROUP BY (_TWS_USER_STATS_SQL).
+
+    NOT in QUERIES: the TWS state server requires a working
+    google.protobuf, which this container lacks (ImportError: cannot
+    import name 'descriptor') — the query crashes at stream start through
+    no fault of the plan. tests/test_streaming.py carries the
+    skip-if-unavailable coverage; register here once the env has
+    protobuf."""
+    from data_engineer_development_spark.streaming import stream_events
+    from data_engineer_development_spark.streaming.stateful import (
+        user_stats_tws,
+    )
+    from data_engineer_development_spark.streaming.windows import (
+        latest_snapshots,
+        run_to_memory_sink,
+    )
+
+    name = f"q_tws_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(
+        user_stats_tws(stream_events(spark, sf_dir)),
+        name,
+        output_mode="update",
+    )
+    return latest_snapshots(
+        spark.table(name), ["user_id"], "n_events"
+    ).orderBy("user_id")
+
+
+_TWS_USER_STATS_SQL = """
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value,
+       MAX(ts) AS last_ts
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_kv_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KV upsert/delete/resolve over a scratch store: seeds entities from the
     nation table, overwrites one, tombstones one, returns the resolved view.

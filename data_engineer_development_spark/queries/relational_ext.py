@@ -817,6 +817,63 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): hop-bounded reachability over
+# the customer↔supplier trading graph — how many distinct counterparties
+# are within 1 and 2 hops of customer 1. The recursion is depth-bounded in
+# the CTE itself (hop < 2), so the UnionLoop executes exactly 3 rounds no
+# matter the data; each round is one equi-join against the edge list. The
+# oracle is the SAME text: DuckDB evaluates WITH RECURSIVE identically.
+# Complements operators/graph.py (hand-rolled iteration for UNBOUNDED
+# depth with checkpointing) with the declarative form for bounded walks.
+# --------------------------------------------------------------------------
+_RECURSIVE_REACH_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                  CAST(l_suppkey + 1000000 AS BIGINT) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s, c FROM pairs),
+reach(node, hop) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, r.hop + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hop < 2)
+SELECT hop, COUNT(DISTINCT node) AS n_nodes
+FROM reach GROUP BY hop ORDER BY hop
+"""
+
+
+def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_RECURSIVE_REACH_SQL)
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery with LIMIT (Spark 4): top-2 orders per
+# customer, written in the per-row idiom. Catalyst DECORRELATES it — the
+# physical plan is a broadcast/hash join plus a per-group rank, never a
+# per-customer nested loop (plan-asserted in tests/test_plans.py) — so the
+# SQL-surface convenience costs nothing at scale. Same text runs as the
+# DuckDB oracle.
+# --------------------------------------------------------------------------
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+WHERE c.c_custkey < 100
+ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+def q_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
 QUERIES = {
     "exists_high_quantity": q_exists_high_quantity,
     "scalar_subquery_pricey_parts": q_scalar_subquery_pricey_parts,
@@ -837,6 +894,8 @@ QUERIES = {
     "priority_order_check": q_priority_order_check,
     "market_share": q_market_share,
     "sales_opportunity": q_sales_opportunity,
+    "recursive_reachability": q_recursive_reachability,
+    "lateral_topk_orders": q_lateral_topk_orders,
 }
 
 ORACLE = {
@@ -859,4 +918,6 @@ ORACLE = {
     "priority_order_check": _Q4_SQL,
     "market_share": _Q8_SQL,
     "sales_opportunity": _Q22_SQL,
+    "recursive_reachability": _RECURSIVE_REACH_SQL,
+    "lateral_topk_orders": _LATERAL_TOPK_SQL,
 }

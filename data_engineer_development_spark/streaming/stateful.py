@@ -180,3 +180,78 @@ def gap_sessions(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4's arbitrary-stateful API, successor
+# to applyInPandasWithState): per-user running stats kept in a typed
+# ValueState. Differences that matter at scale: named state variables with
+# schemas (composable state per key), timers instead of a single timeout
+# conf, and first-class init/close lifecycle. The accumulators here
+# (count / max / max-ts) are order-independent, so the drained result is
+# exactly the batch GROUP BY — which is what the oracle checks.
+# --------------------------------------------------------------------------
+try:  # pragma: no cover - import guard exercised by availability itself
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    _TWS_AVAILABLE = True
+except ImportError:  # pyspark < 4.0
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _TWS_AVAILABLE = False
+
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+class UserStatsProcessor(StatefulProcessor):
+    """ValueState(count, max value, max event-time micros) per user."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState(
+            "stats", "n LONG, mx DOUBLE, last LONG"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, mx, last = 0, None, None
+        if self._state.exists():
+            n, mx, last = self._state.get()
+        for pdf in rows:
+            n += len(pdf)
+            if len(pdf):
+                bmx = float(pdf["value"].max())
+                mx = bmx if mx is None else max(mx, bmx)
+                bl = int(pd.to_datetime(pdf["ts"]).astype("int64").max() // 1000)
+                last = bl if last is None else max(last, bl)
+        self._state.update((n, mx, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [mx],
+                "last_ts": [pd.to_datetime(last, unit="us")],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, max value, last event time) via
+    transformWithStateInPandas."""
+    if not _TWS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError(
+            "transformWithStateInPandas requires pyspark >= 4.0"
+        )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStatsProcessor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

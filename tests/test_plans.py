@@ -389,3 +389,23 @@ def test_range_plan_windows_tiny_histogram(spark):
     plan = _plan(df)
     assert "Window" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_lateral_topk_decorrelates(spark):
+    """The LATERAL correlated LIMIT must decorrelate to a join + per-group
+    rank — never a per-row nested loop over orders."""
+    df = all_queries()["lateral_topk_orders"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "c_custkey" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_recursive_reachability_runs_bounded(spark):
+    """The hop guard keeps the UnionLoop at exactly 3 rounds; the plan must
+    stay free of cartesian shapes."""
+    df = all_queries()["recursive_reachability"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    rows = {r["hop"]: r["n_nodes"] for r in df.collect()}
+    assert rows[0] == 1 and rows[1] >= 1 and rows[2] >= rows[1], rows

@@ -60,3 +60,42 @@ def test_rocksdb_state_store_matches_default(spark):
         )
         is None
     )
+
+
+def _protobuf_ok() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_ok(),
+    reason="transformWithState's state server needs google.protobuf, "
+    "absent/broken in this container",
+)
+def test_tws_user_stats_matches_batch(spark):
+    """Spark 4 transformWithStateInPandas surface: drained running stats
+    equal the batch GROUP BY (order-independent accumulators)."""
+    from data_engineer_development_spark.queries.contract_extras import (
+        q_tws_user_stats,
+    )
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        r["user_id"]: (r["n_events"], r["max_value"])
+        for r in q_tws_user_stats(spark, SF_CORRECT).collect()
+    }
+    from data_engineer_development_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    exp = {
+        r["user_id"]: (r["n"], r["mx"])
+        for r in load_table(spark, SF_CORRECT, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == exp

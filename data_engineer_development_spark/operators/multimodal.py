@@ -292,3 +292,55 @@ def sample_frames(
     return media.mapInPandas(
         run, "media_id long, frame_idx int, ts_ms long, frame binary"
     )
+
+
+def synth_ppm_stream_media(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_frames: int = 3,
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Fixture encoder for FRAME STREAMS: one concatenated-P6 container per
+    row, ``n_frames`` solid frames, frame *i* colored by the first three
+    bytes of md5(utf8(text) + '#f' + i).
+
+    The per-frame md5 derivation makes every sampled frame's channel means
+    SQL-predictable (the same anchoring trick as synth_solid_ppm_media),
+    so the REAL stream container parse + per-frame decode inside
+    sample_frames sits inside the hash-checked oracle gate
+    (queries/contract_extras.py: ``multimodal_frame_sample``)."""
+    from data_engineer_development_spark.operators import codecs
+
+    meta = f'{{"w": {width}, "h": {height}, "frames": {n_frames}}}'
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for t in pdf[text_col]:
+                frames = []
+                for i in range(n_frames):
+                    rgb = hashlib.md5(
+                        ((t or "") + f"#f{i}").encode()
+                    ).digest()[:3]
+                    px = np.tile(
+                        np.frombuffer(rgb, dtype=np.uint8),
+                        (height, width, 1),
+                    )
+                    frames.append(codecs.encode_ppm(px))
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "mime": ["video/x-ppm-stream"] * len(payloads),
+                    "meta": [meta] * len(payloads),
+                }
+            )
+
+    return df.mapInPandas(
+        run, "media_id long, payload binary, mime string, meta string"
+    )

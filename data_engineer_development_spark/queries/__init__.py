@@ -61,7 +61,8 @@ _FRONT = [
     "sales_opportunity", "gapfill_daily", "vocab_coverage",
     "export_jsonl_roundtrip", "variant_json_stats",
     "stream_dedup_within_watermark", "recursive_reachability",
-    "lateral_topk_orders",
+    "lateral_topk_orders", "multimodal_frame_sample",
+    "er_candidate_pairs", "temporal_dim_join",
 ]
 
 

@@ -180,6 +180,56 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame-stream container parse → frame sampling → per-frame
+    decode, hash-checked.
+
+    Each document becomes a genuine 3-frame concatenated-P6 stream whose
+    frame *i* is solid md5(text + '#f' + i) color
+    (synth_ppm_stream_media). sample_frames asks for FOUR frames at 1 s
+    intervals — indices 0-2 hit stored frames, index 3 clamps to the last
+    stored frame (the real seek semantics) — and each emitted frame is
+    re-decoded to its channel means. The oracle recomputes every sampled
+    frame's red byte straight from md5 hex with the same clamp, so a bug
+    in the container split, the seek/clamp, or either codec direction
+    breaks the hash. Composite id (media_id·10 + frame_idx) carries the
+    frame key through extract_features losslessly (doc_id < 100,
+    frame_idx < 10)."""
+    from data_engineer_development_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.synth_ppm_stream_media(
+        docs.select("doc_id", "text"), "doc_id", "text", n_frames=3
+    )
+    frames = M.sample_frames(media, interval_ms=1000, duration_ms=4000)
+    composite = (
+        frames.select(
+            (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+            F.col("frame").alias("payload"),
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(None).cast("string").alias("meta"),
+        )
+    )
+    feats = M.extract_features(composite, dims=4)
+    return feats.select(
+        (F.col("media_id") / 10).cast("long").alias("doc_id"),
+        (F.col("media_id") % 10).cast("long").alias("frame_idx"),
+        F.round(F.col("embedding")[0] * 255).cast("long").alias("r_byte"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+# per-frame color = md5(text#fi); sampled index 3 clamps to stored frame 2
+_MULTIMODAL_FRAME_SAMPLE_SQL = """
+SELECT doc_id, i AS frame_idx,
+       CAST(CAST(concat('0x', substr(md5(concat(coalesce(text, ''), '#f',
+            CAST(LEAST(i, 2) AS VARCHAR))), 1, 2)) AS INTEGER) AS BIGINT)
+           AS r_byte
+FROM documents, LATERAL unnest(range(0, 4)) AS u(i)
+WHERE doc_id < 100
+ORDER BY doc_id, frame_idx
+"""
+
+
 # md5(coalesce(text,'')) mirrors synth_solid_ppm_media's (t or "") null
 # handling: a NULL-text doc gets the md5('') color on the Spark side, so
 # the oracle must hash the empty string too, not propagate NULL.
@@ -329,6 +379,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_metadata": q_multimodal_metadata,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 # streaming_running_totals is hash-checked as of round 6: the state kernel
@@ -363,6 +414,7 @@ ORACLE: dict[str, str] = {
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
     "multimodal_metadata": _MULTIMODAL_METADATA_SQL,
+    "multimodal_frame_sample": _MULTIMODAL_FRAME_SAMPLE_SQL,
     "stateful_sessions": _STATEFUL_SESSIONS_SQL,
     "manifest_source": _MANIFEST_SOURCE_SQL,
 }

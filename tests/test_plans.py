@@ -409,3 +409,30 @@ def test_recursive_reachability_runs_bounded(spark):
     assert "CartesianProduct" not in plan, plan
     rows = {r["hop"]: r["n_nodes"] for r in df.collect()}
     assert rows[0] == 1 and rows[1] >= 1 and rows[2] >= rows[1], rows
+
+
+def test_er_pairs_block_equijoin(spark):
+    """ER blocking must plan as an equi-join on the block key — the
+    levenshtein filter runs post-join, never as a cartesian condition."""
+    df = all_queries()["er_candidate_pairs"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_temporal_dim_join_broadcasts_versions(spark):
+    """The 2-version dim must broadcast; the as-of range rides the hash
+    join as its non-equi condition."""
+    df = all_queries()["temporal_dim_join"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_frame_sample_is_mapinpandas_chain(spark):
+    """The frame pipeline (synth → sample → features) must stay a narrow
+    executor-side chain: no shuffle except the final presentation sort."""
+    df = all_queries()["multimodal_frame_sample"](spark, SF_CORRECT)
+    plan = _plan(df)
+    body = plan.split("Sort")[0]
+    assert "Exchange hashpartitioning" not in body, plan

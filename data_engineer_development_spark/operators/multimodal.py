@@ -344,3 +344,50 @@ def synth_ppm_stream_media(
     return df.mapInPandas(
         run, "media_id long, payload binary, mime string, meta string"
     )
+
+
+def synth_wav_media(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunks: int = 4,
+    samples_per_chunk: int = 16,
+) -> DataFrame:
+    """Fixture encoder for AUDIO: one REAL 16-bit PCM WAV per row, built as
+    ``chunks`` constant-amplitude segments where segment *j*'s sample value
+    is md5(utf8(text)).digest()[j] * 64.
+
+    Constant segments make extract_features' chunked mean-absolute-
+    amplitude EXACT in SQL: byte*64/32768 = byte/512 is a dyadic rational,
+    representable in float32 with no rounding, so the oracle recovers the
+    digest byte with round(feature*512) — the audio dual of the
+    md5-colored image anchor."""
+    from data_engineer_development_spark.operators import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for t in pdf[text_col]:
+                digest = hashlib.md5((t or "").encode()).digest()
+                samples = np.repeat(
+                    np.array(
+                        [digest[j] * 64 for j in range(chunks)],
+                        dtype=np.int16,
+                    ),
+                    samples_per_chunk,
+                )
+                payloads.append(codecs.encode_wav(samples, rate=16000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "mime": ["audio/wav"] * len(payloads),
+                    "meta": ['{"rate": 16000}'] * len(payloads),
+                }
+            )
+
+    return df.mapInPandas(
+        run, "media_id long, payload binary, mime string, meta string"
+    )

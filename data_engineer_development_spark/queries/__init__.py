@@ -63,6 +63,7 @@ _FRONT = [
     "stream_dedup_within_watermark", "recursive_reachability",
     "lateral_topk_orders", "multimodal_frame_sample",
     "er_candidate_pairs", "temporal_dim_join",
+    "multimodal_audio_features", "stream_foreachbatch_upsert",
 ]
 
 

@@ -86,6 +86,85 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink pattern: each micro-batch MERGES per-user stats
+    into an external parquet state store — the production "upsert to an
+    external system" idiom (foreachBatch is the escape hatch Structured
+    Streaming offers for sinks with no native connector; at scale the
+    swap-directory store below becomes a Delta MERGE / KV multi-put, same
+    shape). The merge state (count sum, max ts) is associative and
+    commutative, so the final store equals the batch GROUP BY no matter
+    how the source splits into batches — which is what the oracle pins."""
+    import os
+    import shutil
+
+    from data_engineer_development_spark.streaming import stream_events
+
+    state_dir = os.path.join(
+        tempfile.gettempdir(), f"febu-{uuid.uuid4().hex}"
+    )
+
+    def upsert(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+        )
+        if os.path.exists(state_dir):
+            merged = (
+                sess.read.parquet(state_dir)
+                .unionByName(agg)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.max("last_ts").alias("last_ts"),
+                )
+            )
+        else:
+            merged = agg
+        # parquet dirs aren't transactional: land the merge beside the
+        # store, then atomically swap — the poor man's MERGE a real
+        # deployment replaces with a transactional sink
+        tmp = state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_events(spark, sf_dir)
+            .select("user_id", "ts")
+            .writeStream.foreachBatch(upsert)
+            .option(
+                "checkpointLocation",
+                os.path.join(
+                    tempfile.gettempdir(), f"febu-ckpt-{uuid.uuid4().hex}"
+                ),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(state_dir)
+            .orderBy("user_id")
+            .localCheckpoint()  # materialize BEFORE the store dir vanishes
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return out
+
+
+_FOREACHBATCH_SQL = """
+SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_kv_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KV upsert/delete/resolve over a scratch store: seeds entities from the
     nation table, overwrites one, tombstones one, returns the resolved view.
@@ -227,6 +306,44 @@ SELECT doc_id, i AS frame_idx,
 FROM documents, LATERAL unnest(range(0, 4)) AS u(i)
 WHERE doc_id < 100
 ORDER BY doc_id, frame_idx
+"""
+
+
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode → amplitude features, hash-checked (the audio dual
+    of multimodal_features).
+
+    Each document becomes a genuine 16-bit PCM WAV of four constant-
+    amplitude segments valued md5(text).digest()[j]*64
+    (synth_wav_media); extract_features actually parses the RIFF header
+    and PCM frames (operators/codecs.py) and recovers per-chunk
+    mean-absolute amplitudes — dyadic rationals the oracle reproduces from
+    md5 hex with round(f*512), so a header-offset, endianness, or
+    sample-width bug breaks the hash."""
+    from data_engineer_development_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.synth_wav_media(docs.select("doc_id", "text"), "doc_id", "text")
+    feats = M.extract_features(media, dims=4)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        *[
+            F.round(F.col("embedding")[j] * 512).cast("long").alias(f"a{j}")
+            for j in range(4)
+        ],
+    ).orderBy("media_id")
+
+
+# digest byte j = hex pair (2j+1, 2j+2); WAV size = 44-byte RIFF header
+# + 64 samples * 2 bytes
+_MULTIMODAL_AUDIO_SQL = """
+SELECT doc_id AS media_id, CAST(172 AS BIGINT) AS n_bytes,
+       CAST(CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 2)) AS INTEGER) AS BIGINT) AS a0,
+       CAST(CAST(concat('0x', substr(md5(coalesce(text, '')), 3, 2)) AS INTEGER) AS BIGINT) AS a1,
+       CAST(CAST(concat('0x', substr(md5(coalesce(text, '')), 5, 2)) AS INTEGER) AS BIGINT) AS a2,
+       CAST(CAST(concat('0x', substr(md5(coalesce(text, '')), 7, 2)) AS INTEGER) AS BIGINT) AS a3
+FROM documents WHERE doc_id < 100 ORDER BY media_id
 """
 
 
@@ -373,6 +490,7 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
 
 QUERIES = {
     "streaming_running_totals": q_streaming_running_totals,
+    "stream_foreachbatch_upsert": q_stream_foreachbatch_upsert,
     "stateful_sessions": q_stateful_sessions,
     "manifest_source": q_manifest_source,
     "kv_store_roundtrip": q_kv_store_roundtrip,
@@ -380,6 +498,7 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_audio_features": q_multimodal_audio_features,
 }
 
 # streaming_running_totals is hash-checked as of round 6: the state kernel
@@ -410,11 +529,13 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 ORACLE: dict[str, str] = {
     "streaming_running_totals": _STREAMING_RUNNING_TOTALS_SQL,
+    "stream_foreachbatch_upsert": _FOREACHBATCH_SQL,
     "kv_store_roundtrip": _KV_ROUNDTRIP_SQL,
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
     "multimodal_metadata": _MULTIMODAL_METADATA_SQL,
     "multimodal_frame_sample": _MULTIMODAL_FRAME_SAMPLE_SQL,
+    "multimodal_audio_features": _MULTIMODAL_AUDIO_SQL,
     "stateful_sessions": _STATEFUL_SESSIONS_SQL,
     "manifest_source": _MANIFEST_SOURCE_SQL,
 }

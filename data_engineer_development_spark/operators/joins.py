@@ -233,3 +233,47 @@ def asof_join(
         F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in right_payload
     ]
     return filled.filter(F.col("__side") == 1).select(*left_cols, *out_payload)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    row_salt: Column,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-mitigating equi-join: spread a hot fact key over
+    ``salt_buckets`` reducers by salting the FACT side with a per-row value
+    and replicating the DIM side once per salt.
+
+    ``row_salt`` must be derived from a column that varies WITHIN a join
+    key (e.g. ``xxhash64(order_id)`` when joining on ``customer_id``) —
+    salting by the join key itself would put a hot key's rows back into one
+    bucket. The salt is deterministic (hash, not rand) so results are
+    reproducible and retries/speculative tasks agree.
+
+    Cost model: the dim side shuffles ``salt_buckets``× its size; the fact
+    side shuffles once as before but with a ``salt_buckets``× finer key.
+    Worth it only when one reducer would otherwise hold a key with more
+    rows than fit in an executor — AQE's skew-join split
+    (``spark.sql.adaptive.skewJoin``) is the zero-code first line of
+    defense; this is the portable explicit form for engines/joins AQE
+    can't split (e.g. a subsequent keyed aggregation on the same hot key,
+    see ``salted_agg``).
+
+    Result is EXACTLY the plain inner join (each fact row meets each
+    matching dim row exactly once — the replicated dim copy with the
+    matching salt).
+    """
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(row_salt, F.lit(salt_buckets)).cast("int")
+    )
+    rep = dim.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    cond = (salted_fact[fact_key] == rep[dim_key]) & (
+        salted_fact["__salt"] == rep["__salt"]
+    )
+    return salted_fact.join(rep.hint("merge"), cond, "inner").drop("__salt")

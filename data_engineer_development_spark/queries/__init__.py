@@ -22,9 +22,12 @@ from data_engineer_development_spark.queries import (
     extras,
     passage_ops,
     pipeline_e2e,
+    quality_rules,
     relational_ext,
+    relational_more,
     sampling,
     scalar_ops,
+    scale_patterns,
     similarity,
     text_analysis,
     training_mix,
@@ -36,6 +39,7 @@ _MODULES = [
     pipeline_e2e, passage_ops, warehouse_ops, contract_extras,
     text_analysis, core, scalar_ops, behavior, analytics,
     timeseries, dedup, similarity, corpus_ops, relational_ext,
+    relational_more, quality_rules, scale_patterns,
     training_mix, sampling, extras,
 ]
 
@@ -64,6 +68,11 @@ _FRONT = [
     "lateral_topk_orders", "multimodal_frame_sample",
     "er_candidate_pairs", "temporal_dim_join",
     "multimodal_audio_features", "stream_foreachbatch_upsert",
+    # round-6 wave 2 (relational_more / quality_rules / scale_patterns)
+    "forecast_revenue", "late_shipment_priority", "top_revenue_supplier",
+    "product_type_profit", "ntile_deciles", "nation_price_corr",
+    "quality_gopher_rules", "text_diversity", "mix_temperature",
+    "salted_skew_join",
 ]
 
 

@@ -217,3 +217,26 @@ def test_jaccard_pruned_mode_and_hash_keys(spark):
     assert loose == base and len(base) > 0
     tight = jaccard_pairs(docs, "doc_id", "sh", 0.1, max_doc_freq=2).collect()
     assert len(tight) <= len(base)
+
+
+def test_salted_join_plan_and_equivalence(spark):
+    """salted_join must (a) actually salt the shuffle — a sort-merge join
+    whose keys include __salt — and (b) be value-identical to the plain
+    join (the oracle entry re-checks this against DuckDB)."""
+    from data_engineer_development_spark.operators.joins import salted_join
+
+    orders = load_table(spark, SF_CORRECT, "orders")
+    cust = load_table(spark, SF_CORRECT, "customer")
+    joined = salted_join(
+        orders, cust, "o_custkey", "c_custkey",
+        row_salt=F.xxhash64("o_orderkey"), salt_buckets=4,
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "__salt" in plan, plan[:2000]
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    assert joined.count() == plain.count()
+    key_sum = joined.agg(F.sum("o_orderkey")).collect()[0][0]
+    assert key_sum == plain.agg(F.sum("o_orderkey")).collect()[0][0]

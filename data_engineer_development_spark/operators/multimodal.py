@@ -391,3 +391,126 @@ def synth_wav_media(
     return df.mapInPandas(
         run, "media_id long, payload binary, mime string, meta string"
     )
+
+
+def synth_split_ppm_media(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Fixture encoder: one REAL two-color P6 payload per row — the left
+    half is colored by md5(text) and the right half by md5(text + '#b').
+
+    A NON-uniform image is what makes a perceptual hash nontrivial: the
+    aHash of a solid image is all-zeros by construction. Like
+    synth_solid_ppm_media, the md5-derived colors keep every downstream
+    pixel statistic independently computable in plain SQL, anchoring the
+    real decode→hash path inside the hash-checked oracle gate.
+    """
+    from data_engineer_development_spark.operators import codecs
+
+    meta = f'{{"w": {width}, "h": {height}}}'
+    half = width // 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for t in pdf[text_col]:
+                s = (t or "").encode()
+                left = np.frombuffer(hashlib.md5(s).digest()[:3], np.uint8)
+                right = np.frombuffer(
+                    hashlib.md5(s + b"#b").digest()[:3], np.uint8
+                )
+                px = np.empty((height, width, 3), dtype=np.uint8)
+                px[:, :half] = left
+                px[:, half:] = right
+                payloads.append(codecs.encode_ppm(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "mime": ["image/x-portable-pixmap"] * len(payloads),
+                    "meta": [meta] * len(payloads),
+                }
+            )
+
+    return df.mapInPandas(
+        run, "media_id long, payload binary, mime string, meta string"
+    )
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash over REAL decoded images: integer luma →
+    ``grid``×``grid`` block means → threshold at the global mean → packed
+    bitmap. The standard cheap near-duplicate-image key (exact-match or
+    small-hamming-match on the hash buckets visually identical images).
+
+    Every step is INTEGER arithmetic (luma = (299R+587G+114B)//1000, block
+    mean = sum//count, global mean = sum//n_blocks, strict > threshold), so
+    the hash is bit-identical across executors, engines, and BLAS builds —
+    a float-mean aHash could flip a threshold-straddling bit between
+    platforms and silently split a dedup bucket.
+
+    Emitted as two 32-bit words (``ahash_hi``/``ahash_lo``) rather than one
+    int64: bit 63 of a packed uint64 doesn't survive a signed BIGINT round
+    trip through Arrow/SQL engines without sign contortions.
+
+    Requires image dimensions divisible by ``grid`` (netpbm fixtures are;
+    a production corpus resizes first — resize_images). Scale: one
+    mapInPandas pass, payloads never leave the executor; downstream
+    grouping shuffles only (id, two ints).
+    """
+    from data_engineer_development_spark.operators import codecs
+
+    if grid * grid > 64:
+        raise ValueError("image_ahash: grid*grid must fit 64 bits")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            his, los = [], []
+            for p, m in zip(pdf["payload"], pdf["mime"]):
+                img = codecs.decode_media(p, m)
+                if img["kind"] != "image":
+                    raise ValueError("image_ahash: non-image payload")
+                px = img["pixels"].astype(np.int64)
+                luma = (
+                    299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                ) // 1000
+                h, w = luma.shape
+                if h % grid or w % grid:
+                    raise ValueError(
+                        f"image_ahash: {h}x{w} not divisible by grid {grid}"
+                    )
+                bh, bw = h // grid, w // grid
+                blocks = (
+                    luma.reshape(grid, bh, grid, bw).sum(axis=(1, 3))
+                    // (bh * bw)
+                )
+                mean = blocks.sum() // (grid * grid)
+                bits = (blocks > mean).ravel()  # row-major, k = row*grid+col
+                # each 32-bit word gets its own 2^0..2^31 weights — packing
+                # all 64 bits into one int64 would need 1<<63, which is
+                # already negative in both numpy and SQL BIGINT
+                weights = 1 << np.arange(32, dtype=np.int64)
+                lo_bits, hi_bits = bits[:32], bits[32:64]
+                packed_lo = int((lo_bits * weights[: lo_bits.size]).sum())
+                packed_hi = int((hi_bits * weights[: hi_bits.size]).sum())
+                his.append(packed_hi)
+                los.append(packed_lo)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash_hi": his,
+                    "ahash_lo": los,
+                }
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, ahash_hi long, ahash_lo long"
+    )

@@ -72,7 +72,7 @@ _FRONT = [
     "forecast_revenue", "late_shipment_priority", "top_revenue_supplier",
     "product_type_profit", "ntile_deciles", "nation_price_corr",
     "quality_gopher_rules", "text_diversity", "mix_temperature",
-    "salted_skew_join",
+    "salted_skew_join", "multimodal_image_ahash", "bpe_pair_counts",
 ]
 
 

@@ -13,7 +13,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineer_development_spark.sources import load_table
@@ -488,6 +488,64 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
 """
 
 
+def q_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode → perceptual average-hash → dedup buckets, hash-checked.
+
+    Each document becomes a genuine two-color 16×16 P6 image (left half
+    md5(text), right half md5(text+'#b') — synth_split_ppm_media);
+    image_ahash actually decodes the raster, computes integer luma, 8×8
+    block means, thresholds at the global mean and packs the 64-bit hash as
+    two 32-bit words. For a half/half image the bitmap is closed-form from
+    the two luma values (brighter half's bits set; equal → all clear), so
+    the DuckDB oracle predicts BOTH words and the per-hash dedup bucket
+    sizes straight from md5 hex — a bug in the codec, luma, block fold,
+    threshold, or packing breaks the hash match."""
+    from data_engineer_development_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.synth_split_ppm_media(
+        docs.select("doc_id", "text"), "doc_id", "text"
+    )
+    hashed = M.image_ahash(media, grid=8)
+    w = Window.partitionBy("ahash_hi", "ahash_lo")
+    return (
+        hashed.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "ahash_hi",
+            "ahash_lo",
+            "bucket_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# left/right luma from md5 hex; brighter half's 4-of-each-8 bits set in
+# both words (rows 0-3 -> lo, rows 4-7 -> hi, so the words are equal):
+# left cols 0-3 -> 0x0F0F0F0F, right cols 4-7 -> 0xF0F0F0F0
+_MULTIMODAL_AHASH_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         (299 * CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 2)) AS INTEGER)
+          + 587 * CAST(concat('0x', substr(md5(coalesce(text, '')), 3, 2)) AS INTEGER)
+          + 114 * CAST(concat('0x', substr(md5(coalesce(text, '')), 5, 2)) AS INTEGER)
+         ) // 1000 AS ga,
+         (299 * CAST(concat('0x', substr(md5(concat(coalesce(text, ''), '#b')), 1, 2)) AS INTEGER)
+          + 587 * CAST(concat('0x', substr(md5(concat(coalesce(text, ''), '#b')), 3, 2)) AS INTEGER)
+          + 114 * CAST(concat('0x', substr(md5(concat(coalesce(text, ''), '#b')), 5, 2)) AS INTEGER)
+         ) // 1000 AS gb
+  FROM documents WHERE doc_id < 100),
+h AS (
+  SELECT doc_id,
+         CAST(CASE WHEN ga > gb THEN 252645135
+                   WHEN gb > ga THEN 4042322160 ELSE 0 END AS BIGINT) AS w
+  FROM g)
+SELECT doc_id, w AS ahash_hi, w AS ahash_lo,
+       COUNT(*) OVER (PARTITION BY w) AS bucket_size
+FROM h ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "streaming_running_totals": q_streaming_running_totals,
     "stream_foreachbatch_upsert": q_stream_foreachbatch_upsert,
@@ -499,6 +557,7 @@ QUERIES = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_audio_features": q_multimodal_audio_features,
+    "multimodal_image_ahash": q_multimodal_image_ahash,
 }
 
 # streaming_running_totals is hash-checked as of round 6: the state kernel
@@ -536,6 +595,7 @@ ORACLE: dict[str, str] = {
     "multimodal_metadata": _MULTIMODAL_METADATA_SQL,
     "multimodal_frame_sample": _MULTIMODAL_FRAME_SAMPLE_SQL,
     "multimodal_audio_features": _MULTIMODAL_AUDIO_SQL,
+    "multimodal_image_ahash": _MULTIMODAL_AHASH_SQL,
     "stateful_sessions": _STATEFUL_SESSIONS_SQL,
     "manifest_source": _MANIFEST_SOURCE_SQL,
 }

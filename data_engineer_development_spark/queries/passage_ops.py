@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_engineer_development_spark.operators import text as T
 from data_engineer_development_spark.sources import load_table
 
 #: fixed passage width (words). 8 is the smallest width at which the
@@ -284,12 +285,55 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE/WordPiece tokenizer training: corpus-wide
+    adjacent-pair frequencies, top 20. (A full BPE trainer iterates
+    merge→recount; each round is exactly this plan, so the one-round
+    entry pins the building block.)
+
+    Plan: per-doc pair explode (row-local struct build, no shuffle) →
+    hash agg with map-side combine → TakeOrdered top-20. The LIMIT
+    boundary is made deterministic by the full (count DESC, left, right)
+    tie-break ordering. Scale: identical shape to heavy_hitters; the pair
+    vocabulary is larger than the unigram one but partial aggregation
+    absorbs the hot pairs before the exchange."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", T.tokens())
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS a, t[i+1] AS b))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("token_left"), F.col("p.b").alias("token_right")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "token_left", "token_right")
+        .limit(20)
+    )
+
+
+_BPE_PAIR_COUNTS_SQL = """
+WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+p AS (SELECT t[i] AS token_left, t[i + 1] AS token_right
+      FROM d, LATERAL unnest(range(1, len(t))) AS u(i))
+SELECT token_left, token_right, COUNT(*) AS n_pairs
+FROM p GROUP BY 1, 2
+ORDER BY n_pairs DESC, token_left, token_right
+LIMIT 20
+"""
+
+
 QUERIES = {
     "substring_dedup": q_substring_dedup,
     "phrase_search": q_phrase_search,
     "heavy_hitters": q_heavy_hitters,
     "vocab_coverage": q_vocab_coverage,
     "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
+    "bpe_pair_counts": q_bpe_pair_counts,
 }
 
 ORACLE = {
@@ -298,4 +342,5 @@ ORACLE = {
     "heavy_hitters": _HEAVY_HITTERS_SQL,
     "vocab_coverage": _VOCAB_COVERAGE_SQL,
     "export_jsonl_roundtrip": _EXPORT_SQL,
+    "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
 }

@@ -289,3 +289,59 @@ def simhash(df: DataFrame, id_col: str, tokens_col: str, bits: int = 32) -> Data
         for b in range(bits)
     )
     return hashed.select(id_col, F.expr(f"cast({bit_terms} as bigint)").alias("simhash"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    tau: float,
+    hash_join_keys: bool = True,
+) -> DataFrame:
+    """All pairs with max-directional shingle containment
+    ``|A∩B| / min(|A|,|B|) ≥ tau``.
+
+    Containment is the asymmetric complement to Jaccard: a short document
+    fully embedded in a long one (quote farms, boilerplate wrappers,
+    truncated re-crawls) has containment 1.0 but arbitrarily low Jaccard —
+    ``jaccard_pairs`` never flags it. Using min() of the two sizes makes
+    the score symmetric over the pair while preserving "smaller side is
+    (nearly) a subset" semantics.
+
+    Same single-posting-equi-join plan as ``jaccard_pairs`` (one exploded
+    self-join on the 60-bit md5 shingle key + one pair aggregate); the
+    division is int/int in IEEE double so both engines agree exactly. At
+    100 TB the same skew note applies: prune ubiquitous boilerplate
+    shingles with a doc-frequency cap before the join (see
+    ``shingle_sets``'s max_doc_freq) — a shingle in every document would
+    otherwise quadratically dominate the pair stream.
+    """
+    sh_expr = shingles_col
+    if hash_join_keys:
+        sh_expr = f"transform({shingles_col}, x -> {spark_md5_int('x')})"
+    posts = df.select(
+        F.col(id_col),
+        F.explode(F.expr(sh_expr)).alias("s"),
+        F.size(shingles_col).alias("n"),
+    ).persist()
+    a = posts.select(F.col(id_col).alias("id1"), "s", F.col("n").alias("n1"))
+    b = posts.select(F.col(id_col).alias("id2"), "s", F.col("n").alias("n2"))
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "containment",
+            F.col("c").cast("double")
+            / F.least("n1", "n2").cast("double"),
+        )
+        .filter(F.col("containment") >= tau)
+        .select("id1", "id2", "containment")
+    )

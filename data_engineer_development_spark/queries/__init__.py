@@ -73,6 +73,7 @@ _FRONT = [
     "product_type_profit", "ntile_deciles", "nation_price_corr",
     "quality_gopher_rules", "text_diversity", "mix_temperature",
     "salted_skew_join", "multimodal_image_ahash", "bpe_pair_counts",
+    "dedup_containment", "rolling_median_value", "ann_recall_eval",
 ]
 
 

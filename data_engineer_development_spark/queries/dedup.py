@@ -108,6 +108,36 @@ SELECT id1, id2, jaccard FROM vp ORDER BY id1, id2
 
 
 # --------------------------------------------------------------------------
+# Max-directional containment pairs: catches subset-duplicates (short doc
+# embedded in a long one) that Jaccard structurally under-scores.
+# --------------------------------------------------------------------------
+CONTAINMENT_TAU = 0.4
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_shingles(spark, sf_dir)
+    return D.containment_pairs(
+        docs, "doc_id", "sh", CONTAINMENT_TAU
+    ).orderBy("id1", "id2")
+
+
+_DEDUP_CONTAINMENT_SQL = f"""
+WITH {_DUCK_SHINGLES},
+p AS (SELECT doc_id, unnest(list_transform(sh, x -> {duck_md5_int('x')})) AS sg,
+             len(sh) AS n FROM s),
+i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c,
+             any_value(a.n) AS n1, any_value(b.n) AS n2
+      FROM p a JOIN p b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+SELECT id1, id2,
+       CAST(c AS DOUBLE) / CAST(LEAST(n1, n2) AS DOUBLE) AS containment
+FROM i
+WHERE CAST(c AS DOUBLE) / CAST(LEAST(n1, n2) AS DOUBLE) >= {CONTAINMENT_TAU}
+ORDER BY id1, id2
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash signatures (the sketch itself — verifies permutation arithmetic).
 # --------------------------------------------------------------------------
 def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,6 +287,7 @@ ORDER BY id1, id2
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_containment": q_dedup_containment,
     "dedup_minhash_sigs": q_dedup_minhash_sigs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -266,6 +297,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_jaccard": _DEDUP_JACCARD_SQL,
+    "dedup_containment": _DEDUP_CONTAINMENT_SQL,
     "dedup_minhash_sigs": _minhash_sigs_sql(),
     "dedup_minhash_lsh": _minhash_lsh_sql(),
     "dedup_simhash": _simhash_sql(),

@@ -220,8 +220,9 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_SQL = f"""
-WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+# shared WITH-chain: IVF assignment → in-cell ranked candidates (reused by
+# the recall-eval oracle below)
+_IVF_CTES = f"""cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
                WHERE vec_id <= {_IVF_K}),
 scored AS (SELECT v.vec_id, v.embedding,
                   c.cent_id,
@@ -239,9 +240,89 @@ pairs AS (SELECT q.query_id, a.vec_id AS neighbor_id,
           FROM q JOIN assigned a USING (cell)
           WHERE q.query_id <> a.vec_id),
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                        ORDER BY cosine DESC, neighbor_id) AS rk FROM pairs)
+                        ORDER BY cosine DESC, neighbor_id) AS rk FROM pairs)"""
+
+_IVF_SQL = f"""
+WITH {_IVF_CTES}
 SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= {_IVF_TOPK}
 ORDER BY query_id, rk
+"""
+
+
+# --------------------------------------------------------------------------
+# ANN quality eval: recall@k of the 1-probe IVF answer against exact brute
+# force — the "measure, don't guess" harness every approximate index needs
+# before it replaces the exact path. Recall = |IVF∩BF| / k per query; the
+# IVF side reuses q_sim_ivf_topk's plan verbatim, the brute side broadcasts
+# the 3 queries against the full index (the exact baseline is a full scan
+# BY DEFINITION — its cost is the reason IVF exists).
+# --------------------------------------------------------------------------
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = vecs.filter(F.col("vec_id").isin(_IVF_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm_expr("embedding").alias("qn"),
+    )
+    bf_pairs = (
+        vecs.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("nv"),
+            norm_expr("embedding").alias("nn"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", seq_dot("qv", "nv") / (F.col("qn") * F.col("nn"))
+        )
+    )
+    wbf = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    bf_top = (
+        bf_pairs.withColumn("rk", F.row_number().over(wbf))
+        .filter(F.col("rk") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    ivf_top = q_sim_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf_top.join(ivf_top, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bf"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_matched"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_matched").cast("double") / F.lit(float(_IVF_TOPK)),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ANN_RECALL_SQL = f"""
+WITH {_IVF_CTES},
+ivf AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= {_IVF_TOPK}),
+bfq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id IN ({", ".join(map(str, _IVF_QUERY_IDS))})),
+bf AS (SELECT bfq.query_id, v.vec_id AS neighbor_id,
+              {_duck_cosine('bfq.qv', 'v.embedding')} AS cosine
+       FROM bfq JOIN embeddings v ON v.vec_id <> bfq.query_id),
+bftop AS (SELECT query_id, neighbor_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rk
+                FROM bf)
+          WHERE rk <= {_IVF_TOPK})
+SELECT b.query_id,
+       COUNT(*) AS n_bf,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / {_IVF_TOPK} AS recall
+FROM bftop b
+LEFT JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY b.query_id ORDER BY b.query_id
 """
 
 
@@ -306,6 +387,7 @@ ORDER BY promo_id, o_orderkey
 QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "ann_recall_eval": q_ann_recall_eval,
     "range_join_promos": q_range_join_promos,
     "pivot_status": q_pivot_status,
     "array_agg_orders": q_array_agg_orders,
@@ -321,4 +403,5 @@ ORACLE = {
     "date_funcs": _DATE_FUNCS_SQL,
     "token_count_bpe": _TOKEN_BPE_SQL,
     "sim_ivf_topk": _IVF_SQL,
+    "ann_recall_eval": _ANN_RECALL_SQL,
 }

@@ -389,6 +389,48 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Exact rolling median (7-row trailing window per user) — the robust
+# smoother for noisy telemetry (a rolling MEAN is wrecked by one spike).
+# Values are scaled to integer cents first: both engines then interpolate
+# the median as exact half-integers (Spark computes lo+(hi-lo)*0.5, DuckDB
+# (lo+hi)/2 — identical doubles ONLY because the operands are integers;
+# on raw doubles the two formulas can differ in the last ulp). The ROWS
+# frame is made deterministic by the (ts, event_id) total order.
+# Scale: one shuffle on user_id; the per-row percentile re-sorts only a
+# 7-element frame.
+# --------------------------------------------------------------------------
+def q_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    med = F.expr("percentile(v_cents, 0.5)")
+    return (
+        ev.withColumn("v_cents", cents)
+        .withColumn("med_cents", med.over(w))
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("med_cents") / 100.0).alias("rolling_median"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ROLLING_MEDIAN_SQL = """
+SELECT event_id, user_id,
+       quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0 AS rolling_median
+FROM events WHERE user_id < 100
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_hourly": q_sliding_hourly,
@@ -399,6 +441,7 @@ QUERIES = {
     "stream_stream_join": q_stream_stream_join,
     "gapfill_daily": q_gapfill_daily,
     "stream_dedup_within_watermark": q_stream_dedup_within_watermark,
+    "rolling_median_value": q_rolling_median_value,
 }
 
 ORACLE = {
@@ -411,4 +454,5 @@ ORACLE = {
     "stream_stream_join": _STREAM_STREAM_JOIN_SQL,
     "gapfill_daily": _GAPFILL_SQL,
     "stream_dedup_within_watermark": _STREAM_DDWW_SQL,
+    "rolling_median_value": _ROLLING_MEDIAN_SQL,
 }

@@ -141,3 +141,47 @@ def test_undecodable_payload_fails_loudly(opaque_media):
     """Real path on a codec-less format must raise, not silently fake."""
     with pytest.raises(Exception, match="no codec"):
         M.extract_features(opaque_media).collect()
+
+
+def test_image_ahash_gradient_matches_reference(spark):
+    """A horizontal-gradient image exercises every aHash stage with a
+    NON-closed-form bitmap (unlike the two-color oracle fixture): the hash
+    must equal an independently-computed reference from the same pixels."""
+    h = w = 16
+    col_vals = np.arange(w, dtype=np.uint8) * 16  # 0,16,...,240 per column
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = col_vals
+    px[:, :, 1] = col_vals
+    px[:, :, 2] = col_vals
+    payload = codecs.encode_ppm(px)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "image/x-portable-pixmap", None)],
+        "media_id long, payload binary, mime string, meta string",
+    )
+    row = M.image_ahash(media, grid=8).collect()[0]
+
+    # independent reference: gray column value = luma of (v,v,v) = v; each
+    # 2x2 block spans two adjacent columns -> mean (2v+2(v+16))//4 = v+8
+    luma = col_vals.astype(np.int64)  # (299+587+114)//1000 of (v,v,v) = v
+    blocks = (luma.reshape(8, 2).sum(axis=1) * 2) // 4  # per block-column
+    grid = np.tile(blocks, (8, 1))
+    mean = grid.sum() // 64
+    bits = (grid > mean).ravel()
+    lo = int(sum(1 << k for k in range(32) if bits[k]))
+    hi = int(sum(1 << k for k in range(32) if bits[32 + k]))
+    assert (row["ahash_lo"], row["ahash_hi"]) == (lo, hi)
+    assert 0 < bits.sum() < 64  # the fixture is genuinely non-trivial
+
+
+def test_image_ahash_identical_images_bucket_together(spark, media):
+    """Byte-identical payloads must land in one bucket (hash equality) and
+    different-colored solids in different... no — solids are all-zero
+    bitmaps by construction, so they MUST all collide: the all-equal case
+    documents why the oracle fixture uses two-color images instead."""
+    hashed = M.image_ahash(media, grid=8).collect()
+    assert all(r["ahash_hi"] == 0 and r["ahash_lo"] == 0 for r in hashed)
+
+
+def test_image_ahash_rejects_bad_grid():
+    with pytest.raises(ValueError, match="64 bits"):
+        M.image_ahash(None, grid=16)

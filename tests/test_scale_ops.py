@@ -240,3 +240,35 @@ def test_salted_join_plan_and_equivalence(spark):
     assert joined.count() == plain.count()
     key_sum = joined.agg(F.sum("o_orderkey")).collect()[0][0]
     assert key_sum == plain.agg(F.sum("o_orderkey")).collect()[0][0]
+
+
+def test_containment_flags_subset_doc(spark):
+    """A document whose shingles are a strict subset of a longer one must
+    get containment 1.0 even though its Jaccard vs the superset is low."""
+    from data_engineer_development_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+    from data_engineer_development_spark.operators.text import shingles_expr
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(10))  # strict prefix
+    other = " ".join(f"z{i}" for i in range(40))
+    df = (
+        spark.createDataFrame(
+            [(1, long_text), (2, short_text), (3, other)], "doc_id long, text string"
+        )
+        .withColumn("t", F.split("text", " "))
+        .withColumn("sh", shingles_expr("t", k=3))
+    )
+    cont = {
+        (r["id1"], r["id2"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "sh", tau=0.5).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    # Jaccard of (1,2) = 8/38 ≈ 0.21 — below any sensible dup threshold:
+    jac = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in jaccard_pairs(df, "doc_id", "sh", tau=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.25

@@ -195,7 +195,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_sql() -> str:
+def duck_lsh_cand_cte() -> str:
+    """DuckDB CTE fragment (depends on CTE ``s`` from _DUCK_SHINGLES)
+    ending in ``cand(id1, id2)`` — the banded MinHash-LSH candidate pairs.
+    Shared by the LSH pipeline oracle and the LSH-quality eval so both
+    replay identical sketch/banding arithmetic."""
     rows = NUM_PERM // BANDS
     h = f"({duck_md5_int('x')} % {P})"
     sig_exprs = {
@@ -208,13 +212,17 @@ def _minhash_lsh_sql() -> str:
         % (bi, ", ".join(f"CAST(sig_{bi * rows + r} AS VARCHAR)" for r in range(rows)))
         for bi in range(BANDS)
     )
-    return f"""
-WITH {_DUCK_SHINGLES},
-hashed AS (SELECT doc_id, list_transform(sh, x -> {h}) AS hs FROM s),
+    return f"""hashed AS (SELECT doc_id, list_transform(sh, x -> {h}) AS hs FROM s),
 sigs AS (SELECT doc_id, {sig_cols} FROM hashed),
 bands AS (SELECT doc_id, unnest([{band_keys}]) AS bkey FROM sigs),
 cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_lsh_sql() -> str:
+    return f"""
+WITH {_DUCK_SHINGLES},
+{duck_lsh_cand_cte()},
 p AS (SELECT doc_id, unnest(sh) AS sg, len(sh) AS n FROM s),
 i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c,
              any_value(a.n) AS n1, any_value(b.n) AS n2
@@ -225,6 +233,56 @@ ver AS (SELECT id1, id2, CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) AS jacc
 SELECT cand.id1, cand.id2, ver.jaccard
 FROM cand JOIN ver ON cand.id1 = ver.id1 AND cand.id2 = ver.id2
 ORDER BY cand.id1, cand.id2
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH quality eval: candidate recall/precision against exact-Jaccard truth.
+# The tuning loop every LSH deployment needs — bands/rows trade recall
+# against candidate volume, and this measures BOTH sides of that trade on
+# the actual corpus (an S-curve estimate is a model; this is the ground
+# truth). One full-outer join of two pair sets, aggregated to one row —
+# no collect; at 100 TB the truth side comes from a sampled stratum
+# instead of the full posting join, same plan shape.
+# --------------------------------------------------------------------------
+def q_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_shingles(spark, sf_dir).persist()
+    truth = D.jaccard_pairs(docs, "doc_id", "sh", JACCARD_TAU).select(
+        "id1", "id2", F.lit(1).alias("in_true")
+    )
+    sigs = D.minhash_signatures(docs, "doc_id", "sh", NUM_PERM)
+    cands = D.lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS).select(
+        "id1", "id2", F.lit(1).alias("in_cand")
+    )
+    both = truth.join(cands, ["id1", "id2"], "full")
+    hit = F.when(
+        F.col("in_true").isNotNull() & F.col("in_cand").isNotNull(), 1
+    ).otherwise(0)
+    return both.agg(
+        F.sum(F.coalesce("in_true", F.lit(0))).alias("n_true"),
+        F.sum(F.coalesce("in_cand", F.lit(0))).alias("n_cand"),
+        F.sum(hit).alias("n_hit"),
+    ).select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_true")).alias("recall"),
+        (F.col("n_hit").cast("double") / F.col("n_cand")).alias("precision"),
+    )
+
+
+_LSH_RECALL_SQL = f"""
+WITH {duck_jaccard_pairs_cte()},
+{duck_lsh_cand_cte()},
+hit AS (SELECT vp.id1, vp.id2
+        FROM vp JOIN cand ON vp.id1 = cand.id1 AND vp.id2 = cand.id2)
+SELECT (SELECT COUNT(*) FROM vp) AS n_true,
+       (SELECT COUNT(*) FROM cand) AS n_cand,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         / (SELECT COUNT(*) FROM vp) AS recall,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         / (SELECT COUNT(*) FROM cand) AS "precision"
 """
 
 
@@ -288,6 +346,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_containment": q_dedup_containment,
+    "lsh_candidate_recall": q_lsh_candidate_recall,
     "dedup_minhash_sigs": q_dedup_minhash_sigs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -298,6 +357,7 @@ ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_jaccard": _DEDUP_JACCARD_SQL,
     "dedup_containment": _DEDUP_CONTAINMENT_SQL,
+    "lsh_candidate_recall": _LSH_RECALL_SQL,
     "dedup_minhash_sigs": _minhash_sigs_sql(),
     "dedup_minhash_lsh": _minhash_lsh_sql(),
     "dedup_simhash": _simhash_sql(),

@@ -74,7 +74,7 @@ _FRONT = [
     "quality_gopher_rules", "text_diversity", "mix_temperature",
     "salted_skew_join", "multimodal_image_ahash", "bpe_pair_counts",
     "dedup_containment", "rolling_median_value", "ann_recall_eval",
-    "lsh_candidate_recall",
+    "lsh_candidate_recall", "click_attribution", "winsorized_stats",
 ]
 
 

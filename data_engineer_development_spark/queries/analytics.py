@@ -382,6 +382,66 @@ ORDER BY c.event_id
 """
 
 
+# --------------------------------------------------------------------------
+# Last-touch attribution: each purchase is credited to the user's most
+# recent click at-or-before it; revenue rolls up per attributing click DAY
+# (purchases with no preceding click fall into the NULL day — unattributed
+# revenue is a number marketers ask for, not a dropped row). Same
+# union+forward-fill as-of plan as asof_last_purchase: one shuffle on
+# user_id, no row explosion — the naive t1≤t2 join-then-max explodes to
+# |clicks×purchases| per user before aggregating.
+# --------------------------------------------------------------------------
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    # unique (user_id, ts) on the right for deterministic as-of payloads;
+    # ties collapse to one row whose payload (the click day) is identical
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("c_ts"),
+            F.to_date("ts").alias("click_day"),
+        )
+        .dropDuplicates(["user_id", "c_ts"])
+    )
+    attributed = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_time="p_ts",
+        right_time="c_ts",
+        right_payload=["click_day"],
+    )
+    return (
+        attributed.groupBy("click_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value", "attributed_value"),
+        )
+        .orderBy(F.col("click_day").asc_nulls_first())
+    )
+
+
+_CLICK_ATTRIBUTION_SQL = """
+WITH purchases AS (
+  SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT DISTINCT user_id, ts AS c_ts, CAST(date_trunc('day', ts) AS DATE) AS click_day
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.click_day,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(p.value AS DECIMAL(20,4))) AS DOUBLE) AS attributed_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+GROUP BY c.click_day
+ORDER BY c.click_day ASC NULLS FIRST
+"""
+
+
 QUERIES = {
     "join_star_broadcast": q_join_star_broadcast,
     "top_unshipped_orders": q_top_unshipped_orders,
@@ -395,6 +455,7 @@ QUERIES = {
     "rollup_status_priority": q_rollup_status_priority,
     "set_operations": q_set_operations,
     "asof_last_purchase": q_asof_last_purchase,
+    "click_attribution": q_click_attribution,
 }
 
 ORACLE = {
@@ -410,4 +471,5 @@ ORACLE = {
     "rollup_status_priority": _ROLLUP_SQL,
     "set_operations": _SET_OPERATIONS_SQL,
     "asof_last_purchase": _ASOF_LAST_PURCHASE_SQL,
+    "click_attribution": _CLICK_ATTRIBUTION_SQL,
 }

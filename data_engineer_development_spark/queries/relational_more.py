@@ -326,6 +326,69 @@ FROM m ORDER BY nation
 """
 
 
+# --------------------------------------------------------------------------
+# Winsorized (outlier-clamped) statistics per event type: values are capped
+# at the in-group 1/16 and 15/16 quantiles before summing — the robust
+# aggregate a telemetry pipeline uses when a single corrupt reading would
+# swamp a mean. Quantile fractions are EXACT BINARY (k/16), so both
+# engines' different interpolation formulas (lo+(hi-lo)·f vs
+# lo·(1−f)+hi·f) evaluate the same exact rational on integer cents and
+# agree bit-for-bit — at 0.05/0.95 (no binary representation) they diverge
+# in the last ulp and break hash checks. One window pass computes the
+# bounds, one group-by aggregates; both shuffle only on event_type.
+# --------------------------------------------------------------------------
+_WINSOR_LO, _WINSOR_HI = 0.0625, 0.9375
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("bigint")
+    wspec = Window.partitionBy("event_type")
+    lo = F.expr(f"percentile(v_cents, {_WINSOR_LO})").over(wspec)
+    hi = F.expr(f"percentile(v_cents, {_WINSOR_HI})").over(wspec)
+    clamped = F.greatest(
+        F.col("lo"), F.least(F.col("hi"), F.col("v_cents").cast("double"))
+    )
+    return (
+        ev.withColumn("v_cents", v)
+        .withColumn("lo", lo)
+        .withColumn("hi", hi)
+        .withColumn("wv", clamped)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("v_cents") < F.col("lo"), 1).otherwise(0))
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("v_cents") > F.col("hi"), 1).otherwise(0))
+            .alias("n_clamped_high"),
+            (
+                F.sum(F.col("wv").cast("decimal(20,4)")).cast("double")
+                / F.lit(100.0)
+            ).alias("winsorized_total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_WINSORIZED_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS v_cents,
+         quantile_cont(CAST(ROUND(value * 100) AS BIGINT), {_WINSOR_LO})
+           OVER (PARTITION BY event_type) AS lo,
+         quantile_cont(CAST(ROUND(value * 100) AS BIGINT), {_WINSOR_HI})
+           OVER (PARTITION BY event_type) AS hi
+  FROM events)
+SELECT event_type, COUNT(*) AS n,
+       SUM(CASE WHEN v_cents < lo THEN 1 ELSE 0 END) AS n_clamped_low,
+       SUM(CASE WHEN v_cents > hi THEN 1 ELSE 0 END) AS n_clamped_high,
+       CAST(SUM(CAST(GREATEST(lo, LEAST(hi, CAST(v_cents AS DOUBLE)))
+                     AS DECIMAL(20,4))) AS DOUBLE) / 100.0
+         AS winsorized_total
+FROM b GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "late_shipment_priority": q_late_shipment_priority,
@@ -333,6 +396,7 @@ QUERIES = {
     "product_type_profit": q_product_type_profit,
     "ntile_deciles": q_ntile_deciles,
     "nation_price_corr": q_nation_price_corr,
+    "winsorized_stats": q_winsorized_stats,
 }
 
 ORACLE = {
@@ -342,4 +406,5 @@ ORACLE = {
     "product_type_profit": _PRODUCT_PROFIT_SQL,
     "ntile_deciles": _NTILE_DECILES_SQL,
     "nation_price_corr": _NATION_CORR_SQL,
+    "winsorized_stats": _WINSORIZED_SQL,
 }

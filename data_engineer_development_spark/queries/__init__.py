@@ -75,6 +75,7 @@ _FRONT = [
     "salted_skew_join", "multimodal_image_ahash", "bpe_pair_counts",
     "dedup_containment", "rolling_median_value", "ann_recall_eval",
     "lsh_candidate_recall", "click_attribution", "winsorized_stats",
+    "export_csv_roundtrip", "dictionary_encode", "null_safe_join",
 ]
 
 

@@ -27,7 +27,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineer_development_spark.operators import text as T
@@ -285,6 +285,130 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_export_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source fidelity under the fields that break naive CSV:
+    embedded commas, double quotes, NEWLINES, and backslashes.
+
+    Each document gets a synthesized hostile field (quote + comma +
+    newline + backslash spliced around real text); the corpus is written
+    RFC-4180 style (escape = quote char, i.e. `""` doubling — Spark's
+    default escape is backslash, which most non-Spark readers misparse),
+    read back with multiLine (quoted newlines span physical lines), and
+    aggregated. The oracle computes the same aggregates straight from the
+    source table, so ANY corruption in the quote/escape/newline round trip
+    shifts a checksum and breaks the hash match.
+
+    Scale: partitioned write + schema'd read, no inference pass; multiLine
+    CSV is NOT splittable within a file — at 100 TB keep hostile-field
+    exports in many moderate files (the partitioned write here) or prefer
+    JSONL/parquet (export_jsonl_roundtrip)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.concat(
+            F.lit('a,"b'),
+            F.lit("\n"),
+            F.substring("text", 1, 10),
+            F.lit("\\x"),
+            F.col("lang"),
+        ).alias("tricky"),
+    )
+    out = os.path.join(tempfile.gettempdir(), f"csv-export-{uuid.uuid4().hex}")
+    try:
+        docs.write.option("header", True).option("escape", '"').mode(
+            "overwrite"
+        ).csv(out)
+        back = (
+            spark.read.schema(
+                "doc_id long, lang string, n_chars long, tricky string"
+            )
+            .option("header", True)
+            .option("escape", '"')
+            .option("multiLine", True)
+            .csv(out)
+        )
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum(F.length("tricky")).alias("total_tricky_len"),
+            )
+            .orderBy("lang")
+            .localCheckpoint()  # materialize BEFORE the export dir vanishes
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_EXPORT_CSV_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       SUM(length(concat('a,"b', chr(10), substr(text, 1, 10), '\\x', lang)))
+         AS total_tricky_len
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical dictionary encoding — the id-mapping step between
+    tokenizer training and tensor export: rank the corpus vocabulary by
+    (frequency DESC, token) into dense ids, then re-encode every document
+    as ids. Emitted per doc as exact integer checksums (sum/max of ids)
+    so the whole mapping — rank order, tie-breaks, join fan-out — is
+    value-checked without shipping arrays through the hash gate.
+
+    Scale: vocabulary is metadata-scale next to the corpus (the global
+    rank sort is over |vocab|, not |tokens|) and broadcasts into the
+    token-level join; the token explode aggregates straight back to
+    per-doc — one shuffle each side."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", T.tokens())
+    toks = docs.select("doc_id", F.explode("t").alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "token_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+            .cast("bigint"),
+        )
+        .select("token", "token_id")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("token_id").alias("ids_checksum"),
+            F.max("token_id").alias("max_token_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DICTIONARY_ENCODE_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+vocab AS (SELECT token,
+                 ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS token_id
+          FROM tok GROUP BY token)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(v.token_id) AS BIGINT) AS ids_checksum,
+       CAST(MAX(v.token_id) AS BIGINT) AS max_token_id
+FROM tok t JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first step of BPE/WordPiece tokenizer training: corpus-wide
     adjacent-pair frequencies, top 20. (A full BPE trainer iterates
@@ -334,6 +458,8 @@ QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "export_csv_roundtrip": q_export_csv_roundtrip,
+    "dictionary_encode": q_dictionary_encode,
 }
 
 ORACLE = {
@@ -343,4 +469,6 @@ ORACLE = {
     "vocab_coverage": _VOCAB_COVERAGE_SQL,
     "export_jsonl_roundtrip": _EXPORT_SQL,
     "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
+    "export_csv_roundtrip": _EXPORT_CSV_SQL,
+    "dictionary_encode": _DICTIONARY_ENCODE_SQL,
 }

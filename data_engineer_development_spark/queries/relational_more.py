@@ -389,6 +389,58 @@ FROM b GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+# each other instead of vanishing — the dialect corner that silently drops
+# rows when a "join on possibly-null code" is written with plain =. The
+# fixture NULLs out the 'P' order status on both sides (reference-style
+# sentinel cleansing produces exactly such nullable codes,
+# functions/scalars.sentinel_to_null) and joins per-status aggregates;
+# the NULL row surviving the join is the behavior under test.
+# --------------------------------------------------------------------------
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    status = F.when(
+        F.col("o_orderstatus") == "P", F.lit(None)
+    ).otherwise(F.col("o_orderstatus"))
+    early = (
+        orders.filter(F.col("o_orderdate") < "1998-01-01")
+        .groupBy(status.alias("status_a"))
+        .agg(F.count(F.lit(1)).alias("n_early"))
+    )
+    late = (
+        orders.filter(F.col("o_orderdate") >= "1998-01-01")
+        .groupBy(status.alias("status_b"))
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+    return (
+        early.join(late, early["status_a"].eqNullSafe(late["status_b"]))
+        .select(
+            F.col("status_a").alias("status"),
+            "n_early",
+            "n_late",
+        )
+        .orderBy(F.col("status").asc_nulls_first())
+    )
+
+
+_NULL_SAFE_JOIN_SQL = """
+WITH early AS (
+  SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END
+           AS status_a,
+         COUNT(*) AS n_early
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+late AS (
+  SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END
+           AS status_b,
+         COUNT(*) AS n_late
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1)
+SELECT early.status_a AS status, n_early, n_late
+FROM early JOIN late ON early.status_a IS NOT DISTINCT FROM late.status_b
+ORDER BY status ASC NULLS FIRST
+"""
+
+
 QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "late_shipment_priority": q_late_shipment_priority,
@@ -397,6 +449,7 @@ QUERIES = {
     "ntile_deciles": q_ntile_deciles,
     "nation_price_corr": q_nation_price_corr,
     "winsorized_stats": q_winsorized_stats,
+    "null_safe_join": q_null_safe_join,
 }
 
 ORACLE = {
@@ -407,4 +460,5 @@ ORACLE = {
     "ntile_deciles": _NTILE_DECILES_SQL,
     "nation_price_corr": _NATION_CORR_SQL,
     "winsorized_stats": _WINSORIZED_SQL,
+    "null_safe_join": _NULL_SAFE_JOIN_SQL,
 }

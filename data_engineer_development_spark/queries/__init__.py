@@ -76,6 +76,7 @@ _FRONT = [
     "dedup_containment", "rolling_median_value", "ann_recall_eval",
     "lsh_candidate_recall", "click_attribution", "winsorized_stats",
     "export_csv_roundtrip", "dictionary_encode", "null_safe_join",
+    "mad_value", "dpp_partition_join",
 ]
 
 

@@ -441,6 +441,51 @@ ORDER BY status ASC NULLS FIRST
 """
 
 
+# --------------------------------------------------------------------------
+# Median absolute deviation per event type — winsorize's sibling robust
+# scale estimator (stddev is wrecked by the same outliers winsorize
+# clamps). Integer-cent inputs make the inner median exact half-integers
+# and the outer median of |x − med| exact quarter-integers; every
+# interpolation is an exact binary rational, so both engines agree
+# bit-for-bit. Two window/group passes over the same event_type shuffle.
+# --------------------------------------------------------------------------
+def q_mad_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wspec = Window.partitionBy("event_type")
+    med = F.expr("percentile(v_cents, 0.5)").over(wspec)
+    base = (
+        ev.withColumn(
+            "v_cents", F.round(F.col("value") * 100).cast("bigint")
+        )
+        .withColumn("med", med)
+        .withColumn("absdev", F.abs(F.col("v_cents").cast("double") - F.col("med")))
+    )
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.first("med") / 100.0).alias("median_value"),
+            (F.expr("percentile(absdev, 0.5)") / 100.0).alias("mad_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MAD_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS v_cents,
+         quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5)
+           OVER (PARTITION BY event_type) AS med
+  FROM events)
+SELECT event_type, COUNT(*) AS n,
+       ANY_VALUE(med) / 100.0 AS median_value,
+       quantile_cont(ABS(CAST(v_cents AS DOUBLE) - med), 0.5) / 100.0
+         AS mad_value
+FROM b GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "late_shipment_priority": q_late_shipment_priority,
@@ -450,6 +495,7 @@ QUERIES = {
     "nation_price_corr": q_nation_price_corr,
     "winsorized_stats": q_winsorized_stats,
     "null_safe_join": q_null_safe_join,
+    "mad_value": q_mad_value,
 }
 
 ORACLE = {
@@ -461,4 +507,5 @@ ORACLE = {
     "nation_price_corr": _NATION_CORR_SQL,
     "winsorized_stats": _WINSORIZED_SQL,
     "null_safe_join": _NULL_SAFE_JOIN_SQL,
+    "mad_value": _MAD_SQL,
 }

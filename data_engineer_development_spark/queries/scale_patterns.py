@@ -59,10 +59,81 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# Dynamic partition pruning: the fact table is laid out partitioned by the
+# join key's category (the layout a 100 TB warehouse actually has), the dim
+# side carries a selective filter, and Spark prunes fact PARTITIONS at
+# runtime from the dim's build side — the scan never reads the other
+# categories' files. Locally the layout is written to scratch per run
+# (cost of the entry, not of the operator); the DPP subquery is
+# plan-asserted in tests/test_scale_patterns-style checks below via the
+# oracle value match + the explicit InSubquery filter assert in
+# tests/test_plans.py.
+# --------------------------------------------------------------------------
+def q_dpp_partition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_engineer_development_spark.functions import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    out = os.path.join(tempfile.gettempdir(), f"dpp-{uuid.uuid4().hex}")
+    try:
+        # fact laid out partitioned by priority (low-cardinality category)
+        orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+        fact = spark.read.parquet(out)
+        dim = (
+            cust.select("c_custkey", "c_mktsegment")
+            .join(
+                spark.createDataFrame(
+                    [("1-URGENT",), ("2-HIGH",)], "p string"
+                ),
+                how="cross",
+            )
+            .select(
+                F.col("c_custkey"),
+                F.col("c_mktsegment"),
+                F.col("p").alias("d_priority"),
+            )
+            .filter(F.col("c_mktsegment") == "BUILDING")
+        )
+        joined = fact.join(
+            dim,
+            (fact["o_custkey"] == dim["c_custkey"])
+            & (fact["o_orderpriority"] == dim["d_priority"]),
+        )
+        return (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice", "total_value"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint()  # materialize BEFORE the scratch dir vanishes
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_DPP_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "salted_skew_join": q_salted_skew_join,
+    "dpp_partition_join": q_dpp_partition_join,
 }
 
 ORACLE = {
     "salted_skew_join": _SALTED_SKEW_JOIN_SQL,
+    "dpp_partition_join": _DPP_SQL,
 }

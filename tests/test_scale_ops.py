@@ -272,3 +272,38 @@ def test_containment_flags_subset_doc(spark):
         for r in jaccard_pairs(df, "doc_id", "sh", tau=0.0).collect()
     }
     assert jac[(1, 2)] < 0.25
+
+
+def test_dpp_partition_join_prunes_at_runtime(spark, tmp_path):
+    """The partitioned-fact join must carry a dynamic-partition-pruning
+    filter on the partition column — the runtime file-skip that makes
+    category-partitioned layouts pay off at scale."""
+    from data_engineer_development_spark.sources import load_table
+
+    orders = load_table(spark, SF_CORRECT, "orders")
+    cust = load_table(spark, SF_CORRECT, "customer")
+    out = str(tmp_path / "dpp")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        cust.select("c_custkey", "c_mktsegment")
+        .join(
+            spark.createDataFrame([("1-URGENT",), ("2-HIGH",)], "p string"),
+            how="cross",
+        )
+        .select("c_custkey", F.col("p").alias("d_priority"), "c_mktsegment")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    joined = fact.join(
+        dim,
+        (fact["o_custkey"] == dim["c_custkey"])
+        & (fact["o_orderpriority"] == dim["d_priority"]),
+    )
+    plan = (
+        joined.groupBy("o_orderpriority")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

@@ -68,15 +68,24 @@ _FRONT = [
     "lateral_topk_orders", "multimodal_frame_sample",
     "er_candidate_pairs", "temporal_dim_join",
     "multimodal_audio_features", "stream_foreachbatch_upsert",
-    # round-6 wave 2 (relational_more / quality_rules / scale_patterns)
-    "forecast_revenue", "late_shipment_priority", "top_revenue_supplier",
-    "product_type_profit", "ntile_deciles", "nation_price_corr",
+    # round-6 wave 2 (relational_more / quality_rules / scale_patterns /
+    # passage+dedup+similarity evals). 53 never-checked entries compete for
+    # the 50-slot driver window; the 3 that overflow (list tail) are chosen
+    # as the lowest-risk shapes — each is a near-duplicate of an
+    # already-driver-green pattern (forecast_revenue ≈ promo_revenue's
+    # decimal filter-sum, ntile_deciles ≈ window_navigation's NTILE,
+    # null_safe_join is a 6-row dialect corner) and all are both-ANSI green
+    # in test_oracle_parity; they rotate in next round.
+    "late_shipment_priority", "top_revenue_supplier",
+    "product_type_profit", "nation_price_corr",
     "quality_gopher_rules", "text_diversity", "mix_temperature",
     "salted_skew_join", "multimodal_image_ahash", "bpe_pair_counts",
     "dedup_containment", "rolling_median_value", "ann_recall_eval",
     "lsh_candidate_recall", "click_attribution", "winsorized_stats",
-    "export_csv_roundtrip", "dictionary_encode", "null_safe_join",
+    "export_csv_roundtrip", "dictionary_encode",
     "mad_value", "dpp_partition_join",
+    # window overflow (positions 51-53) — see note above
+    "forecast_revenue", "ntile_deciles", "null_safe_join",
 ]
 
 

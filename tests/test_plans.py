@@ -436,3 +436,39 @@ def test_frame_sample_is_mapinpandas_chain(spark):
     plan = _plan(df)
     body = plan.split("Sort")[0]
     assert "Exchange hashpartitioning" not in body, plan
+
+
+#: entries whose plan INTENTIONALLY contains a cartesian/nested-loop join:
+#: brute-force similarity baselines (the exact path approximate indexes are
+#: graded against), 1-row broadcast builds (corpus counts, top-1 phrase,
+#: day-grid bounds, IVF centroid fan-out), and the grid cross of gapfill.
+_CARTESIAN_OK = {
+    "sim_cosine_topk",      # brute-force baseline by definition
+    "sim_neardup",          # block-nested-loop kernel, auto-switches to LSH
+    "ann_recall_eval",      # contains the brute-force truth side
+    "sim_ivf_topk",         # centroid broadcast fan-out (K rows)
+    "gapfill_daily",        # day-grid × type dimension cross (metadata-scale)
+    "tfidf_top_terms",      # 1-row corpus-count broadcast
+    "sales_opportunity",    # 1-row above-average-balance stats broadcast
+    "dpp_partition_join",   # 2-row priority list cross on the dim build side
+    "vocab_coverage",       # top-V vocab broadcast fan-out
+}
+
+
+def test_no_unplanned_cartesians_anywhere(spark):
+    """Sweep EVERY registry query's executed plan for cartesian /
+    broadcast-nested-loop joins. Any new entry that accidentally loses its
+    equi-join condition fails here by name instead of becoming a 100 TB
+    incident; intentional cross shapes are whitelisted above with reasons."""
+    bad = []
+    for name, fn in all_queries().items():
+        if name in _CARTESIAN_OK:
+            continue
+        try:
+            plan = fn(spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — parity tests own failures
+            bad.append(f"{name}: plan build failed: {exc}")
+            continue
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            bad.append(name)
+    assert not bad, f"unplanned cartesian/nested-loop in: {bad}"

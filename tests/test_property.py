@@ -105,3 +105,45 @@ def test_wav_roundtrip(n, rate, seed):
     assert got_rate == rate
     assert decoded.shape == (n, 1)  # decode contract: (frames, channels)
     assert np.array_equal(decoded[:, 0], samples)
+
+
+def _ref_ahash_words(px: np.ndarray, grid: int = 8) -> tuple[int, int]:
+    """Independent aHash reference (same math, different code path)."""
+    p = px.astype(np.int64)
+    luma = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+    h, w = luma.shape
+    bh, bw = h // grid, w // grid
+    blocks = luma.reshape(grid, bh, grid, bw).sum(axis=(1, 3)) // (bh * bw)
+    mean = int(blocks.sum()) // (grid * grid)
+    bits = (blocks > mean).ravel()
+    lo = sum(1 << k for k in range(32) if bits[k])
+    hi = sum(1 << k for k in range(32) if bits[32 + k])
+    return hi, lo
+
+
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.sampled_from([8, 16, 24]),
+)
+@settings(max_examples=25, deadline=None)
+def test_ahash_properties(seed, side):
+    """aHash invariants on random images: (a) encode→decode→hash equals
+    the independent pixel-space reference; (b) never all 64 bits set (the
+    minimum block can't strictly exceed the mean — floor-division bias CAN
+    push more than half the blocks above it, so half is NOT a bound);
+    (c) hash is invariant to a constant brightness shift that doesn't clip
+    (mean shifts with the pixels)."""
+    from data_engineer_development_spark.operators.codecs import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(seed)
+    # headroom 64 so the +32 brightness shift below cannot clip
+    px = rng.integers(0, 192, size=(side, side, 3), dtype=np.uint8)
+    hi, lo = _ref_ahash_words(decode_ppm(encode_ppm(px)))
+    assert (hi, lo) == _ref_ahash_words(px)
+    n_bits = bin(hi).count("1") + bin(lo).count("1")
+    assert n_bits <= 63  # the min block is never strictly above the mean
+    shifted = (px.astype(np.int64) + 32).astype(np.uint8)
+    assert _ref_ahash_words(shifted) == (hi, lo)

@@ -47,45 +47,44 @@ _MODULES = [
 # CORRECTNESS gate, so entries that have never earned a driver row (or
 # whose latest row was red) are pinned to the front explicitly — module
 # order alone can't express that across modules (round 5's text_normalize
-# lesson). Round-6 front: the round-5 red/weak rows (civil_pipeline_e2e
-# ANSI fix, streaming_running_totals' first real oracle) and every entry
-# added this round. The remaining ~half of the window refreshes in module
-# order. Every pair — all entries, regardless of order — stays verified by
+# lesson; round 6's dedup_incremental/emb_centroid_by_label omission —
+# now guarded by tests/test_registry_window.py, which recomputes the
+# priority set from the CORRECTNESS_r*.json history and fails if any
+# non-green entry sits outside the window head).
+#
+# Round-7 front: the 8 round-6 hash-fail rows (all one root cause —
+# uncast integer SUM in the oracle → DuckDB HUGEINT vs Spark int64 on
+# the driver's Arrow fetch path; fixed with CAST(... AS BIGINT)), then
+# the 5 entries with no driver row at all (3 documented round-6 window
+# overflows + the 2 accounting-slip omissions), then 37 rotation slots
+# refreshing the stalest green rows (latest row r4 or earlier). Every
+# pair — all entries, regardless of order — stays verified by
 # tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
-    # round-5 red rows, now fixed
-    "civil_pipeline_e2e", "streaming_running_totals",
-    # never driver-checked (added round 5 after the window)
-    "text_normalize", "text_familiarity", "text_length_trim",
-    # new this round
-    "substring_dedup", "phrase_search", "heavy_hitters",
-    "compaction_plan", "skew_profile", "event_anomaly",
-    "snapshot_diff", "fk_integrity", "range_partition_plan",
-    "supplier_pagerank", "priority_order_check", "market_share",
-    "sales_opportunity", "gapfill_daily", "vocab_coverage",
-    "export_jsonl_roundtrip", "variant_json_stats",
-    "stream_dedup_within_watermark", "recursive_reachability",
-    "lateral_topk_orders", "multimodal_frame_sample",
-    "er_candidate_pairs", "temporal_dim_join",
-    "multimodal_audio_features", "stream_foreachbatch_upsert",
-    # round-6 wave 2 (relational_more / quality_rules / scale_patterns /
-    # passage+dedup+similarity evals). 53 never-checked entries compete for
-    # the 50-slot driver window; the 3 that overflow (list tail) are chosen
-    # as the lowest-risk shapes — each is a near-duplicate of an
-    # already-driver-green pattern (forecast_revenue ≈ promo_revenue's
-    # decimal filter-sum, ntile_deciles ≈ window_navigation's NTILE,
-    # null_safe_join is a 6-row dialect corner) and all are both-ANSI green
-    # in test_oracle_parity; they rotate in next round.
-    "late_shipment_priority", "top_revenue_supplier",
-    "product_type_profit", "nation_price_corr",
-    "quality_gopher_rules", "text_diversity", "mix_temperature",
-    "salted_skew_join", "multimodal_image_ahash", "bpe_pair_counts",
-    "dedup_containment", "rolling_median_value", "ann_recall_eval",
-    "lsh_candidate_recall", "click_attribution", "winsorized_stats",
-    "export_csv_roundtrip", "dictionary_encode",
-    "mad_value", "dpp_partition_join",
-    # window overflow (positions 51-53) — see note above
+    # round-6 red rows: HUGEINT oracle outputs, now CAST AS BIGINT
+    "compaction_plan", "skew_profile", "range_partition_plan",
+    "export_jsonl_roundtrip", "export_csv_roundtrip",
+    "late_shipment_priority", "winsorized_stats", "variant_json_stats",
+    # never driver-checked: round-6 overflow + the two _FRONT omissions
     "forecast_revenue", "ntile_deciles", "null_safe_join",
+    "dedup_incremental", "emb_centroid_by_label",
+    # rotation: stalest green rows (latest driver row r1–r4), refreshed
+    # oldest-first; the 12 remaining r4 rows plus the r5 cohort rotate
+    # next round.
+    "dedup_exact", "dedup_jaccard", "dedup_minhash_sigs",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "sim_cosine_topk", "sim_lsh_buckets", "sim_neardup",
+    "text_lang_id", "text_quality", "text_token_stats",
+    "text_fingerprint", "text_repetition",
+    "dim_decode", "quality_typed_select", "identity_projection",
+    "null_handling", "in_list_filter", "regexp_clean",
+    "string_funcs", "date_funcs", "math_funcs", "json_extract",
+    "message_envelope", "daily_buckets",
+    "join_star_broadcast", "left_join_order_counts",
+    "semi_join_active_customers", "anti_join_dormant_customers",
+    "asof_last_purchase", "agg_stats_per_nation", "pricing_summary",
+    "rollup_status_priority", "cube_status_priority", "pivot_status",
+    "array_agg_orders",
 ]
 
 
@@ -110,4 +109,7 @@ def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
         out.update(m.ORACLE)
-    return _ordered(out)
+    # Mirror all_queries()' exact ordering (not just the _FRONT head) so
+    # the two registries stay positionally aligned for the driver window.
+    order = {k: i for i, k in enumerate(all_queries())}
+    return dict(sorted(_ordered(out).items(), key=lambda kv: order[kv[0]]))

@@ -133,17 +133,17 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # RAM-backed ephemeral checkpoint, same rationale as run_to_memory_sink
+    # (a real deployment points this at durable storage — the checkpoint is
+    # what makes foreachBatch exactly-once across restarts)
+    ckpt_base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    ckpt = os.path.join(ckpt_base, f"febu-ckpt-{uuid.uuid4().hex}")
     try:
         q = (
             stream_events(spark, sf_dir)
             .select("user_id", "ts")
             .writeStream.foreachBatch(upsert)
-            .option(
-                "checkpointLocation",
-                os.path.join(
-                    tempfile.gettempdir(), f"febu-ckpt-{uuid.uuid4().hex}"
-                ),
-            )
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -156,6 +156,7 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
 

@@ -278,8 +278,8 @@ _EXPORT_SQL = f"""
 SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
             AS BIGINT) % {_EXPORT_BUCKETS} AS INTEGER) AS bucket,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
-       SUM(length(text)) AS total_text_len
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len
 FROM documents
 GROUP BY 1 ORDER BY 1
 """
@@ -349,8 +349,9 @@ def q_export_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXPORT_CSV_SQL = """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
-       SUM(length(concat('a,"b', chr(10), substr(text, 1, 10), '\\x', lang)))
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(concat('a,"b', chr(10), substr(text, 1, 10), '\\x',
+                              lang))) AS BIGINT)
          AS total_tricky_len
 FROM documents
 GROUP BY lang ORDER BY lang
@@ -365,23 +366,25 @@ def q_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole mapping — rank order, tie-breaks, join fan-out — is
     value-checked without shipping arrays through the hash gate.
 
-    Scale: vocabulary is metadata-scale next to the corpus (the global
-    rank sort is over |vocab|, not |tokens|) and broadcasts into the
+    Scale: the vocabulary is smaller than the corpus but NOT bounded — a
+    100 TB web corpus has billions of distinct tokens, so the rank is a
+    two-pass partition-offset row_number (operators/ranking.py): range-
+    partitioned parallel sorts + a bounded offsets broadcast, never a
+    single-partition global Window. The id map then broadcasts into the
     token-level join; the token explode aggregates straight back to
     per-doc — one shuffle each side."""
+    from data_engineer_development_spark.operators.ranking import (
+        with_global_rank,
+    )
+
     docs = load_table(spark, sf_dir, "documents").withColumn("t", T.tokens())
     toks = docs.select("doc_id", F.explode("t").alias("token"))
-    vocab = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "token_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
-            .cast("bigint"),
-        )
-        .select("token", "token_id")
-    )
+    vocab = with_global_rank(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
+        F.desc("cnt"),
+        F.asc("token"),
+        rank_col="token_id",
+    ).select("token", F.col("token_id").cast("bigint").alias("token_id"))
     return (
         toks.join(F.broadcast(vocab), "token")
         .groupBy("doc_id")
@@ -422,11 +425,15 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary is larger than the unigram one but partial aggregation
     absorbs the hot pairs before the exchange."""
     docs = load_table(spark, sf_dir, "documents").withColumn("t", T.tokens())
+    # Guard size(t) < 2: sequence(0, -1) DESCENDS in Spark (yielding
+    # phantom pairs non-ANSI, an index error ANSI), while the oracle's
+    # range(1, len(t)) is simply empty — same hazard shingles_expr gates.
     pairs = docs.select(
         F.explode(
             F.expr(
-                "transform(sequence(0, size(t) - 2),"
-                " i -> struct(t[i] AS a, t[i+1] AS b))"
+                "if(size(t) < 2, array(),"
+                " transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS a, t[i+1] AS b)))"
             )
         ).alias("p")
     )

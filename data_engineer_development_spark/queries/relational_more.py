@@ -110,10 +110,10 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LATE_SHIPMENT_SQL = """
 SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
             THEN 'high' ELSE 'low' END AS priority_class,
-       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
-                THEN 1 ELSE 0 END) AS late_lines,
-       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
-                THEN 0 ELSE 1 END) AS ontime_lines
+       CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+       CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                     THEN 0 ELSE 1 END) AS BIGINT) AS ontime_lines
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY 1
 """
@@ -204,20 +204,62 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 # --------------------------------------------------------------------------
-# NTILE decile banding over order value. The ORDER BY carries o_orderkey as
-# a tiebreaker so tile assignment is total-ordered (without it, equal
-# prices straddling a tile boundary would make the result
-# nondeterministic in BOTH engines). Global NTILE is inherently a
-# single-partition window; the scalable analogue (approx-quantile range
-# boundaries) is covered by range_partition_plan — this entry pins exact
-# semantics.
+# NTILE decile banding over order value — WITHOUT the classic scale-killer
+# (a global `Window.orderBy(...)` with no partition collapses the whole
+# table into ONE task's sort). Exact NTILE semantics are recovered from a
+# two-pass partition-offset rank (operators/ranking.py with_global_rank):
+#
+#   1. `repartitionByRange(price, orderkey)` gives contiguous, ordered key
+#      ranges per partition (P parallel sorts, never a global one). The
+#      tiebreaker o_orderkey makes the order total, so ANY boundary
+#      placement yields the same global rank.
+#   2. Per-partition `row_number` over Window.partitionBy(pid) — a
+#      partitioned, parallel window.
+#   3. Per-partition counts → cumulative offsets (a window over P≈32 rows,
+#      bounded control-plane) broadcast back; global rank = offset + local.
+#   4. NTILE(10)'s closed form from the rank: with N rows the first
+#      N%10 tiles hold ⌈N/10⌉ rows — all-integer ceil-division, exact in
+#      both engines.
+#
+# Both branches read the SAME range exchange (ReusedExchange in the plan),
+# so the sampled boundaries/pids are computed once and consistent. Cost at
+# scale: one range shuffle + one pid shuffle + the final 10-group agg —
+# every stage parallel. The oracle keeps DuckDB's literal NTILE, proving
+# the decomposition IS NTILE.
 # --------------------------------------------------------------------------
 def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    from data_engineer_development_spark.operators.ranking import (
+        with_global_rank,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = with_global_rank(
+        orders, "o_totalprice", "o_orderkey",
+        rank_col="r", total_col="n_total",
+    )
+
+    # NTILE(10) closed form (requires N >= 10, guaranteed by the orders
+    # fixture): base = N div 10, rem = N % 10; ranks up to rem*(base+1)
+    # fall in the first rem (larger) tiles.
+    base = F.expr("n_total DIV 10")
+    rem = F.col("n_total") % 10
+    big_span = rem * (base + 1)
+    # rank r in the first rem tiles: ceil(r/(base+1)) = (r+base) DIV (base+1)
+    # else: rem + ceil((r - rem*(base+1))/base), which the exact integer
+    # identity (x + k*base) DIV base = x DIV base + k collapses to
+    # (r - rem - 1) DIV base + 1.
+    decile = F.when(
+        F.col("r") <= big_span,
+        F.expr("(r + n_total DIV 10) DIV (n_total DIV 10 + 1)"),
+    ).otherwise(
+        F.expr("(r - n_total % 10 - 1) DIV (n_total DIV 10) + 1")
+    )
     return (
-        orders.select(
-            "o_totalprice", F.ntile(10).over(w).alias("decile")
+        ranked.select(
+            "o_totalprice",
+            decile.cast("int").alias("decile"),
         )
         .groupBy("decile")
         .agg(
@@ -380,8 +422,10 @@ WITH b AS (
            OVER (PARTITION BY event_type) AS hi
   FROM events)
 SELECT event_type, COUNT(*) AS n,
-       SUM(CASE WHEN v_cents < lo THEN 1 ELSE 0 END) AS n_clamped_low,
-       SUM(CASE WHEN v_cents > hi THEN 1 ELSE 0 END) AS n_clamped_high,
+       CAST(SUM(CASE WHEN v_cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_low,
+       CAST(SUM(CASE WHEN v_cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_high,
        CAST(SUM(CAST(GREATEST(lo, LEAST(hi, CAST(v_cents AS DOUBLE)))
                      AS DECIMAL(20,4))) AS DOUBLE) / 100.0
          AS winsorized_total

@@ -196,7 +196,8 @@ def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VARIANT_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type ORDER BY event_type

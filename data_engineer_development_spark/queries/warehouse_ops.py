@@ -224,7 +224,7 @@ WITH f AS (SELECT doc_id, source, n_chars,
                       ROWS UNBOUNDED PRECEDING) - n_chars AS prior
            FROM documents)
 SELECT source, CAST(FLOOR(prior / {_COMPACT_TARGET}) AS BIGINT) AS group_id,
-       COUNT(*) AS n_files, SUM(n_chars) AS total_bytes,
+       COUNT(*) AS n_files, CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
        MIN(doc_id) AS first_file
 FROM f GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -256,7 +256,8 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SKEW_PROFILE_SQL = """
 WITH per_key AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
 SELECT CAST(length(printf('%b', c)) AS INTEGER) AS bucket,
-       COUNT(*) AS n_keys, SUM(c) AS n_rows, MAX(c) AS max_rows_per_key
+       COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+       MAX(c) AS max_rows_per_key
 FROM per_key GROUP BY 1 ORDER BY 1
 """
 
@@ -508,7 +509,7 @@ cum AS (SELECT bin, c,
                             ROWS UNBOUNDED PRECEDING) AS cum,
                SUM(c) OVER () AS n
         FROM hist)
-SELECT k, bin AS boundary_bin, cum AS cum_rows
+SELECT k, bin AS boundary_bin, CAST(cum AS BIGINT) AS cum_rows
 FROM cum, LATERAL unnest(range(1, {_RANGE_SPLITS})) AS u(k)
 WHERE {_RANGE_SPLITS} * cum >= k * n
   AND {_RANGE_SPLITS} * (cum - c) < k * n

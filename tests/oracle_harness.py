@@ -53,11 +53,22 @@ def compare(spark, sf_dir: str, name: str, query_fn, sql: str) -> tuple[bool, st
     sdf = query_fn(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    # Queries may persist() bounded intermediates (LSH shingles/signatures,
+    # posting lists) that the lazy return value consumes — release them
+    # here so cached partitions don't accumulate across a 150+-entry sweep.
+    spark.catalog.clearCache()
 
     con = duckdb_conn(sf_dir)
-    cur = con.execute(sql)
-    dcols = [d[0] for d in cur.description]
-    drows = cur.fetchall()
+    # Fetch through Arrow, exactly like the driver's gate. fetchall()
+    # silently coerces DuckDB's HUGEINT (the type of SUM(<integer>))
+    # back to Python int, hiding the decimal128(38,0)-vs-int64
+    # divergence that broke 8 driver rows in round 6 — the typed Arrow
+    # leg makes that class of fetch-path mismatch fail locally.
+    tbl = con.execute(sql).arrow()
+    dcols = list(tbl.column_names)
+    drows = [
+        tuple(d[c] for c in dcols) for d in tbl.to_pylist()
+    ]
     con.close()
 
     if sorted(scols) != sorted(dcols):

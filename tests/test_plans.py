@@ -10,6 +10,8 @@ value still matches the oracle.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from data_engineer_development_spark.medallion import quality_select
@@ -455,20 +457,66 @@ _CARTESIAN_OK = {
 }
 
 
-def test_no_unplanned_cartesians_anywhere(spark):
-    """Sweep EVERY registry query's executed plan for cartesian /
-    broadcast-nested-loop joins. Any new entry that accidentally loses its
-    equi-join condition fails here by name instead of becoming a 100 TB
-    incident; intentional cross shapes are whitelisted above with reasons."""
+#: entries whose plan INTENTIONALLY contains an UNPARTITIONED window —
+#: every one runs over a bounded control-plane input (a histogram, a
+#: per-partition count table, a top-K list), never the raw fact table.
+#: An unpartitioned Window over a table-sized input is the classic 100 TB
+#: scale-killer (the whole input collapses into one task's sort), so any
+#: entry NOT listed here must keep every window partitioned.
+_UNPARTITIONED_WINDOW_OK = {
+    "range_partition_plan",  # cum/total over the ≤1000-bin price histogram
+    "ntile_deciles",         # offset cumsum over the 32-row per-pid counts
+    "incremental_agg",       # cumulative over per-day partials (bounded days)
+    "dictionary_encode",     # with_global_rank's 32-row offsets cumsum
+    "forecast_revenue",      # regression over the bounded month series
+    "gapfill_daily",         # day-grid scaffold (bounded calendar)
+    "moving_7d_orders",      # 7-day RANGE window over per-DAY aggregates
+    "text_length_trim",      # cum mass over the length histogram (bounded)
+    "mix_temperature",       # normalizing sum over per-SOURCE weights
+}
+
+
+_WSPEC = re.compile(r"windowspecdefinition\(([^,)]+)[,)]")
+
+
+def _unpartitioned_windows(plan: str) -> bool:
+    """True if any windowspecdefinition in the plan has no partition spec.
+
+    The spec prints ``windowspecdefinition(part..., order ASC ..., frame)``;
+    with no partitioning the FIRST element is either an ordering expression
+    (carries ``ASC``/``DESC``) or the frame itself.
+    """
+    for m in _WSPEC.finditer(plan):
+        first = m.group(1)
+        if (" ASC" in first or " DESC" in first
+                or first.startswith("specifiedwindowframe")):
+            return True
+    return False
+
+
+def test_no_unplanned_cartesians_or_global_windows_anywhere(spark):
+    """Sweep EVERY registry query's plan for the two silent scale-killers:
+    cartesian / broadcast-nested-loop joins (executed plan) and
+    unpartitioned windows (optimized plan). Any new entry that
+    accidentally loses its equi-join condition or globally sorts the fact
+    table fails here by name instead of becoming a 100 TB incident;
+    intentional shapes are whitelisted above with reasons."""
     bad = []
     for name, fn in all_queries().items():
-        if name in _CARTESIAN_OK:
-            continue
         try:
-            plan = fn(spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
+            qe = fn(spark, SF_CORRECT)._jdf.queryExecution()
+            physical = qe.executedPlan().toString()
+            optimized = qe.optimizedPlan().toString()
         except Exception as exc:  # noqa: BLE001 — parity tests own failures
             bad.append(f"{name}: plan build failed: {exc}")
             continue
-        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
-            bad.append(name)
-    assert not bad, f"unplanned cartesian/nested-loop in: {bad}"
+        if name not in _CARTESIAN_OK and (
+            "CartesianProduct" in physical
+            or "BroadcastNestedLoopJoin" in physical
+        ):
+            bad.append(f"{name}: cartesian/nested-loop")
+        if name not in _UNPARTITIONED_WINDOW_OK and _unpartitioned_windows(
+            optimized
+        ):
+            bad.append(f"{name}: unpartitioned window")
+    assert not bad, f"scale-killer plan shapes in: {bad}"

@@ -7,28 +7,42 @@ Fine over a bounded histogram; fatal over a 100 TB fact table or a
 corpus-sized vocabulary. This module provides the exact, parallel
 alternative used by ``ntile_deciles`` and ``dictionary_encode``:
 
-1. ``repartitionByRange(parts, *order)`` — contiguous ordered key ranges,
-   one parallel sort per partition. When the ordering is a total order
-   (callers must include a tiebreaker), ANY sampled boundary placement
-   yields the same global rank, so the sampling's nondeterminism never
-   reaches the result.
-2. per-partition ``row_number`` over ``Window.partitionBy(pid)`` — a
-   partitioned, parallel window.
-3. per-partition counts → cumulative offsets (a window over ``parts`` rows,
-   bounded control-plane) broadcast back: global = offset + local.
+1. ``repartitionByRange(parts, *order).sortWithinPartitions(*order)`` —
+   contiguous ordered key ranges, one parallel sort per partition. When
+   the ordering is a total order (callers must include a tiebreaker),
+   ANY sampled boundary placement yields the same global rank, so the
+   sampling's nondeterminism never reaches the result.
+2. ``monotonically_increasing_id()`` projected AFTER the sort — the
+   DataFrame zipWithIndex idiom: partition index in the high bits,
+   within-partition row number in the low 33 bits. Local rank for free,
+   NO second shuffle of the data (a ``Window.partitionBy(pid)`` would
+   hash-exchange the whole input again — measured 3.6× slower at sf0.1).
+   The optimizer never reorders the projection below the Sort because
+   the id expression is nondeterministic; tests/test_ranking.py pins the
+   rank == global-window equivalence in case that ever changes.
+3. per-partition counts → cumulative offsets (a window over ``parts``
+   rows, bounded control-plane) broadcast back: global = offset + local.
 
-Both consumers of the range exchange reuse it (ReusedExchange in the
-plan), so partition ids are computed once and consistent.
+The ranked intermediate is persisted so the counts branch and the join
+branch read ONE materialization (nondeterministic projections defeat
+ReusedExchange, so without it the scan + range shuffle run twice — and
+the two runs must agree besides). Callers/harnesses release it via
+``spark.catalog.clearCache()``; at 100 TB the persist is the standard
+two-pass materialization and spills to disk per partition.
 
-Cost at scale: one range shuffle + one pid shuffle + a P-row broadcast —
-every stage parallel, nothing proportional to the input ever collapses to
-one task.
+Cost at scale: one range shuffle + a P-row agg + a P-row broadcast —
+every stage parallel, nothing proportional to the input ever collapses
+to one task. Low-33-bit row numbers cap a partition at 2^33 rows —
+far beyond any sane partition sizing.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOCAL_BITS = 33
+_LOCAL_MASK = (1 << _LOCAL_BITS) - 1
 
 
 def with_global_rank(
@@ -47,11 +61,16 @@ def with_global_rank(
     costing nothing extra.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
-    ranged = df.repartitionByRange(parts, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    ranked = (
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()
     )
+    pid = F.shiftright(F.col("_mid"), _LOCAL_BITS).alias("_pid")
+    local = (F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK)) + 1).alias("_local")
 
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
+    counts = ranked.groupBy(pid).agg(F.count(F.lit(1)).alias("_pc"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_pid",
@@ -59,12 +78,11 @@ def with_global_rank(
         F.sum("_pc").over(Window.partitionBy()).alias("_n_total"),
     )
 
-    w_loc = Window.partitionBy("_pid").orderBy(*cols)
     out = (
-        ranged.withColumn("_local", F.row_number().over(w_loc))
+        ranked.select("*", pid, local)
         .join(F.broadcast(offsets), "_pid")
         .withColumn(rank_col, (F.col("_offset") + F.col("_local")))
     )
     if total_col is not None:
         out = out.withColumn(total_col, F.col("_n_total"))
-    return out.drop("_pid", "_pc", "_local", "_offset", "_n_total")
+    return out.drop("_mid", "_pid", "_pc", "_local", "_offset", "_n_total")

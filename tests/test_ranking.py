@@ -44,10 +44,11 @@ def test_ranks_are_a_permutation(spark):
     ).collect()[0] == (1000, 1, 1000)
 
 
-def test_input_sized_window_stays_partitioned(spark):
-    """The only unpartitioned window in the plan must be the bounded
-    per-partition-counts cumsum; the data-path row_number is partitioned
-    by pid. Detected the same way as the global plan sweep."""
+def test_no_input_sized_window_or_extra_shuffle(spark):
+    """The data path must carry NO window at all (local rank comes from
+    monotonically_increasing_id after the partition sort — the zipWithIndex
+    idiom); the only windows are the bounded P-row offsets cumsum/total.
+    Detected the same way as the global plan sweep."""
     import re
 
     df = spark.range(10_000).select(F.col("id").alias("v"))
@@ -64,5 +65,22 @@ def test_input_sized_window_stays_partitioned(spark):
             unpart += 1
         else:
             part += 1
-    assert part >= 1  # the pid-partitioned row_number
+    assert part == 0  # no hash-exchange window over the input
     assert unpart <= 2  # offsets cumsum + total (bounded P-row input only)
+
+
+def test_id_projection_stays_above_the_sort(spark):
+    """Local ranks are only correct if monotonically_increasing_id is
+    evaluated AFTER the within-partition sort. The optimizer must not
+    reorder the (nondeterministic) projection below the Sort — pin the
+    optimized plan shape, not just the output values."""
+    df = spark.range(10_000).select((F.col("id") % 97).alias("v"), "id")
+    plan = (
+        with_global_rank(df, "v", "id", rank_col="r")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    sort_at = plan.index("Sort ")
+    mid_at = plan.index("monotonically_increasing_id")
+    # optimizedPlan prints top-down: the projection node must appear ABOVE
+    # (i.e. before) the Sort it depends on
+    assert mid_at < sort_at, plan

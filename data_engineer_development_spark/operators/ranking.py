@@ -45,6 +45,30 @@ _LOCAL_BITS = 33
 _LOCAL_MASK = (1 << _LOCAL_BITS) - 1
 
 
+def ntile_from_rank(
+    tiles: int, rank_col: str = "r", total_col: str = "n_total"
+) -> Column:
+    """NTILE(tiles) as a closed-form expression over a 1-based global rank.
+
+    SQL NTILE semantics: with N rows, the first N % tiles tiles hold
+    ⌈N/tiles⌉ rows, the rest ⌊N/tiles⌋. All-integer ceil-division
+    (``(a + b - 1) DIV b``), so the assignment is exact in any engine —
+    this is what lets a distributed rank replace the single-partition
+    ``F.ntile`` window while hash-matching it bit-for-bit
+    (cross-checked against F.ntile itself in tests/test_ranking.py).
+
+    Requires N >= tiles (base = N DIV tiles must be nonzero — with fewer
+    rows than tiles the second branch divides by zero under ANSI).
+    """
+    r, n = rank_col, total_col
+    base = f"{n} DIV {tiles}"
+    rem = f"{n} % {tiles}"
+    return F.when(
+        F.col(r) <= F.expr(f"({rem}) * (({base}) + 1)"),
+        F.expr(f"({r} + {base}) DIV (({base}) + 1)"),
+    ).otherwise(F.expr(f"({r} - {rem} - 1) DIV ({base}) + 1"))
+
+
 def with_global_rank(
     df: DataFrame,
     *order: Column | str,

@@ -68,8 +68,10 @@ _FRONT = [
     # never driver-checked: round-6 overflow + the two _FRONT omissions
     "forecast_revenue", "ntile_deciles", "null_safe_join",
     "dedup_incremental", "emb_centroid_by_label",
+    # new this round (unproven entries always precede rotation)
+    "export_orc_roundtrip", "schema_evolution_read",
     # rotation: stalest green rows (latest driver row r1–r4), refreshed
-    # oldest-first; the 12 remaining r4 rows plus the r5 cohort rotate
+    # oldest-first; the 14 remaining r4 rows plus the r5 cohort rotate
     # next round.
     "dedup_exact", "dedup_jaccard", "dedup_minhash_sigs",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
@@ -83,8 +85,7 @@ _FRONT = [
     "join_star_broadcast", "left_join_order_counts",
     "semi_join_active_customers", "anti_join_dormant_customers",
     "asof_last_purchase", "agg_stats_per_nation", "pricing_summary",
-    "rollup_status_priority", "cube_status_priority", "pivot_status",
-    "array_agg_orders",
+    "rollup_status_priority", "cube_status_priority",
 ]
 
 

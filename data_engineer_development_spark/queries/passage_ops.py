@@ -358,6 +358,58 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_export_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source fidelity — the third columnar surface next to the
+    parquet scans and the JSONL/CSV exports (Spark ships the ORC
+    reader/writer natively; warehouses downstream of a training pipeline
+    often ingest ORC, so the engine must round-trip it losslessly).
+
+    Same checksum contract as export_jsonl_roundtrip: write the corpus to
+    ORC, read it back with an explicit schema (no inference pass), and
+    aggregate; the oracle computes identical aggregates straight from the
+    source table, so any corruption in the ORC encode/decode — string
+    encoding, null handling, long overflow — breaks the hash match.
+
+    Scale: ORC is splittable and predicate-pushdown-capable like parquet;
+    the partitioned parallel write and schema'd read are exactly the shape
+    a 100 TB export takes."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    out = os.path.join(tempfile.gettempdir(), f"orc-export-{uuid.uuid4().hex}")
+    try:
+        docs.write.mode("overwrite").orc(out)
+        back = spark.read.schema(
+            "doc_id long, lang string, n_chars long, text string"
+        ).orc(out)
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum(F.length("text")).alias("total_text_len"),
+            )
+            .orderBy("lang")
+            .localCheckpoint()  # materialize BEFORE the export dir vanishes
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_EXPORT_ORC_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical dictionary encoding — the id-mapping step between
     tokenizer training and tensor export: rank the corpus vocabulary by
@@ -466,6 +518,7 @@ QUERIES = {
     "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
     "bpe_pair_counts": q_bpe_pair_counts,
     "export_csv_roundtrip": q_export_csv_roundtrip,
+    "export_orc_roundtrip": q_export_orc_roundtrip,
     "dictionary_encode": q_dictionary_encode,
 }
 
@@ -477,5 +530,6 @@ ORACLE = {
     "export_jsonl_roundtrip": _EXPORT_SQL,
     "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
     "export_csv_roundtrip": _EXPORT_CSV_SQL,
+    "export_orc_roundtrip": _EXPORT_ORC_SQL,
     "dictionary_encode": _DICTIONARY_ENCODE_SQL,
 }

@@ -240,22 +240,13 @@ def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="r", total_col="n_total",
     )
 
-    # NTILE(10) closed form (requires N >= 10, guaranteed by the orders
-    # fixture): base = N div 10, rem = N % 10; ranks up to rem*(base+1)
-    # fall in the first rem (larger) tiles.
-    base = F.expr("n_total DIV 10")
-    rem = F.col("n_total") % 10
-    big_span = rem * (base + 1)
-    # rank r in the first rem tiles: ceil(r/(base+1)) = (r+base) DIV (base+1)
-    # else: rem + ceil((r - rem*(base+1))/base), which the exact integer
-    # identity (x + k*base) DIV base = x DIV base + k collapses to
-    # (r - rem - 1) DIV base + 1.
-    decile = F.when(
-        F.col("r") <= big_span,
-        F.expr("(r + n_total DIV 10) DIV (n_total DIV 10 + 1)"),
-    ).otherwise(
-        F.expr("(r - n_total % 10 - 1) DIV (n_total DIV 10) + 1")
+    # NTILE(10) closed form over (rank, total) — see ntile_from_rank;
+    # requires N >= 10, guaranteed by the orders fixture.
+    from data_engineer_development_spark.operators.ranking import (
+        ntile_from_rank,
     )
+
+    decile = ntile_from_rank(10)
     return (
         ranked.select(
             "o_totalprice",

@@ -649,6 +649,63 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Schema-evolution read: a landing zone whose newer batches carry a column
+# the older batches lack — the drift every long-lived 100 TB pipeline
+# accumulates. Old/new batches are written as separate parquet dirs and
+# read back through mergeSchema; rows from pre-evolution files surface the
+# added column as NULL, and the aggregate proves both cohorts land with
+# the right values (integer-exact score sum, so the hash match certifies
+# the NULL-fill didn't leak into the scored cohort).
+#
+# The split is deterministic (doc_id parity), so the oracle reproduces it
+# straight from the source table. Scale note: mergeSchema reconciles
+# footers across files — cheap per batch, but at 100 TB pin the unified
+# schema explicitly once known (spark.read.schema) instead of re-merging
+# every scan; the merge here is the DISCOVERY step, not the steady state.
+# --------------------------------------------------------------------------
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = os.path.join(tempfile.gettempdir(), f"evolve-{uuid.uuid4().hex}")
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).write.parquet(
+            os.path.join(out, "batch=old")
+        )
+        docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "score", (F.col("n_chars") * 3).cast("bigint")
+        ).write.parquet(os.path.join(out, "batch=new"))
+        back = spark.read.option("mergeSchema", True).parquet(out)
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("score").alias("n_scored"),
+                F.coalesce(F.sum("score"), F.lit(0)).alias("score_sum"),
+            )
+            .orderBy("lang")
+            .localCheckpoint()  # materialize BEFORE the landing dir vanishes
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_SCHEMA_EVOLUTION_SQL = """
+SELECT lang, COUNT(*) AS n_rows,
+       COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_scored,
+       CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars * 3 END), 0)
+            AS BIGINT) AS score_sum
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "incremental_agg": q_incremental_agg,
     "scd2_customer_merge": q_scd2_customer_merge,
@@ -662,6 +719,7 @@ QUERIES = {
     "range_partition_plan": q_range_partition_plan,
     "er_candidate_pairs": q_er_candidate_pairs,
     "temporal_dim_join": q_temporal_dim_join,
+    "schema_evolution_read": q_schema_evolution_read,
 }
 
 ORACLE = {
@@ -677,4 +735,5 @@ ORACLE = {
     "range_partition_plan": _RANGE_PLAN_SQL,
     "er_candidate_pairs": _ER_PAIRS_SQL,
     "temporal_dim_join": _TEMPORAL_DIM_SQL,
+    "schema_evolution_read": _SCHEMA_EVOLUTION_SQL,
 }

@@ -7,7 +7,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_engineer_development_spark.operators.ranking import with_global_rank
+from data_engineer_development_spark.operators.ranking import (
+    ntile_from_rank,
+    with_global_rank,
+)
 
 
 def _reference_rank(df, *cols):
@@ -84,3 +87,21 @@ def test_id_projection_stays_above_the_sort(spark):
     # optimizedPlan prints top-down: the projection node must appear ABOVE
     # (i.e. before) the Sort it depends on
     assert mid_at < sort_at, plan
+
+
+def test_ntile_closed_form_matches_spark_ntile(spark):
+    """The closed form must agree with F.ntile for every rank, across
+    group sizes hitting every divisibility corner (N % tiles == 0, == 1,
+    == tiles-1, primes, N == tiles). One job: groups keyed by n_total,
+    F.ntile evaluated per-group on a PARTITIONED window."""
+    sizes = list(range(10, 41)) + [100, 101, 109, 997, 1000]
+    rows = [(n, r) for n in sizes for r in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "n_total int, r int").repartition(8)
+    w = Window.partitionBy("n_total").orderBy("r")
+    out = df.select(
+        "n_total",
+        "r",
+        ntile_from_rank(10).alias("closed"),
+        F.ntile(10).over(w).alias("builtin"),
+    )
+    assert out.filter(F.col("closed") != F.col("builtin")).count() == 0

@@ -89,6 +89,32 @@ def test_id_projection_stays_above_the_sort(spark):
     assert mid_at < sort_at, plan
 
 
+def test_random_multisets_match_global_window(spark):
+    """Randomized multisets (heavy duplicates, negatives, clusters) —
+    ranks must equal the single-partition reference for every input.
+    Few examples (a Spark job each), but each input is adversarial:
+    duplicate-dense keys probe the tiebreaker, skewed value clusters
+    probe boundary placement by the range partitioner."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-5, max_value=5), min_size=1, max_size=120
+        )
+    )
+    def check(keys):
+        rows = [(k, i) for i, k in enumerate(keys)]
+        df = spark.createDataFrame(rows, "k int, u int").repartition(5)
+        got = with_global_rank(df, "k", "u", rank_col="r", parts=4)
+        joined = got.join(_reference_rank(df, "k", "u"), ["k", "u"])
+        assert joined.filter(F.col("r") != F.col("expected")).count() == 0
+        spark.catalog.clearCache()
+
+    check()
+
+
 def test_ntile_closed_form_matches_spark_ntile(spark):
     """The closed form must agree with F.ntile for every rank, across
     group sizes hitting every divisibility corner (N % tiles == 0, == 1,

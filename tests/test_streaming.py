@@ -36,6 +36,22 @@ def test_stream_matches_batch(spark, name, xform):
     assert _rows(spark.table(f"s_{name}")) == _rows(batch)
 
 
+def test_checkpoint_scratch_is_cleaned_up(spark):
+    """run_to_memory_sink's RAM-scratch checkpoint must not outlive the
+    query — the foreachBatch path once leaked one dir per run into /tmp,
+    which on a long-lived session is unbounded litter."""
+    import glob
+    import os
+
+    if not os.access("/dev/shm", os.W_OK):
+        pytest.skip("no /dev/shm on this box")
+    before = set(glob.glob("/dev/shm/ckpt-s_gc_*"))
+    stream = tumbling_counts(stream_events(spark, SF_CORRECT))
+    run_to_memory_sink(stream, "s_gc_probe", output_mode="complete")
+    after = set(glob.glob("/dev/shm/ckpt-s_gc_*"))
+    assert after == before, f"leftover checkpoints: {after - before}"
+
+
 def test_rocksdb_state_store_matches_default(spark):
     """The 100×-state configuration (RocksDB provider: keyed state on
     executor-local disk instead of heap) must be a pure physical swap —

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_engineer_development_spark.cache import track_persist
 from data_engineer_development_spark.functions.portable_hash import (
     P,
     minhash_constants,
@@ -109,7 +110,7 @@ def jaccard_pairs(
             F.size(shingles_col).alias("n"),
         )
     if persist_posts:
-        posts = posts.persist()
+        posts = track_persist(posts)
     a = posts.select(F.col(id_col).alias("id1"), "s", F.col("n").alias("n1"))
     b = posts.select(F.col(id_col).alias("id2"), "s", F.col("n").alias("n2"))
     inter = (
@@ -323,7 +324,8 @@ def containment_pairs(
         F.col(id_col),
         F.explode(F.expr(sh_expr)).alias("s"),
         F.size(shingles_col).alias("n"),
-    ).persist()
+    )
+    posts = track_persist(posts)
     a = posts.select(F.col(id_col).alias("id1"), "s", F.col("n").alias("n1"))
     b = posts.select(F.col(id_col).alias("id2"), "s", F.col("n").alias("n2"))
     inter = (

@@ -26,9 +26,11 @@ alternative used by ``ntile_deciles`` and ``dictionary_encode``:
 The ranked intermediate is persisted so the counts branch and the join
 branch read ONE materialization (nondeterministic projections defeat
 ReusedExchange, so without it the scan + range shuffle run twice — and
-the two runs must agree besides). Callers/harnesses release it via
-``spark.catalog.clearCache()``; at 100 TB the persist is the standard
-two-pass materialization and spills to disk per partition.
+the two runs must agree besides). The persist is registered with
+``cache.track_persist`` so sweeps release exactly it via
+``cache.release_tracked()`` — no global clearCache needed; at 100 TB
+the persist is the standard two-pass materialization and spills to disk
+per partition.
 
 Cost at scale: one range shuffle + a P-row agg + a P-row broadcast —
 every stage parallel, nothing proportional to the input ever collapses
@@ -40,6 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from data_engineer_development_spark.cache import track_persist
 
 _LOCAL_BITS = 33
 _LOCAL_MASK = (1 << _LOCAL_BITS) - 1
@@ -57,16 +61,21 @@ def ntile_from_rank(
     ``F.ntile`` window while hash-matching it bit-for-bit
     (cross-checked against F.ntile itself in tests/test_ranking.py).
 
-    Requires N >= tiles (base = N DIV tiles must be nonzero — with fewer
-    rows than tiles the second branch divides by zero under ANSI).
+    Total over any N: with fewer rows than tiles (base = N DIV tiles = 0)
+    NTILE degenerates to tile = rank, guarded explicitly so the
+    otherwise-branch's division never sees a zero base under ANSI mode.
     """
     r, n = rank_col, total_col
     base = f"{n} DIV {tiles}"
     rem = f"{n} % {tiles}"
-    return F.when(
-        F.col(r) <= F.expr(f"({rem}) * (({base}) + 1)"),
-        F.expr(f"({r} + {base}) DIV (({base}) + 1)"),
-    ).otherwise(F.expr(f"({r} - {rem} - 1) DIV ({base}) + 1"))
+    return (
+        F.when(F.expr(f"{n} < {tiles}"), F.col(r))
+        .when(
+            F.col(r) <= F.expr(f"({rem}) * (({base}) + 1)"),
+            F.expr(f"({r} + {base}) DIV (({base}) + 1)"),
+        )
+        .otherwise(F.expr(f"({r} - {rem} - 1) DIV ({base}) + 1"))
+    )
 
 
 def with_global_rank(
@@ -85,11 +94,10 @@ def with_global_rank(
     costing nothing extra.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
-    ranked = (
+    ranked = track_persist(
         df.repartitionByRange(parts, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .persist()
     )
     pid = F.shiftright(F.col("_mid"), _LOCAL_BITS).alias("_pid")
     local = (F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK)) + 1).alias("_local")

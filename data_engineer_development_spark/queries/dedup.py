@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_engineer_development_spark.cache import track_persist
 from data_engineer_development_spark.functions.portable_hash import (
     P,
     duck_md5_int,
@@ -175,8 +176,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH exists to avoid (measured at sf0.1: 8.0 s → verify-only ~1 s; at
     # 100 TB the posting self-join is quadratic in hot-shingle df while
     # candidates stay ~linear in near-dup density).
-    docs = _docs_with_shingles(spark, sf_dir).persist()
-    sigs = D.minhash_signatures(docs, "doc_id", "sh", NUM_PERM).persist()
+    docs = track_persist(_docs_with_shingles(spark, sf_dir))
+    sigs = track_persist(
+        D.minhash_signatures(docs, "doc_id", "sh", NUM_PERM)
+    )
     cands = D.lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS)
     s1 = docs.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
     s2 = docs.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
@@ -246,7 +249,7 @@ ORDER BY cand.id1, cand.id2
 # instead of the full posting join, same plan shape.
 # --------------------------------------------------------------------------
 def q_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_with_shingles(spark, sf_dir).persist()
+    docs = track_persist(_docs_with_shingles(spark, sf_dir))
     truth = D.jaccard_pairs(docs, "doc_id", "sh", JACCARD_TAU).select(
         "id1", "id2", F.lit(1).alias("in_true")
     )
@@ -326,7 +329,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The 8-byte/doc signature table is vanishingly small next to the corpus
     # (40 KB at sf0.1; ~100 GB per PB of docs) — persist it so the two join
     # sides don't each re-evaluate the 32-bit sketch expression.
-    sh = D.simhash(docs, "doc_id", "t", SIMHASH_BITS).persist()
+    sh = track_persist(D.simhash(docs, "doc_id", "t", SIMHASH_BITS))
     return D.simhash_close_pairs(
         sh, HAMMING_MAX, SIMHASH_CHUNKS, SIMHASH_BITS
     ).orderBy("id1", "id2")

@@ -14,6 +14,8 @@ import math
 
 import duckdb
 
+from data_engineer_development_spark.cache import release_tracked
+
 TABLE_NAMES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -54,8 +56,12 @@ def compare(spark, sf_dir: str, name: str, query_fn, sql: str) -> tuple[bool, st
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     # Queries may persist() bounded intermediates (LSH shingles/signatures,
-    # posting lists) that the lazy return value consumes — release them
-    # here so cached partitions don't accumulate across a 150+-entry sweep.
+    # posting lists) that the lazy return value consumes — release exactly
+    # those via the tracked registry so cached partitions don't accumulate
+    # across a 150+-entry sweep (clearCache stays as a belt-and-braces
+    # backstop for anything cached outside the registry, e.g. pipeline
+    # tables).
+    release_tracked()
     spark.catalog.clearCache()
 
     con = duckdb_conn(sf_dir)

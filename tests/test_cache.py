@@ -1,0 +1,57 @@
+"""Scoped cache release (cache.track_persist / release_tracked).
+
+Verdict r7 item 6: correctness of memory hygiene must not depend on
+harness-side ``spark.catalog.clearCache()`` — a sweep that forgets it must
+not accumulate one cached copy of the input per entry. Operators register
+their load-bearing persists; ``release_tracked()`` frees exactly those.
+"""
+
+from __future__ import annotations
+
+from conftest import SF_SMOKE
+
+from data_engineer_development_spark import cache
+from data_engineer_development_spark.queries import all_queries
+
+
+def _n_cached(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def _run(spark, name: str) -> None:
+    all_queries()[name](spark, SF_SMOKE).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def test_sweep_without_clearcache_leaves_no_cached_rdds(spark):
+    """Run the persisting entries back-to-back with NO clearCache — only
+    the scoped release — and assert zero persistent RDDs survive. Covers
+    every operator family that calls track_persist: the two-pass rank
+    (ntile_deciles, dictionary_encode), the posting-list dedups
+    (dedup_jaccard, dedup_incremental), MinHash/LSH (dedup_minhash_lsh,
+    lsh_candidate_recall), SimHash pairs, and the shingled contamination
+    frame."""
+    spark.catalog.clearCache()  # clean slate from earlier test modules
+    cache.release_tracked()
+    assert _n_cached(spark) == 0
+    for name in [
+        "ntile_deciles",
+        "dictionary_encode",
+        "dedup_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "contamination_check",
+    ]:
+        before = _n_cached(spark)
+        _run(spark, name)
+        assert _n_cached(spark) >= before, name  # persist actually engaged
+        cache.release_tracked()
+    assert _n_cached(spark) == 0
+
+
+def test_release_tracked_reports_count_and_is_idempotent(spark):
+    _run(spark, "ntile_deciles")
+    assert cache.release_tracked() >= 1
+    assert cache.release_tracked() == 0
+    assert _n_cached(spark) == 0

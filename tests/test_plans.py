@@ -454,6 +454,7 @@ _CARTESIAN_OK = {
     "sales_opportunity",    # 1-row above-average-balance stats broadcast
     "dpp_partition_join",   # 2-row priority list cross on the dim build side
     "vocab_coverage",       # top-V vocab broadcast fan-out
+    "quality_model_score",  # 1-row model-weights broadcast (inference.py)
 }
 
 
@@ -476,7 +477,27 @@ _UNPARTITIONED_WINDOW_OK = {
 }
 
 
-_WSPEC = re.compile(r"windowspecdefinition\(([^,)]+)[,)]")
+_WSPEC_OPEN = "windowspecdefinition("
+
+
+def _first_top_level_arg(s: str) -> str:
+    """Return the FULL first top-level argument of an argument list that
+    starts at ``s`` (just past the opening paren) — a balanced-paren scan,
+    so a leading expression like ``coalesce(x, 0) ASC NULLS FIRST`` comes
+    back whole instead of truncated at its inner comma (the round-7 false
+    negative: the truncated text lost its ASC marker and an unpartitioned
+    window escaped the sweep)."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return s[:i]
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return s[:i]
+    return s
 
 
 def _unpartitioned_windows(plan: str) -> bool:
@@ -484,14 +505,37 @@ def _unpartitioned_windows(plan: str) -> bool:
 
     The spec prints ``windowspecdefinition(part..., order ASC ..., frame)``;
     with no partitioning the FIRST element is either an ordering expression
-    (carries ``ASC``/``DESC``) or the frame itself.
+    (carries a top-level ``ASC``/``DESC``) or the frame itself.
     """
-    for m in _WSPEC.finditer(plan):
-        first = m.group(1)
+    start = 0
+    while True:
+        i = plan.find(_WSPEC_OPEN, start)
+        if i < 0:
+            return False
+        first = _first_top_level_arg(plan[i + len(_WSPEC_OPEN):])
         if (" ASC" in first or " DESC" in first
                 or first.startswith("specifiedwindowframe")):
             return True
-    return False
+        start = i + len(_WSPEC_OPEN)
+
+
+def test_unpartitioned_window_detector_sees_function_call_orderings():
+    """Pin the round-7 false negative: an unpartitioned window whose first
+    ORDER BY expression is a function call (inner commas) must still be
+    flagged — the old regex truncated at the first ',' and lost the ASC
+    marker. Partitioned specs, including ones whose partition expression
+    contains a function call, must NOT be flagged."""
+    unpart_fn = "Window [x windowspecdefinition(coalesce(y#3, 0) ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))]"
+    unpart_plain = "windowspecdefinition(y#3 ASC NULLS FIRST, specifiedwindowframe(RangeFrame, unboundedpreceding$(), currentrow$()))"
+    unpart_frame_only = "windowspecdefinition(specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    part_fn = "windowspecdefinition(coalesce(k#1, 0), y#3 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    part_plain = "windowspecdefinition(k#1, y#3 DESC NULLS LAST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    assert _unpartitioned_windows(unpart_fn)
+    assert _unpartitioned_windows(unpart_plain)
+    assert _unpartitioned_windows(unpart_frame_only)
+    assert not _unpartitioned_windows(part_fn)
+    assert not _unpartitioned_windows(part_plain)
+    assert _unpartitioned_windows(part_plain + "\n" + unpart_fn)
 
 
 def test_no_unplanned_cartesians_or_global_windows_anywhere(spark):

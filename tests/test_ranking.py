@@ -118,9 +118,11 @@ def test_random_multisets_match_global_window(spark):
 def test_ntile_closed_form_matches_spark_ntile(spark):
     """The closed form must agree with F.ntile for every rank, across
     group sizes hitting every divisibility corner (N % tiles == 0, == 1,
-    == tiles-1, primes, N == tiles). One job: groups keyed by n_total,
-    F.ntile evaluated per-group on a PARTITIONED window."""
-    sizes = list(range(10, 41)) + [100, 101, 109, 997, 1000]
+    == tiles-1, primes, N == tiles, and N < tiles — the degenerate branch
+    where base = N DIV tiles is 0 and tile must equal rank). One job:
+    groups keyed by n_total, F.ntile evaluated per-group on a PARTITIONED
+    window."""
+    sizes = list(range(1, 41)) + [100, 101, 109, 997, 1000]
     rows = [(n, r) for n in sizes for r in range(1, n + 1)]
     df = spark.createDataFrame(rows, "n_total int, r int").repartition(8)
     w = Window.partitionBy("n_total").orderBy("r")

@@ -20,11 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_engineer_development_spark.cache import track_persist
 from data_engineer_development_spark.functions.portable_hash import (
     duck_md5_int,
     spark_md5_int,
 )
 from data_engineer_development_spark.operators import dedup as D
+from data_engineer_development_spark.operators import inference
 from data_engineer_development_spark.operators.graph import (
     connected_components,
 )
@@ -126,7 +128,8 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.withColumn(
         "side",
         F.expr(f"{spark_md5_int('cast(doc_id as string)')} % 2"),
-    ).withColumn("sh", shingles_expr("t", k=_CONTAM_K)).persist()
+    ).withColumn("sh", shingles_expr("t", k=_CONTAM_K))
+    d = track_persist(d)
     posts = d.select("doc_id", "side", F.explode("sh").alias("sg"))
     train = posts.filter(F.col("side") == 0).select("sg").distinct()
     shared = (
@@ -617,7 +620,64 @@ FROM q GROUP BY label, dim ORDER BY label, dim
 """
 
 
+# --------------------------------------------------------------------------
+# Batch model inference (operators/inference.py): every embedding scored by
+# a broadcast linear quality classifier — the corpus-filtering stage of an
+# LLM data pipeline (fastText/logreg-style quality gate). The model weights
+# are a 1-row broadcast DataFrame (how a trained model.parquet would ship),
+# the score path is scan → broadcast → project with NO shuffle of the
+# corpus, and the dot product runs on the int8-quantized grid in exact
+# BIGINT math (same quantizer as emb_quantize) so the score is
+# order-independent and hash-comparable. keep = score >= threshold is the
+# filter decision a downstream stage would apply.
+# --------------------------------------------------------------------------
+_MODEL_DIMS = 64
+_MODEL_W = inference.deterministic_weights(_MODEL_DIMS)
+_MODEL_BIAS = 5
+_MODEL_THR = 0
+
+
+def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = inference.linear_score(
+        emb, spark, _MODEL_W, bias=_MODEL_BIAS, score_col="score"
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        F.col("score").cast("long").alias("score"),
+        F.when(F.col("score") >= F.lit(_MODEL_THR), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    ).orderBy("vec_id")
+
+
+_MODEL_W_SQL = "[" + ", ".join(str(w) for w in _MODEL_W) + "]"
+_QUALITY_MODEL_SQL = f"""
+WITH m AS (SELECT vec_id, label, embedding,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                      (a, v) -> greatest(a, v)) AS mx
+           FROM embeddings),
+q AS (SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(list_transform(embedding, x -> CAST(
+                 CASE WHEN mx = 0.0 THEN 0.0
+                      ELSE floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) END
+                 AS BIGINT))) AS qv
+      FROM m),
+w AS (SELECT CAST({_MODEL_W_SQL} AS BIGINT[]) AS wv)
+SELECT vec_id, label,
+       CAST(SUM(qv * wv[dim]) + {_MODEL_BIAS} AS BIGINT) AS score,
+       CAST(CASE WHEN SUM(qv * wv[dim]) + {_MODEL_BIAS} >= {_MODEL_THR}
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM q, w GROUP BY vec_id, label ORDER BY vec_id
+"""
+
+
 QUERIES = {
+    "quality_model_score": q_quality_model_score,
     "dedup_clusters": q_dedup_clusters,
     "dedup_cleaned_corpus": q_dedup_cleaned_corpus,
     "dedup_incremental": q_dedup_incremental,
@@ -631,6 +691,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "quality_model_score": _QUALITY_MODEL_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_cleaned_corpus": _DEDUP_CLEANED_SQL,
     "dedup_incremental": _DEDUP_INCREMENTAL_SQL,

@@ -52,40 +52,35 @@ _MODULES = [
 # priority set from the CORRECTNESS_r*.json history and fails if any
 # non-green entry sits outside the window head).
 #
-# Round-7 front: the 8 round-6 hash-fail rows (all one root cause —
-# uncast integer SUM in the oracle → DuckDB HUGEINT vs Spark int64 on
-# the driver's Arrow fetch path; fixed with CAST(... AS BIGINT)), then
-# the 5 entries with no driver row at all (3 documented round-6 window
-# overflows + the 2 accounting-slip omissions), then 37 rotation slots
-# refreshing the stalest green rows (latest row r4 or earlier). Every
-# pair — all entries, regardless of order — stays verified by
+# Round-8 front (per tools/suggest_front.py over CORRECTNESS_r01–r07):
+# zero red rows and zero never-checked entries remain, so the window is
+# 1 new-entry slot (unproven entries always precede rotation) + 49
+# rotation slots refreshing the stalest green rows — the 14 whose latest
+# driver row is r4, then 35 of the r5 cohort, stalest-first. Every pair —
+# all entries, regardless of order — stays verified by
 # tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
-    # round-6 red rows: HUGEINT oracle outputs, now CAST AS BIGINT
-    "compaction_plan", "skew_profile", "range_partition_plan",
-    "export_jsonl_roundtrip", "export_csv_roundtrip",
-    "late_shipment_priority", "winsorized_stats", "variant_json_stats",
-    # never driver-checked: round-6 overflow + the two _FRONT omissions
-    "forecast_revenue", "ntile_deciles", "null_safe_join",
-    "dedup_incremental", "emb_centroid_by_label",
-    # new this round (unproven entries always precede rotation)
-    "export_orc_roundtrip", "schema_evolution_read",
-    # rotation: stalest green rows (latest driver row r1–r4), refreshed
-    # oldest-first; the 14 remaining r4 rows plus the r5 cohort rotate
-    # next round.
-    "dedup_exact", "dedup_jaccard", "dedup_minhash_sigs",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
-    "sim_cosine_topk", "sim_lsh_buckets", "sim_neardup",
-    "text_lang_id", "text_quality", "text_token_stats",
-    "text_fingerprint", "text_repetition",
-    "dim_decode", "quality_typed_select", "identity_projection",
-    "null_handling", "in_list_filter", "regexp_clean",
-    "string_funcs", "date_funcs", "math_funcs", "json_extract",
-    "message_envelope", "daily_buckets",
-    "join_star_broadcast", "left_join_order_counts",
-    "semi_join_active_customers", "anti_join_dormant_customers",
-    "asof_last_purchase", "agg_stats_per_nation", "pricing_summary",
-    "rollup_status_priority", "cube_status_priority",
+    # new this round: batch model inference (operators/inference.py)
+    "quality_model_score",
+    # rotation: latest driver row r4
+    "column_prune_filter", "top_unshipped_orders", "local_supplier_volume",
+    "window_topk_per_segment", "window_running_total", "set_operations",
+    "tumbling_hourly", "sliding_hourly", "session_windows",
+    "stream_dedup_users", "stream_enrich_join", "stream_stream_join",
+    "pivot_status", "array_agg_orders",
+    # rotation: latest driver row r5
+    "incremental_agg", "scd2_customer_merge", "rule_quarantine",
+    "price_histogram", "stateful_sessions", "manifest_source",
+    "kv_store_roundtrip", "multimodal_features", "multimodal_resize",
+    "multimodal_metadata", "funnel_signup_purchase", "retention_cohorts",
+    "latest_event_per_user", "salted_agg_event_types", "dedup_clusters",
+    "dedup_cleaned_corpus", "contamination_check", "emb_quantize",
+    "distinct_kmv", "kmv_merge", "tfidf_top_terms", "pii_mask",
+    "exists_high_quantity", "scalar_subquery_pricey_parts",
+    "grouping_sets_lineitem", "window_navigation", "quantiles_quantity",
+    "big_orders", "moving_7d_orders", "cheapest_part_per_brand",
+    "filtered_agg", "unpivot_part_metrics", "returned_item_revenue",
+    "volume_shipping", "promo_revenue",
 ]
 
 

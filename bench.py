@@ -24,6 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from data_engineer_development_spark.cache import release_tracked  # noqa: E402
 from data_engineer_development_spark.queries import all_queries  # noqa: E402
 from data_engineer_development_spark.session import get_spark  # noqa: E402
 
@@ -78,26 +79,45 @@ def main() -> None:
         # measurement — and neither must JVM garbage debt from a heavy
         # predecessor (the e2e/dedup entries leave old-gen + broadcast litter
         # that otherwise taxes every later query's timed run). Both run
-        # OUTSIDE the timed section.
+        # OUTSIDE the timed section. release_tracked() frees exactly what
+        # operators registered; clearCache remains as backstop for cached
+        # pipeline tables.
+        release_tracked()
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
     # total = sum of SUCCESSFUL runs only; failures are listed, never summed
     # (a -1 sentinel would *reduce* the headline metric).
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "failed": failed,
-                "repeats": repeats,
-                "min_runs": min(runs_done.values(), default=0),
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "failed": failed,
+        "repeats": repeats,
+        "min_runs": min(runs_done.values(), default=0),
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+
+    # The driver's BENCH_r{N}.json artifact truncates to a 2000-char tail
+    # (round 7 lost 88 of 154 timings), so ALSO persist the full per-query
+    # map into the repo where it's diffable round-over-round. Round number:
+    # $SPARK_GRAFT_ROUND if set, else one past the newest driver artifact.
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        prior = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        rnd = str(max(prior, default=0) + 1)
+    local = os.path.join(here, f"bench_local_r{int(rnd):02d}.json")
+    with open(local, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"bench: full per-query artifact -> {local}", file=sys.stderr)
     if failed:
         sys.exit(1)
 

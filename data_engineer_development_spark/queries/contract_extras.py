@@ -34,11 +34,16 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_state_{uuid.uuid4().hex[:8]}"
     # default state partitions: the applyInPandasWithState stage runs one
     # Python worker per partition, so unlike the JVM-state streams, fewer
-    # partitions LOSE here (alternating A/B at sf0.1: 2.2 s @8 vs 2.8 s @4)
+    # partitions LOSE here (alternating A/B at sf0.1: 2.2 s @8 vs 2.8 s @4).
+    # no_data_batches=False: the kernel is NoTimeout and update-mode emits
+    # every touched key in the data batch itself, so the trailing empty
+    # watermark batch adds nothing but per-partition state-store round
+    # trips (and a Python worker round per partition here).
     run_to_memory_sink(
         running_user_totals(stream_events(spark, sf_dir)),
         name,
         output_mode="update",
+        no_data_batches=False,
     )
     # update mode appends each batch's re-emission of a changed key; keep
     # only the final (highest-count) snapshot so a batch split can't leave

@@ -273,13 +273,16 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "c_ts", "p_ts")
     name = f"q_ssj_{_uuid.uuid4().hex[:8]}"
     # same watermark-vs-late-rows exactness contract as stream_dedup_users.
-    # state_partitions=4: both join sides buffer only the 200-user slice, so
-    # per-batch state-store open/commit (×2 sides ×2 mandatory batches)
-    # dominates — measured 2.68 s @8 → 2.10 s @4 at sf0.1; at production
-    # state volume this knob scales back up per stream.
+    # state_partitions=2: both join sides buffer only the 200-user slice, so
+    # per-batch state-store open/commit dominates — measured at sf0.1
+    # min-of-3: 2.24 s @4 → 1.87 s @2 (1.95 s @1); at production state
+    # volume this knob scales back up per stream. no_data_batches=False:
+    # INNER stream-stream joins emit on match, so the trailing empty
+    # watermark-advance batch is pure state-eviction cost (~0.7 s) with
+    # zero output effect — an outer join would need it.
     run_to_memory_sink(
         joined, name, output_mode="append", assert_single_batch=True,
-        state_partitions=4,
+        state_partitions=2, no_data_batches=False,
     )
     return spark.table(name).orderBy("user_id", "c_ts", "p_ts")
 

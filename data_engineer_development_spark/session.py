@@ -48,6 +48,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # JIT code cache: the default 240 MB fills after a few hundred
+        # codegen-heavy query runs in one JVM (a 155-query bench sweep
+        # compiles thousands of generated classes); once full, silent
+        # cold-code flushing + recompile churn inflates late queries 1.5-2x
+        # (measured: the bench's alphabetical tail drifted while the same
+        # queries ran at anchor in a fresh JVM). 512 MB is the Spark-dev
+        # recommended size; harmless when unused (reserved, not committed).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=512m",
+            ),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # ANSI off: BigQuery CAST on already-cleansed data and Spark non-ANSI
         # CAST agree (SURVEY.md §7.3); sentinel cleanup precedes every cast.

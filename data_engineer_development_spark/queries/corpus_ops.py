@@ -654,8 +654,9 @@ def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MODEL_W_SQL = "[" + ", ".join(str(w) for w in _MODEL_W) + "]"
-_QUALITY_MODEL_SQL = f"""
-WITH m AS (SELECT vec_id, label, embedding,
+#: shared scoring CTE chain (quantize → weights → BIGINT dot product) —
+#: used verbatim by both inference oracles so the two can never drift.
+_SCORED_CTE = f"""m AS (SELECT vec_id, label, embedding,
                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
                       (a, v) -> greatest(a, v)) AS mx
@@ -667,17 +668,80 @@ q AS (SELECT vec_id, label,
                       ELSE floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) END
                  AS BIGINT))) AS qv
       FROM m),
-w AS (SELECT CAST({_MODEL_W_SQL} AS BIGINT[]) AS wv)
-SELECT vec_id, label,
-       CAST(SUM(qv * wv[dim]) + {_MODEL_BIAS} AS BIGINT) AS score,
-       CAST(CASE WHEN SUM(qv * wv[dim]) + {_MODEL_BIAS} >= {_MODEL_THR}
-                 THEN 1 ELSE 0 END AS INT) AS keep
-FROM q, w GROUP BY vec_id, label ORDER BY vec_id
+w AS (SELECT CAST({_MODEL_W_SQL} AS BIGINT[]) AS wv),
+s AS (SELECT vec_id, label,
+             CAST(SUM(qv * wv[dim]) + {_MODEL_BIAS} AS BIGINT) AS score
+      FROM q, w GROUP BY vec_id, label)"""
+
+_QUALITY_MODEL_SQL = f"""
+WITH {_SCORED_CTE}
+SELECT vec_id, label, score,
+       CAST(CASE WHEN score >= {_MODEL_THR} THEN 1 ELSE 0 END AS INT) AS keep
+FROM s ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted corpus downsampling: the stage that consumes the model
+# score. Documents are banded by score and sampled at a per-band rate
+# (keep all high-quality, half of mid, a tenth of low — the
+# DCLM/FineWeb-style recipe that shifts the training mix toward quality
+# without discarding the tail entirely). Selection is a deterministic
+# portable-hash threshold on the id — reproducible across engines and
+# runs, no RNG state. Plan shape: the scoring path (scan → 1-row weights
+# broadcast → project) plus a pure filter — still NO corpus shuffle; at
+# 100 TB this is a single map-side pass whose output lands pre-thinned.
+# --------------------------------------------------------------------------
+_BAND_HI = 1500
+_BAND_LO = -1500
+_BAND_RATE = {"high": 100, "mid": 50, "low": 10}  # percent kept
+
+
+def q_quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = inference.linear_score(
+        emb, spark, _MODEL_W, bias=_MODEL_BIAS, score_col="score"
+    )
+    band = (
+        F.when(F.col("score") >= _BAND_HI, F.lit("high"))
+        .when(F.col("score") >= _BAND_LO, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    rate = (
+        F.when(F.col("band") == "high", F.lit(_BAND_RATE["high"]))
+        .when(F.col("band") == "mid", F.lit(_BAND_RATE["mid"]))
+        .otherwise(F.lit(_BAND_RATE["low"]))
+    )
+    bucket = F.expr(spark_md5_int("cast(vec_id as string)")) % 100
+    return (
+        scored.withColumn("band", band)
+        .filter(bucket < rate)
+        .select(
+            "vec_id", F.col("score").cast("long").alias("score"), "band"
+        )
+        .orderBy("vec_id")
+    )
+
+
+_QUALITY_SAMPLE_SQL = f"""
+WITH {_SCORED_CTE},
+b AS (SELECT vec_id, score,
+             CASE WHEN score >= {_BAND_HI} THEN 'high'
+                  WHEN score >= {_BAND_LO} THEN 'mid'
+                  ELSE 'low' END AS band
+      FROM s)
+SELECT vec_id, score, band FROM b
+WHERE {duck_md5_int("CAST(vec_id AS VARCHAR)")} % 100 <
+      CASE band WHEN 'high' THEN {_BAND_RATE["high"]}
+                WHEN 'mid' THEN {_BAND_RATE["mid"]}
+                ELSE {_BAND_RATE["low"]} END
+ORDER BY vec_id
 """
 
 
 QUERIES = {
     "quality_model_score": q_quality_model_score,
+    "quality_stratified_sample": q_quality_stratified_sample,
     "dedup_clusters": q_dedup_clusters,
     "dedup_cleaned_corpus": q_dedup_cleaned_corpus,
     "dedup_incremental": q_dedup_incremental,
@@ -692,6 +756,7 @@ QUERIES = {
 
 ORACLE = {
     "quality_model_score": _QUALITY_MODEL_SQL,
+    "quality_stratified_sample": _QUALITY_SAMPLE_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_cleaned_corpus": _DEDUP_CLEANED_SQL,
     "dedup_incremental": _DEDUP_INCREMENTAL_SQL,

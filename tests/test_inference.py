@@ -84,6 +84,30 @@ def test_registry_entry_keep_split_is_nontrivial(spark):
     assert sorted(r["keep"] for r in agg) == [0, 1], agg
 
 
+def test_stratified_sample_rates_and_determinism(spark):
+    """The downsampling consumer: per-band keep rates must hold against
+    the deterministic hash (high keeps 100%, mid/low strictly thin), and
+    two runs must select the IDENTICAL row set (no RNG state)."""
+    from data_engineer_development_spark.queries.corpus_ops import (
+        q_quality_model_score as scorefn,
+        q_quality_stratified_sample as fn,
+        _BAND_HI,
+    )
+
+    a = fn(spark, SF_CORRECT).collect()
+    b = fn(spark, SF_CORRECT).collect()
+    assert a == b
+    # every high-band scored row survives (rate 100)
+    n_high_scored = (
+        scorefn(spark, SF_CORRECT).filter(F.col("score") >= _BAND_HI).count()
+    )
+    n_high_kept = sum(1 for r in a if r["band"] == "high")
+    assert n_high_kept == n_high_scored
+    # mid and low are strictly thinned but non-empty
+    bands = {r["band"] for r in a}
+    assert bands == {"high", "mid", "low"}
+
+
 def test_deterministic_weights_shape():
     w = deterministic_weights(64)
     assert len(w) == 64

@@ -455,6 +455,7 @@ _CARTESIAN_OK = {
     "dpp_partition_join",   # 2-row priority list cross on the dim build side
     "vocab_coverage",       # top-V vocab broadcast fan-out
     "quality_model_score",  # 1-row model-weights broadcast (inference.py)
+    "quality_stratified_sample",  # same 1-row weights broadcast + filter
 }
 
 

@@ -54,14 +54,16 @@ _MODULES = [
 #
 # Round-8 front (per tools/suggest_front.py over CORRECTNESS_r01–r07):
 # zero red rows and zero never-checked entries remain, so the window is
-# 2 new-entry slots (unproven entries always precede rotation) + 48
+# 3 new-entry slots (unproven entries always precede rotation) + 47
 # rotation slots refreshing the stalest green rows — the 14 whose latest
-# driver row is r4, then 34 of the r5 cohort, stalest-first. Every pair —
+# driver row is r4, then 33 of the r5 cohort, stalest-first. Every pair —
 # all entries, regardless of order — stays verified by
 # tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
-    # new this round: batch model inference + its downsampling consumer
+    # new this round: batch model inference, its downsampling consumer,
+    # and the streaming admission gate
     "quality_model_score", "quality_stratified_sample",
+    "stream_quality_gate",
     # rotation: latest driver row r4
     "column_prune_filter", "top_unshipped_orders", "local_supplier_volume",
     "window_topk_per_segment", "window_running_total", "set_operations",
@@ -80,7 +82,6 @@ _FRONT = [
     "grouping_sets_lineitem", "window_navigation", "quantiles_quantity",
     "big_orders", "moving_7d_orders", "cheapest_part_per_brand",
     "filtered_agg", "unpivot_part_metrics", "returned_item_revenue",
-    "volume_shipping",
 ]
 
 

@@ -739,9 +739,51 @@ ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# Streaming quality gate: the same broadcast linear scorer applied at
+# INGEST time — score embedding batches as they land and admit only
+# above-threshold rows, the "filter the crawl before it ever hits the
+# corpus" deployment of the model. The plan is fully stateless
+# (stream-scan → static 1-row weights broadcast → project → filter): no
+# state store, no watermark, so the admitted set is identical however the
+# source splits into micro-batches — which is exactly why the batch filter
+# is a valid oracle. At production volume this runs continuously with
+# maxFilesPerTrigger pacing; state stays O(1) regardless of stream size.
+# --------------------------------------------------------------------------
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_table,
+    )
+
+    emb = stream_table(spark, sf_dir, "embeddings")
+    scored = inference.linear_score(
+        emb, spark, _MODEL_W, bias=_MODEL_BIAS, score_col="score"
+    )
+    gated = scored.filter(F.col("score") >= F.lit(_MODEL_THR)).select(
+        "vec_id", "label", F.col("score").cast("long").alias("score")
+    )
+    name = f"q_gate_{_uuid.uuid4().hex[:8]}"
+    # stateless → no state partitions to tune and no watermark batch needed
+    run_to_memory_sink(
+        gated, name, output_mode="append", no_data_batches=False
+    )
+    return spark.table(name).orderBy("vec_id")
+
+
+_STREAM_QUALITY_GATE_SQL = f"""
+WITH {_SCORED_CTE}
+SELECT vec_id, label, score FROM s
+WHERE score >= {_MODEL_THR} ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "quality_model_score": q_quality_model_score,
     "quality_stratified_sample": q_quality_stratified_sample,
+    "stream_quality_gate": q_stream_quality_gate,
     "dedup_clusters": q_dedup_clusters,
     "dedup_cleaned_corpus": q_dedup_cleaned_corpus,
     "dedup_incremental": q_dedup_incremental,
@@ -757,6 +799,7 @@ QUERIES = {
 ORACLE = {
     "quality_model_score": _QUALITY_MODEL_SQL,
     "quality_stratified_sample": _QUALITY_SAMPLE_SQL,
+    "stream_quality_gate": _STREAM_QUALITY_GATE_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_cleaned_corpus": _DEDUP_CLEANED_SQL,
     "dedup_incremental": _DEDUP_INCREMENTAL_SQL,

@@ -24,6 +24,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _as_stream_dir(src: str, key: str) -> str:
+    """The file-stream source requires a directory; expose a single-file
+    table through a symlink dir (a real deployment streams from a directory
+    of arriving part files anyway)."""
+    d = os.path.join(tempfile.gettempdir(), f"stream-{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(src))
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source stream over any testdata parquet table, schema pinned
+    from the batch reader so batch and stream plans agree exactly. For
+    ``events`` use :func:`stream_events` (adds the nanos→micros timestamp
+    normalization watermarks need)."""
+    src = f"{sf_dir}/{table}.parquet"
+    if os.path.isfile(src):
+        src = _as_stream_dir(src, f"{table}-{abs(hash(sf_dir))}")
+    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    return spark.readStream.format("parquet").schema(schema).load(src)
+
+
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -37,17 +61,7 @@ def stream_events(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = f"{sf_dir}/events.parquet"
     if os.path.isfile(src):
-        # the file-stream source requires a directory; expose the driver's
-        # single-file table through a symlink dir (a real deployment streams
-        # from a directory of arriving part files anyway)
-        d = os.path.join(
-            tempfile.gettempdir(), f"stream-events-{abs(hash(sf_dir))}"
-        )
-        os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
-        src = d
+        src = _as_stream_dir(src, f"events-{abs(hash(sf_dir))}")
     # same physical-type normalization as the batch loader (nanos-as-long or
     # timestamp_ntz → LTZ) so batch and stream agree bit-for-bit; watermarks
     # additionally require LTZ, which normalize_event_ts guarantees

@@ -539,13 +539,34 @@ def test_unpartitioned_window_detector_sees_function_call_orderings():
     assert _unpartitioned_windows(part_plain + "\n" + unpart_fn)
 
 
-def test_no_unplanned_cartesians_or_global_windows_anywhere(spark):
-    """Sweep EVERY registry query's plan for the two silent scale-killers:
-    cartesian / broadcast-nested-loop joins (executed plan) and
-    unpartitioned windows (optimized plan). Any new entry that
-    accidentally loses its equi-join condition or globally sorts the fact
-    table fails here by name instead of becoming a 100 TB incident;
-    intentional shapes are whitelisted above with reasons."""
+#: entries whose plan INTENTIONALLY runs an Arrow-vectorized Python kernel
+#: — the engine's ONLY Python execution (media codecs over opaque binary;
+#: the sequential-fold cosine whose IEEE order must match the oracle).
+#: Everything else must stay JVM-side; row-at-a-time Python
+#: (BatchEvalPython) is banned everywhere, whitelist or not.
+_ARROW_KERNEL_OK = {
+    "multimodal_features", "multimodal_resize", "multimodal_metadata",
+    "multimodal_frame_sample", "multimodal_audio_features",
+    "multimodal_image_ahash",                       # mapInPandas codecs
+    "sim_cosine_topk", "sim_ivf_topk", "ann_recall_eval",  # seq_dot UDF
+    "sim_neardup",                                  # block-NL mapInPandas
+}
+
+_PY_EVAL = re.compile(
+    r"BatchEvalPython|ArrowEvalPython|MapInPandas|PythonMapInArrow"
+    r"|FlatMapGroupsInPandas\w*"
+)
+
+
+def test_no_unplanned_cartesians_windows_or_python_anywhere(spark):
+    """Sweep EVERY registry query's plan for the three silent scale-killers:
+    cartesian / broadcast-nested-loop joins (executed plan), unpartitioned
+    windows (optimized plan), and Python execution nodes outside the
+    sanctioned Arrow-vectorized kernels — with row-at-a-time
+    BatchEvalPython banned unconditionally. Any new entry that loses its
+    equi-join condition, globally sorts the fact table, or sneaks a Python
+    UDF into the hot path fails here by name instead of becoming a 100 TB
+    incident; intentional shapes are whitelisted above with reasons."""
     bad = []
     for name, fn in all_queries().items():
         try:
@@ -564,4 +585,10 @@ def test_no_unplanned_cartesians_or_global_windows_anywhere(spark):
             optimized
         ):
             bad.append(f"{name}: unpartitioned window")
+        if "BatchEvalPython" in physical:
+            bad.append(f"{name}: row-at-a-time Python UDF")
+        elif name not in _ARROW_KERNEL_OK and (
+            m := _PY_EVAL.search(physical)
+        ):
+            bad.append(f"{name}: unsanctioned Python node {m.group(0)}")
     assert not bad, f"scale-killer plan shapes in: {bad}"

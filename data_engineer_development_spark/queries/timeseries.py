@@ -167,9 +167,12 @@ def q_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state_partitions=4: dedup state is one row per (user, type) — tiny —
     # and every micro-batch pays a per-partition state-store open/commit,
     # so fewer partitions win until state outgrows them.
+    # no_data_batches=False: append-mode dropDuplicates emits each key on
+    # FIRST sight, in the data batch — the trailing empty batch only
+    # evicts expired state, with zero output effect.
     run_to_memory_sink(
         deduped, name, output_mode="append", assert_single_batch=True,
-        state_partitions=4,
+        state_partitions=4, no_data_batches=False,
     )
     return (
         spark.table(name)
@@ -217,8 +220,14 @@ def q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"q_enrich_{_uuid.uuid4().hex[:8]}"
     # complete-mode state is O(#nations × #types) ≈ 150 rows — 4 state
-    # partitions bound the per-batch store open/commit cost
-    run_to_memory_sink(agg, name, output_mode="complete", state_partitions=4)
+    # partitions bound the per-batch store open/commit cost.
+    # no_data_batches=False: complete mode rewrites the full sink table
+    # after every DATA batch; the trailing empty batch re-emits the
+    # identical table (no watermark in the plan), pure constant cost.
+    run_to_memory_sink(
+        agg, name, output_mode="complete", state_partitions=4,
+        no_data_batches=False,
+    )
     return spark.table(name).orderBy("n_name", "event_type")
 
 

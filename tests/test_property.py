@@ -147,3 +147,58 @@ def test_ahash_properties(seed, side):
     assert n_bits <= 63  # the min block is never strictly above the mean
     shifted = (px.astype(np.int64) + 32).astype(np.uint8)
     assert _ref_ahash_words(shifted) == (hi, lo)
+
+
+# ---------------------------------------------------------------------------
+# Inference kernel: int8 max-abs quantization + BIGINT dot product
+# (operators/inference.py / the _SCORED_CTE in queries/corpus_ops.py).
+# The oracle-parity sweep proves Spark == DuckDB on the fixture embeddings;
+# this pins the DuckDB expression == pure-Python semantics for ARBITRARY
+# float32 vectors and integer weights, so the shared CTE can't drift from
+# the documented math (floor(x*127/maxabs + 0.5), exact integer dot).
+# ---------------------------------------------------------------------------
+_F32 = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False,
+    width=32,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(2, 12).flatmap(
+        lambda n: st.tuples(
+            st.lists(_F32, min_size=n, max_size=n),
+            st.lists(st.integers(-10, 10), min_size=n, max_size=n),
+        )
+    )
+)
+def test_quantized_dot_duckdb_equals_python(vec_w):
+    vec, w = vec_w
+    vec32 = [float(np.float32(x)) for x in vec]
+    mx = max(abs(x) for x in vec32)
+    q = [
+        0 if mx == 0.0 else int(np.floor(x * 127.0 / mx + 0.5))
+        for x in vec32
+    ]
+    expect = sum(qj * wj for qj, wj in zip(q, w))
+
+    vec_sql = "[" + ", ".join(repr(x) for x in vec32) + "]"
+    w_sql = "[" + ", ".join(str(x) for x in w) + "]"
+    con = duckdb.connect()
+    got = con.execute(f"""
+        WITH m AS (SELECT CAST({vec_sql} AS FLOAT[]) AS embedding,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(CAST({vec_sql} AS FLOAT[]),
+                                      x -> abs(CAST(x AS DOUBLE)))),
+                       (a, v) -> greatest(a, v)) AS mx),
+        q AS (SELECT generate_subscripts(embedding, 1) AS dim,
+                     unnest(list_transform(embedding, x -> CAST(
+                         CASE WHEN mx = 0.0 THEN 0.0
+                              ELSE floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5)
+                         END AS BIGINT))) AS qv
+              FROM m),
+        w AS (SELECT CAST({w_sql} AS BIGINT[]) AS wv)
+        SELECT CAST(SUM(qv * wv[dim]) AS BIGINT) FROM q, w
+    """).fetchone()[0]
+    con.close()
+    assert got == expect, (vec32, w, got, expect)

@@ -106,7 +106,8 @@ def main() -> None:
     # $SPARK_GRAFT_ROUND if set, else one past the newest driver artifact.
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
-    if rnd is None:
+    inferred = rnd is None
+    if inferred:
         prior = [
             int(m.group(1))
             for f in os.listdir(here)
@@ -114,6 +115,23 @@ def main() -> None:
         ]
         rnd = str(max(prior, default=0) + 1)
     local = os.path.join(here, f"bench_local_r{int(rnd):02d}.json")
+    # An INFERRED round number must never clobber a prior round's full map
+    # (the driver's BENCH_r{N}.json may land before or after this run, so
+    # max+1 can collide — ADVICE r8). Explicit SPARK_GRAFT_ROUND, or
+    # SPARK_GRAFT_BENCH_OVERWRITE=1, is the opt-in to overwrite.
+    if (
+        inferred
+        and os.path.exists(local)
+        and os.environ.get("SPARK_GRAFT_BENCH_OVERWRITE") != "1"
+    ):
+        print(
+            f"bench: {local} exists and round was inferred; set "
+            "SPARK_GRAFT_ROUND or SPARK_GRAFT_BENCH_OVERWRITE=1 to replace",
+            file=sys.stderr,
+        )
+        if failed:
+            sys.exit(1)
+        return
     with open(local, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
         fh.write("\n")

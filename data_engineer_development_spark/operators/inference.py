@@ -70,22 +70,39 @@ def linear_score(
     becomes a 1-row broadcast DataFrame; the dot product is
     ``aggregate(zip_with(q, w, *), 0, +)`` — all BIGINT, all JVM-side.
     Rows whose vector length differs from the model dimensionality score
-    NULL (zip_with pads with NULL and the sum propagates it) — surfacing
-    schema drift instead of silently mis-scoring.
+    an EXPLICIT NULL (``size(vec) != dims`` guard, not zip_with's
+    implicit NULL-padding, so the contract survives expression changes) —
+    surfacing schema drift instead of silently mis-scoring. The empty
+    vector is just the dims-mismatch case (NULL) unless the model itself
+    is 0-dimensional, in which case every row scores the bias.
+
+    Internal columns are collision-resistant (``__infer_mx``/``__infer_qv``
+    and the broadcast weights column ``__model_w``), and asserted absent
+    from the input so a caller's column can never be silently dropped
+    (ADVICE r8).
     """
+    tmp_cols = ("__infer_mx", "__infer_qv", "__model_w")
+    clash = [c for c in tmp_cols if c in df.columns]
+    assert not clash, f"linear_score temp columns collide with input: {clash}"
+    dims = len(weights)
     w_df = spark.createDataFrame(
-        [([int(w) for w in weights],)], "w: array<bigint>"
+        [([int(w) for w in weights],)], "__model_w: array<bigint>"
     )
     dot = (
-        "aggregate(zip_with(__qv, w, (x, wt) -> x * wt),"
+        "aggregate(zip_with(__infer_qv, __model_w, (x, wt) -> x * wt),"
         f" cast({int(bias)} as bigint), (a, x) -> a + x)"
     )
     return (
-        df.withColumn("__mx", maxabs(vec_col))
-        .withColumn("__qv", quantize_int8(vec_col, "__mx"))
+        df.withColumn("__infer_mx", maxabs(vec_col))
+        .withColumn("__infer_qv", quantize_int8(vec_col, "__infer_mx"))
         .join(F.broadcast(w_df))
-        .withColumn(score_col, F.expr(dot))
-        .drop("__mx", "__qv", "w")
+        .withColumn(
+            score_col,
+            F.when(F.size(F.col(vec_col)) == dims, F.expr(dot)).otherwise(
+                F.lit(None).cast("long")
+            ),
+        )
+        .drop("__infer_mx", "__infer_qv", "__model_w")
     )
 
 

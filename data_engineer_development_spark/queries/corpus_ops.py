@@ -655,7 +655,12 @@ def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MODEL_W_SQL = "[" + ", ".join(str(w) for w in _MODEL_W) + "]"
 #: shared scoring CTE chain (quantize → weights → BIGINT dot product) —
-#: used verbatim by both inference oracles so the two can never drift.
+#: used verbatim by all inference oracles so they can never drift.
+#: Degenerate-embedding parity (ADVICE r8): ``unnest`` of an empty list
+#: yields no rows and a length-mismatched SUM would be partial, so the
+#: final ``s`` LEFT-JOINs every source row back in and NULLs the score
+#: whenever len(embedding) != model dims — exactly linear_score's
+#: explicit size-guard semantics on the Spark side.
 _SCORED_CTE = f"""m AS (SELECT vec_id, label, embedding,
                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
@@ -669,9 +674,13 @@ q AS (SELECT vec_id, label,
                  AS BIGINT))) AS qv
       FROM m),
 w AS (SELECT CAST({_MODEL_W_SQL} AS BIGINT[]) AS wv),
-s AS (SELECT vec_id, label,
-             CAST(SUM(qv * wv[dim]) + {_MODEL_BIAS} AS BIGINT) AS score
-      FROM q, w GROUP BY vec_id, label)"""
+sd AS (SELECT vec_id, label,
+              CAST(SUM(qv * wv[dim]) + {_MODEL_BIAS} AS BIGINT) AS score
+       FROM q, w GROUP BY vec_id, label),
+s AS (SELECT m.vec_id, m.label,
+             CASE WHEN len(m.embedding) = {_MODEL_DIMS} THEN sd.score
+                  ELSE NULL END AS score
+      FROM m LEFT JOIN sd ON m.vec_id = sd.vec_id AND m.label = sd.label)"""
 
 _QUALITY_MODEL_SQL = f"""
 WITH {_SCORED_CTE}

@@ -31,8 +31,18 @@ def _as_stream_dir(src: str, key: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"stream-{key}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(src))
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # lexists (not exists): a stale symlink whose target vanished must be
+    # repaired, not tripped over; the try/except closes the remaining
+    # check-to-symlink race between two sessions sharing a hash seed.
+    if os.path.lexists(link) and (
+        not os.path.islink(link) or os.readlink(link) != src
+    ):
+        os.unlink(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            assert os.readlink(link) == src, (link, src)
     return d
 
 

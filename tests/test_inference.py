@@ -63,13 +63,31 @@ def test_dimension_mismatch_scores_null_not_wrong(spark):
     """A vector shorter than the model must surface as NULL (schema drift
     made visible), never a silently truncated dot product."""
     df = spark.createDataFrame(
-        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0]), (3, [])],
         "vec_id int, embedding array<float>",
     )
     out = linear_score(df, spark, [1, 1, 1]).select("vec_id", "score")
     by_id = {r["vec_id"]: r["score"] for r in out.collect()}
     assert by_id[1] is None
     assert by_id[2] is not None
+    assert by_id[3] is None  # empty vector is the same drift case
+
+
+def test_caller_w_column_survives(spark):
+    """ADVICE r8: a caller column literally named 'w' must neither clash
+    with the broadcast weights nor be dropped; only the reserved
+    __infer_*/__model_w names are asserted against."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 42)], "vec_id int, embedding array<float>, w int"
+    )
+    out = linear_score(df, spark, [1, 1]).collect()[0]
+    assert out["w"] == 42 and out["score"] is not None
+
+    bad = df.withColumnRenamed("w", "__model_w")
+    with pytest.raises(AssertionError, match="__model_w"):
+        linear_score(bad, spark, [1, 1])
 
 
 def test_registry_entry_keep_split_is_nontrivial(spark):

@@ -275,3 +275,128 @@ def neardup_pairs_cosine(
     return vectors.repartition(parts).mapInPandas(
         score_blocks, "id1 long, id2 long, cosine double"
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: embedding-space near-duplicate removal (Abbas et al. 2023,
+# arXiv:2303.09540) — cluster vectors, then drop within-cluster near-dups.
+# --------------------------------------------------------------------------
+def semdedup(
+    vectors: DataFrame,
+    k_cells: int = 8,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: (id, cell, dup_of, keep) per vector.
+
+    The one dedup modality the lexical family (MinHash/SimHash/Jaccard)
+    can't express: duplicates in EMBEDDING space. Pipeline, composed from
+    three proven pieces:
+
+    1. **Quantize** every vector on the int8 max-abs grid
+       (`operators/inference.py` — the oracle-portable quantizer), so all
+       dot products are exact BIGINT math and cosines are bit-identical
+       across engines (CAST to double is exact: |dot| ≤ 64·127² < 2⁵³).
+    2. **Assign to a cell**: the K lowest-id vectors are the codebook (the
+       deterministic stand-in for trained k-means centroids — same shape
+       as `q_sim_ivf_topk`). The codebook is a bounded driver-side collect
+       (K rows) folded into a LITERAL array-of-struct expression, so
+       assignment is a pure projection over the scan — ZERO corpus
+       shuffle, no N×K intermediate, no window. At 100 TB this is the
+       codebook-broadcast pattern every IVF/k-means scorer uses.
+    3. **Per-cell pairs only, never as Spark rows**: one shuffle groups
+       vectors by ``cell``; each cell's pair matrix is scored INSIDE numpy
+       (``applyInPandas`` — int64 matmul, exact) and only the per-vector
+       verdict comes back. A vector's ``dup_of`` is the LOWEST id that
+       covers it at quantized cosine ≥ tau (drop-if-any-earlier-neighbor —
+       the same greedy representative rule as ``dedup_cleaned_corpus``).
+       This mirrors ``neardup_pairs_cosine``'s design rule: the O(Σ|cell|²)
+       pair set never materializes as rows and never crosses the Arrow
+       boundary. (A first cut as a cell self-equi-join + per-pair JVM
+       ``aggregate(zip_with(...))`` was measured 47 s at sf0.1 — Catalyst
+       interprets higher-order functions per row; the numpy cell kernel
+       reads ~2 s on the identical result.) Work is Σ|cell|² — never
+       corpus × corpus; K grows with N to bound cell size (the per-cell
+       matrix is m×m doubles, so size K for m in the low thousands).
+
+    Vectors that cannot participate in cosine math (dims ≠ codebook dims,
+    or an all-zero quantization) are filtered out up front — explicitly,
+    identically in the oracle — instead of leaking NaN/NULL orderings.
+
+    Exactness across engines: the numpy path computes the same numbers as
+    the SQL oracle because every dot is int64 (exact), the cast to double
+    is exact (|dot| ≤ dims·127² < 2⁵³), and sqrt/divide are
+    correctly-rounded IEEE ops on identical inputs.
+    """
+    q = (
+        vectors.select(id_col, vec_col)
+        .withColumn("__sd_mx", F.expr(
+            f"aggregate(transform({vec_col}, x -> abs(cast(x as double))),"
+            " cast(0.0 as double), (a, x) -> greatest(a, x))"))
+        .withColumn("qv", F.expr(
+            f"transform({vec_col}, x -> cast(if(__sd_mx = 0.0d, 0.0d,"
+            f" floor(cast(x as double) * 127.0d / __sd_mx + 0.5d)) as bigint))"))
+        .withColumn("qn", F.expr(
+            "aggregate(transform(qv, x -> x * x),"
+            " cast(0 as bigint), (a, x) -> a + x)"))
+        .drop("__sd_mx")
+    )
+    cents = (
+        q.filter(F.col(id_col) < k_cells)
+        .filter(F.col("qn") > 0)
+        .select(id_col, "qv", "qn")
+        .collect()  # bounded: ≤ k_cells rows — the codebook, by design
+    )
+    assert cents, "semdedup: no usable codebook vectors below k_cells"
+    dims = len(cents[0]["qv"])
+    lit_cents = ", ".join(
+        f"struct(cast({r[id_col]} as bigint) as cent_id,"
+        f" array({', '.join(str(int(x)) + 'L' for x in r['qv'])}) as cqv,"
+        f" cast({int(r['qn'])} as bigint) as cqn)"
+        for r in cents
+    )
+    # argmax over the literal codebook: (cosine DESC, cent_id ASC) via
+    # array_max on (s, -cent_id) structs — one projection, no shuffle
+    assign = F.expr(
+        f"array_max(transform(array({lit_cents}), c -> struct("
+        "cast(aggregate(zip_with(qv, c.cqv, (x, y) -> x * y),"
+        " cast(0 as bigint), (a, x) -> a + x) as double)"
+        " / sqrt(cast(qn * c.cqn as double)) as s,"
+        " -c.cent_id as nc)))"
+    )
+    assigned = (
+        q.filter((F.size(vec_col) == dims) & (F.col("qn") > 0))
+        .withColumn("cell", (-assign.getField("nc")).alias("cell"))
+        .select(id_col, "qv", "qn", "cell")
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        M = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+        qn = pdf["qn"].to_numpy(dtype=np.int64)
+        # exact int64 Gram matrix; cast + sqrt + divide identical to the
+        # JVM/DuckDB expression on the same integers
+        cos = (M @ M.T).astype(np.float64) / np.sqrt(
+            np.outer(qn, qn).astype(np.float64)
+        )
+        covered = np.triu(cos >= tau, k=1)  # row i covers column j, i < j
+        has_dup = covered.any(axis=0)
+        first = covered.argmax(axis=0)  # ids sorted asc → argmax = min id
+        dup_of = pd.array(
+            [ids[first[j]] if has_dup[j] else None for j in range(len(ids))],
+            dtype="Int64",
+        )
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": pdf["cell"].to_numpy(dtype=np.int64),
+                "dup_of": dup_of,
+                "keep": (~has_dup).astype(np.int32),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        dedup_cell, f"{id_col} long, cell long, dup_of long, keep int"
+    )

@@ -52,36 +52,37 @@ _MODULES = [
 # priority set from the CORRECTNESS_r*.json history and fails if any
 # non-green entry sits outside the window head).
 #
-# Round-8 front (per tools/suggest_front.py over CORRECTNESS_r01–r07):
+# Round-9 front (per tools/suggest_front.py over CORRECTNESS_r01–r08):
 # zero red rows and zero never-checked entries remain, so the window is
-# 3 new-entry slots (unproven entries always precede rotation) + 47
-# rotation slots refreshing the stalest green rows — the 14 whose latest
-# driver row is r4, then 33 of the r5 cohort, stalest-first. Every pair —
-# all entries, regardless of order — stays verified by
+# 1 new-entry slot (unproven entries always precede rotation) + 49
+# rotation slots refreshing the stalest green rows — the 15 whose latest
+# driver row is r5, then 34 of the r6 cohort, stalest-first
+# (nation_price_corr, the 35th r6 entry, rotates next round). Every
+# pair — all entries, regardless of order — stays verified by
 # tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
-    # new this round: batch model inference, its downsampling consumer,
-    # and the streaming admission gate
-    "quality_model_score", "quality_stratified_sample",
-    "stream_quality_gate",
-    # rotation: latest driver row r4
-    "column_prune_filter", "top_unshipped_orders", "local_supplier_volume",
-    "window_topk_per_segment", "window_running_total", "set_operations",
-    "tumbling_hourly", "sliding_hourly", "session_windows",
-    "stream_dedup_users", "stream_enrich_join", "stream_stream_join",
-    "pivot_status", "array_agg_orders",
+    # new this round: SemDeDup-style embedding-space dedup
+    "semantic_dedup",
     # rotation: latest driver row r5
-    "incremental_agg", "scd2_customer_merge", "rule_quarantine",
-    "price_histogram", "stateful_sessions", "manifest_source",
-    "kv_store_roundtrip", "multimodal_features", "multimodal_resize",
-    "multimodal_metadata", "funnel_signup_purchase", "retention_cohorts",
-    "latest_event_per_user", "salted_agg_event_types", "dedup_clusters",
-    "dedup_cleaned_corpus", "contamination_check", "emb_quantize",
-    "distinct_kmv", "kmv_merge", "tfidf_top_terms", "pii_mask",
-    "exists_high_quantity", "scalar_subquery_pricey_parts",
-    "grouping_sets_lineitem", "window_navigation", "quantiles_quantity",
-    "big_orders", "moving_7d_orders", "cheapest_part_per_brand",
-    "filtered_agg", "unpivot_part_metrics", "returned_item_revenue",
+    "volume_shipping", "promo_revenue", "disjunctive_revenue",
+    "small_qty_revenue", "waiting_suppliers", "domain_mix",
+    "pack_sequences", "chunk_documents", "zorder_layout",
+    "sample_hash_bucket", "stratified_sample", "text_top_token_ratio",
+    "token_count_bpe", "sim_ivf_topk", "range_join_promos",
+    # rotation: latest driver row r6
+    "civil_pipeline_e2e", "substring_dedup", "phrase_search",
+    "heavy_hitters", "vocab_coverage", "bpe_pair_counts",
+    "dictionary_encode", "event_anomaly", "snapshot_diff",
+    "fk_integrity", "er_candidate_pairs", "temporal_dim_join",
+    "streaming_running_totals", "stream_foreachbatch_upsert",
+    "multimodal_frame_sample", "multimodal_audio_features",
+    "multimodal_image_ahash", "text_normalize", "text_familiarity",
+    "text_length_trim", "supplier_pagerank", "click_attribution",
+    "gapfill_daily", "stream_dedup_within_watermark",
+    "rolling_median_value", "dedup_containment", "lsh_candidate_recall",
+    "priority_order_check", "market_share", "sales_opportunity",
+    "recursive_reachability", "lateral_topk_orders",
+    "top_revenue_supplier", "product_type_profit",
 ]
 
 

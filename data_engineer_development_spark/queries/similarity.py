@@ -117,14 +117,84 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): embedding-space dedup — the modality the
+# lexical MinHash/SimHash family can't express. Composition of proven
+# pieces (operators/similarity.semdedup): int8 quantization (inference
+# grid) → literal-codebook cell assignment (zero-shuffle projection) →
+# per-cell quantized-cosine pairs (equi-join on cell, never corpus²) →
+# drop-if-any-earlier-neighbor representative rule. All dot products are
+# exact BIGINT; the one sqrt/divide per pair runs on exactly-representable
+# integer inputs, so scores — and therefore the kept set — are
+# bit-identical across engines.
+# --------------------------------------------------------------------------
+_SD_K = 8
+_SD_TAU = 0.4
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup(vecs, k_cells=_SD_K, tau=_SD_TAU).orderBy("vec_id")
+
+
+def _semdedup_sql() -> str:
+    qdot = (
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, {dims}), i -> {a}.qv[i] * {b}.qv[i])), "
+        "(acc, x) -> acc + x) AS DOUBLE)"
+    )
+    return f"""
+WITH m AS (SELECT vec_id, embedding,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                      (acc, v) -> greatest(acc, v)) AS mx
+           FROM embeddings),
+qz AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(
+                  CASE WHEN mx = 0.0 THEN 0.0
+                       ELSE floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) END
+                  AS BIGINT)) AS qv
+       FROM m WHERE len(embedding) = {DIMS}),
+v AS (SELECT * FROM (
+          SELECT vec_id, qv,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(qv, x -> x * x)),
+                     (acc, x) -> acc + x) AS qn
+          FROM qz) WHERE qn > 0),
+c AS (SELECT vec_id AS cent_id, qv, qn FROM v WHERE vec_id < {_SD_K}),
+sc AS (SELECT v.vec_id, c.cent_id,
+              {qdot.format(dims=DIMS, a='v', b='c')}
+              / sqrt(CAST(v.qn * c.qn AS DOUBLE)) AS s
+       FROM v CROSS JOIN c),
+asg AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cent_id AS cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cent_id) AS rk
+            FROM sc) WHERE rk = 1),
+p AS (SELECT bb.vec_id AS id2, MIN(aa.vec_id) AS dup_of
+      FROM asg aa JOIN asg bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+      JOIN v va ON va.vec_id = aa.vec_id
+      JOIN v vb ON vb.vec_id = bb.vec_id
+      WHERE {qdot.format(dims=DIMS, a='va', b='vb')}
+            / sqrt(CAST(va.qn * vb.qn AS DOUBLE)) >= {_SD_TAU}
+      GROUP BY bb.vec_id)
+SELECT asg.vec_id, asg.cell, p.dup_of,
+       CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM asg LEFT JOIN p ON asg.vec_id = p.id2
+ORDER BY asg.vec_id
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_neardup": q_sim_neardup,
     "sim_lsh_buckets": q_sim_lsh_buckets,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLE = {
     "sim_cosine_topk": _SIM_TOPK_SQL,
     "sim_neardup": _SIM_NEARDUP_SQL,
     "sim_lsh_buckets": _lsh_buckets_sql(),
+    "semantic_dedup": _semdedup_sql(),
 }

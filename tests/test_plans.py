@@ -550,6 +550,8 @@ _ARROW_KERNEL_OK = {
     "multimodal_image_ahash",                       # mapInPandas codecs
     "sim_cosine_topk", "sim_ivf_topk", "ann_recall_eval",  # seq_dot UDF
     "sim_neardup",                                  # block-NL mapInPandas
+    "semantic_dedup",  # per-cell pair matrix in numpy (applyInPandas) —
+                       # pairs never materialize as rows (int64-exact)
 }
 
 _PY_EVAL = re.compile(

@@ -1,0 +1,58 @@
+"""SemDeDup — embedding-space dedup (operators/similarity.semdedup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_CORRECT
+
+from data_engineer_development_spark.operators.similarity import semdedup
+from data_engineer_development_spark.queries.similarity import q_semantic_dedup
+
+
+def test_plan_is_cellwise_never_corpus_squared(spark):
+    """The 100 TB contract: codebook assignment is a pure projection (the
+    literal-array argmax — no exchange between the scan and the pair
+    join), and candidate pairs come from an equi-join on the cell key —
+    no cartesian, no nested-loop, no corpus×corpus."""
+    plan = (
+        q_semantic_dedup(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_known_duplicates_drop_toward_lowest_id(spark):
+    """A scaled copy quantizes to the identical int8 vector (cos = 1.0):
+    it must drop with dup_of = the lowest covering id; orthogonal vectors
+    must keep; zero vectors leave the pool entirely."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [2.5, 0.0, 0.0, 0.0]),   # scaled copy of 0 → dup_of 0
+        (3, [0.0, -3.0, 0.0, 0.0]),  # anti-parallel to 1 → cos -1, keep
+        (4, [0.5, 0.0, 0.0, 0.0]),   # another copy of 0 → dup_of 0, not 2
+        (5, [0.0, 0.0, 0.0, 0.0]),   # zero vector → excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semdedup(df, k_cells=2, tau=0.9).collect()}
+    assert 5 not in out
+    assert out[2]["dup_of"] == 0 and out[2]["keep"] == 0
+    assert out[4]["dup_of"] == 0 and out[4]["keep"] == 0
+    assert out[0]["keep"] == 1 and out[1]["keep"] == 1 and out[3]["keep"] == 1
+
+
+def test_registry_split_is_nontrivial(spark):
+    """At sf0.01 the τ=0.4 threshold must drop some but not all vectors —
+    a degenerate all-keep (or all-drop) result would make the entry
+    untestable."""
+    agg = (
+        q_semantic_dedup(spark, SF_CORRECT)
+        .groupBy("keep")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(r["keep"] for r in agg) == [0, 1], agg

@@ -202,3 +202,79 @@ def test_quantized_dot_duckdb_equals_python(vec_w):
     """).fetchone()[0]
     con.close()
     assert got == expect, (vec32, w, got, expect)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup pair math: the numpy cell kernel (operators/similarity.semdedup)
+# and the DuckDB oracle (_semdedup_sql) must compute the IDENTICAL quantized
+# cosine for arbitrary float32 vectors — int64 dot is exact in both, the
+# cast to double is exact (|dot| ≤ dims·127² < 2⁵³), and sqrt/divide are
+# correctly-rounded IEEE ops on identical inputs. This pins the claim for
+# vectors far outside the fixture distribution.
+# ---------------------------------------------------------------------------
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(2, 12).flatmap(
+        lambda n: st.tuples(
+            st.lists(_F32, min_size=n, max_size=n),
+            st.lists(_F32, min_size=n, max_size=n),
+        )
+    )
+)
+def test_semdedup_quantized_cosine_duckdb_equals_numpy(pair):
+    from hypothesis import assume
+
+    def quant(vec):
+        vec32 = [float(np.float32(x)) for x in vec]
+        mx = max(abs(x) for x in vec32)
+        return np.array(
+            [0 if mx == 0.0 else int(np.floor(x * 127.0 / mx + 0.5))
+             for x in vec32],
+            dtype=np.int64,
+        )
+
+    qa, qb = quant(pair[0]), quant(pair[1])
+    na, nb = int(qa @ qa), int(qb @ qb)
+    assume(na > 0 and nb > 0)  # zero-norm vectors are filtered upstream
+    # the kernel's exact expression shape: int64 dot → float64 → sqrt ratio
+    got_np = float(
+        np.float64(int(qa @ qb)) / np.sqrt(np.float64(na) * np.float64(nb))
+    )
+
+    dims = len(qa)
+    a_sql = "[" + ", ".join(repr(float(np.float32(x))) for x in pair[0]) + "]"
+    b_sql = "[" + ", ".join(repr(float(np.float32(x))) for x in pair[1]) + "]"
+    qz = (
+        "list_transform(CAST({v} AS FLOAT[]), x -> CAST("
+        " CASE WHEN mx{t} = 0.0 THEN 0.0"
+        "      ELSE floor(CAST(x AS DOUBLE) * 127.0 / mx{t} + 0.5) END"
+        " AS BIGINT))"
+    )
+    mx = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(CAST({v} AS FLOAT[]), x -> abs(CAST(x AS DOUBLE)))),"
+        " (a, v) -> greatest(a, v))"
+    )
+    con = duckdb.connect()
+    got_duck = con.execute(f"""
+        WITH m AS (SELECT {mx.format(v=a_sql)} AS mxa,
+                          {mx.format(v=b_sql)} AS mxb),
+        q AS (SELECT {qz.format(v=a_sql, t='a')} AS qa,
+                     {qz.format(v=b_sql, t='b')} AS qb
+              FROM (SELECT mxa AS mxa, mxb AS mxb FROM m)),
+        n AS (SELECT qa, qb,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(qa, x -> x * x)), (a, x) -> a + x) AS na,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(qb, x -> x * x)), (a, x) -> a + x) AS nb
+              FROM q)
+        SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, {dims}),
+                                  i -> qa[i] * qb[i])),
+                   (a, x) -> a + x) AS DOUBLE)
+               / sqrt(CAST(na * nb AS DOUBLE))
+        FROM n
+    """).fetchone()[0]
+    con.close()
+    # bit-identical, not approximately equal
+    assert got_duck == got_np, (pair, got_duck, got_np)

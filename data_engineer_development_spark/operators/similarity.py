@@ -281,6 +281,88 @@ def neardup_pairs_cosine(
 # SemDeDup: embedding-space near-duplicate removal (Abbas et al. 2023,
 # arXiv:2303.09540) — cluster vectors, then drop within-cluster near-dups.
 # --------------------------------------------------------------------------
+def _with_quantized(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, qv, qn): int8 max-abs quantization (`operators/inference.py`
+    grid) + integer self-dot — the shared front of the semantic-dedup
+    family. Pure projection, JVM-side."""
+    return (
+        vectors.select(id_col, vec_col)
+        .withColumn("__sd_mx", F.expr(
+            f"aggregate(transform({vec_col}, x -> abs(cast(x as double))),"
+            " cast(0.0 as double), (a, x) -> greatest(a, x))"))
+        .withColumn("qv", F.expr(
+            f"transform({vec_col}, x -> cast(if(__sd_mx = 0.0d, 0.0d,"
+            f" floor(cast(x as double) * 127.0d / __sd_mx + 0.5d)) as bigint))"))
+        .withColumn("qn", F.expr(
+            "aggregate(transform(qv, x -> x * x),"
+            " cast(0 as bigint), (a, x) -> a + x)"))
+        .drop("__sd_mx")
+    )
+
+
+def quantized_neardup_pairs(
+    vectors: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_rows: int = MAX_BROADCAST_ROWS,
+) -> DataFrame:
+    """EXACT near-dup pairs (id1 < id2) on the int8-quantized grid — the
+    all-pairs truth set that grades ``semdedup``'s cell restriction
+    (``q_semdedup_recall_eval``), same role as the exact-Jaccard truth in
+    ``lsh_candidate_recall``.
+
+    Same block-nested-loop shape as ``neardup_pairs_cosine``: the whole
+    quantized matrix (ids, qv, qn) broadcasts; each task scores its row
+    block against it in ONE float64 matmul and emits only the surviving
+    id pairs — the O(N²) pair set never materializes as rows. The float64
+    path is EXACT here, not approximate: every product is an integer
+    ≤ 127² and every partial sum an integer < 2⁵³, so BLAS accumulation
+    order cannot round — the numbers equal int64 math (and therefore the
+    DuckDB oracle) bit-for-bit, at BLAS speed.
+
+    O(N²·d) BY DEFINITION (it is the exactness baseline); the broadcast
+    ceiling guards the driver the same way the brute cosine path does.
+    Zero-norm and off-dims vectors are excluded, as everywhere in the
+    family.
+    """
+    q = _with_quantized(vectors, id_col, vec_col).filter(F.col("qn") > 0)
+    rows = q.select(id_col, "qv", "qn").collect()  # bounded: exactness baseline
+    assert len(rows) <= max_broadcast_rows, (
+        f"quantized_neardup_pairs is the O(N²) truth baseline; "
+        f"{len(rows)} vectors exceed the {max_broadcast_rows} ceiling"
+    )
+    dims = max((len(r["qv"]) for r in rows), default=0)
+    rows = [r for r in rows if len(r["qv"]) == dims]
+    spark = vectors.sparkSession
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r["qv"] for r in rows], dtype=np.float64)
+    nrm = np.sqrt(np.array([r["qn"] for r in rows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+    parts = _pair_partitions(len(ids) * (len(ids) - 1) // 2, spark)
+
+    def score_blocks(batches):
+        b_ids, b_mat, b_nrm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf[id_col].to_numpy().astype(np.int64)
+            a_mat = np.vstack(pdf["qv"].to_numpy()).astype(np.float64)
+            a_nrm = np.sqrt(pdf["qn"].to_numpy().astype(np.float64))
+            cos = (a_mat @ b_mat.T) / (a_nrm[:, None] * b_nrm[None, :])
+            keep = (a_ids[:, None] < b_ids[None, :]) & (cos >= tau)
+            i, j = np.nonzero(keep)
+            yield pd.DataFrame({"id1": a_ids[i], "id2": b_ids[j]})
+
+    return (
+        q.filter(F.size(vec_col) == dims)
+        .select(id_col, "qv", "qn")
+        .repartition(parts)
+        .mapInPandas(score_blocks, "id1 long, id2 long")
+    )
+
+
+
 def semdedup(
     vectors: DataFrame,
     k_cells: int = 8,
@@ -329,19 +411,7 @@ def semdedup(
     is exact (|dot| ≤ dims·127² < 2⁵³), and sqrt/divide are
     correctly-rounded IEEE ops on identical inputs.
     """
-    q = (
-        vectors.select(id_col, vec_col)
-        .withColumn("__sd_mx", F.expr(
-            f"aggregate(transform({vec_col}, x -> abs(cast(x as double))),"
-            " cast(0.0 as double), (a, x) -> greatest(a, x))"))
-        .withColumn("qv", F.expr(
-            f"transform({vec_col}, x -> cast(if(__sd_mx = 0.0d, 0.0d,"
-            f" floor(cast(x as double) * 127.0d / __sd_mx + 0.5d)) as bigint))"))
-        .withColumn("qn", F.expr(
-            "aggregate(transform(qv, x -> x * x),"
-            " cast(0 as bigint), (a, x) -> a + x)"))
-        .drop("__sd_mx")
-    )
+    q = _with_quantized(vectors, id_col, vec_col)
     cents = (
         q.filter(F.col(id_col) < k_cells)
         .filter(F.col("qn") > 0)

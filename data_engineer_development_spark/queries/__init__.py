@@ -54,15 +54,16 @@ _MODULES = [
 #
 # Round-9 front (per tools/suggest_front.py over CORRECTNESS_r01–r08):
 # zero red rows and zero never-checked entries remain, so the window is
-# 1 new-entry slot (unproven entries always precede rotation) + 49
+# 2 new-entry slots (unproven entries always precede rotation) + 48
 # rotation slots refreshing the stalest green rows — the 15 whose latest
-# driver row is r5, then 34 of the r6 cohort, stalest-first
-# (nation_price_corr, the 35th r6 entry, rotates next round). Every
-# pair — all entries, regardless of order — stays verified by
-# tests/test_oracle_parity.py under both ANSI modes.
+# driver row is r5, then 33 of the r6 cohort, stalest-first
+# (product_type_profit and nation_price_corr, the r6 tail, rotate next
+# round). Every pair — all entries, regardless of order — stays verified
+# by tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
-    # new this round: SemDeDup-style embedding-space dedup
-    "semantic_dedup",
+    # new this round: SemDeDup-style embedding-space dedup + its recall
+    # eval against the exact quantized truth set
+    "semantic_dedup", "semdedup_recall_eval",
     # rotation: latest driver row r5
     "volume_shipping", "promo_revenue", "disjunctive_revenue",
     "small_qty_revenue", "waiting_suppliers", "domain_mix",
@@ -82,7 +83,7 @@ _FRONT = [
     "rolling_median_value", "dedup_containment", "lsh_candidate_recall",
     "priority_order_check", "market_share", "sales_opportunity",
     "recursive_reachability", "lateral_topk_orders",
-    "top_revenue_supplier", "product_type_profit",
+    "top_revenue_supplier",
 ]
 
 

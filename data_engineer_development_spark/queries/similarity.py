@@ -137,14 +137,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup(vecs, k_cells=_SD_K, tau=_SD_TAU).orderBy("vec_id")
 
 
-def _semdedup_sql() -> str:
-    qdot = (
-        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(generate_series(1, {dims}), i -> {a}.qv[i] * {b}.qv[i])), "
-        "(acc, x) -> acc + x) AS DOUBLE)"
+def _sd_qdot(a: str, b: str) -> str:
+    """Exact BIGINT quantized dot, cast to double (shared by the semantic
+    dedup oracle and its recall eval — one definition, no drift)."""
+    return (
+        f"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, {DIMS}), i -> {a}.qv[i] * {b}.qv[i])), "
+        f"(acc, x) -> acc + x) AS DOUBLE)"
     )
-    return f"""
-WITH m AS (SELECT vec_id, embedding,
+
+
+#: shared CTE chain (quantize → usable vectors `v` → codebook → cell
+#: assignment `asg`) — used verbatim by the semantic_dedup oracle AND the
+#: recall eval, so the two can never diverge on the assignment semantics.
+_SD_CTES = f"""m AS (SELECT vec_id, embedding,
                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
                       (acc, v) -> greatest(acc, v)) AS mx
@@ -163,19 +169,22 @@ v AS (SELECT * FROM (
           FROM qz) WHERE qn > 0),
 c AS (SELECT vec_id AS cent_id, qv, qn FROM v WHERE vec_id < {_SD_K}),
 sc AS (SELECT v.vec_id, c.cent_id,
-              {qdot.format(dims=DIMS, a='v', b='c')}
+              {_sd_qdot('v', 'c')}
               / sqrt(CAST(v.qn * c.qn AS DOUBLE)) AS s
        FROM v CROSS JOIN c),
 asg AS (SELECT vec_id, cell FROM (
             SELECT vec_id, cent_id AS cell,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY s DESC, cent_id) AS rk
-            FROM sc) WHERE rk = 1),
+            FROM sc) WHERE rk = 1)"""
+
+_SEMDEDUP_SQL = f"""
+WITH {_SD_CTES},
 p AS (SELECT bb.vec_id AS id2, MIN(aa.vec_id) AS dup_of
       FROM asg aa JOIN asg bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
       JOIN v va ON va.vec_id = aa.vec_id
       JOIN v vb ON vb.vec_id = bb.vec_id
-      WHERE {qdot.format(dims=DIMS, a='va', b='vb')}
+      WHERE {_sd_qdot('va', 'vb')}
             / sqrt(CAST(va.qn * vb.qn AS DOUBLE)) >= {_SD_TAU}
       GROUP BY bb.vec_id)
 SELECT asg.vec_id, asg.cell, p.dup_of,
@@ -185,16 +194,76 @@ ORDER BY asg.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# SemDeDup recall eval: grade the cell restriction against the EXACT
+# all-pairs quantized-cosine truth set — the same "measure, don't guess"
+# harness every approximate path in this engine carries (lsh_candidate_
+# recall for MinHash banding, ann_recall_eval for IVF). Recall < 1 is the
+# designed cost of never doing corpus×corpus; this entry puts a number on
+# it so K/τ tuning is evidence-driven. Counts are exact integers; recall
+# is one exact-int division — hash-comparable.
+# --------------------------------------------------------------------------
+def q_semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    truth = S.quantized_neardup_pairs(vecs, _SD_TAU)
+    asg = S.semdedup(vecs, k_cells=_SD_K, tau=_SD_TAU).select("vec_id", "cell")
+    a1 = asg.select(F.col("vec_id").alias("id1"), F.col("cell").alias("cell1"))
+    a2 = asg.select(F.col("vec_id").alias("id2"), F.col("cell").alias("cell2"))
+    return (
+        truth.join(a1, "id1")
+        .join(a2, "id2")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            # coalesce: SUM over zero rows is NULL in both engines; the
+            # oracle pins 0, so the degenerate empty-truth case agrees
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("cell1") == F.col("cell2"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_within_cell"),
+        )
+        .select(
+            "n_true",
+            "n_within_cell",
+            (
+                F.col("n_within_cell").cast("double")
+                / F.expr("nullif(n_true, 0)")
+            ).alias("recall"),
+        )
+    )
+
+
+_SEMDEDUP_RECALL_SQL = f"""
+WITH {_SD_CTES},
+t AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE {_sd_qdot('a', 'b')}
+            / sqrt(CAST(a.qn * b.qn AS DOUBLE)) >= {_SD_TAU}),
+j AS (SELECT aa.cell AS cell1, bb.cell AS cell2
+      FROM t JOIN asg aa ON t.id1 = aa.vec_id
+             JOIN asg bb ON t.id2 = bb.vec_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COALESCE(SUM(CASE WHEN cell1 = cell2 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_within_cell,
+       CAST(COALESCE(SUM(CASE WHEN cell1 = cell2 THEN 1 ELSE 0 END), 0)
+            AS DOUBLE) / NULLIF(COUNT(*), 0) AS recall
+FROM j
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_neardup": q_sim_neardup,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "semantic_dedup": q_semantic_dedup,
+    "semdedup_recall_eval": q_semdedup_recall_eval,
 }
 
 ORACLE = {
     "sim_cosine_topk": _SIM_TOPK_SQL,
     "sim_neardup": _SIM_NEARDUP_SQL,
     "sim_lsh_buckets": _lsh_buckets_sql(),
-    "semantic_dedup": _semdedup_sql(),
+    "semantic_dedup": _SEMDEDUP_SQL,
+    "semdedup_recall_eval": _SEMDEDUP_RECALL_SQL,
 }

@@ -552,6 +552,7 @@ _ARROW_KERNEL_OK = {
     "sim_neardup",                                  # block-NL mapInPandas
     "semantic_dedup",  # per-cell pair matrix in numpy (applyInPandas) —
                        # pairs never materialize as rows (int64-exact)
+    "semdedup_recall_eval",  # + block-NL quantized truth set (mapInPandas)
 }
 
 _PY_EVAL = re.compile(

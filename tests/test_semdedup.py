@@ -56,3 +56,38 @@ def test_registry_split_is_nontrivial(spark):
         .collect()
     )
     assert sorted(r["keep"] for r in agg) == [0, 1], agg
+
+
+def test_quantized_truth_pairs_on_known_vectors(spark):
+    """The exact truth kernel must find precisely the known near-dup pairs
+    (scaled copies quantize identically → cos 1.0; orthogonal pairs score
+    0) — and the float64 BLAS path must agree with integer math."""
+    from data_engineer_development_spark.operators.similarity import (
+        quantized_neardup_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [4.0, 0.0, 0.0, 0.0]),   # copy of 0
+        (3, [0.0, 0.25, 0.0, 0.0]),  # copy of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id1"], r["id2"])
+        for r in quantized_neardup_pairs(df, tau=0.9).collect()
+    }
+    assert got == {(0, 2), (1, 3)}
+
+
+def test_recall_eval_is_consistent(spark):
+    """n_within_cell ≤ n_true, recall = ratio exactly, and the sf0.01
+    numbers are non-degenerate (some — not all — truth pairs share a
+    cell, so the eval actually measures the restriction)."""
+    from data_engineer_development_spark.queries.similarity import (
+        q_semdedup_recall_eval,
+    )
+
+    r = q_semdedup_recall_eval(spark, SF_CORRECT).collect()[0]
+    assert 0 < r["n_within_cell"] < r["n_true"]
+    assert r["recall"] == r["n_within_cell"] / r["n_true"]

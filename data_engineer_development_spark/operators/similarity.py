@@ -306,6 +306,7 @@ def quantized_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_rows: int = MAX_BROADCAST_ROWS,
+    dims: int | None = None,
 ) -> DataFrame:
     """EXACT near-dup pairs (id1 < id2) on the int8-quantized grid — the
     all-pairs truth set that grades ``semdedup``'s cell restriction
@@ -324,7 +325,11 @@ def quantized_neardup_pairs(
     O(N²·d) BY DEFINITION (it is the exactness baseline); the broadcast
     ceiling guards the driver the same way the brute cosine path does.
     Zero-norm and off-dims vectors are excluded, as everywhere in the
-    family.
+    family. Callers with an oracle-pinned dimensionality (queries/
+    similarity.DIMS) pass ``dims`` explicitly so both engines agree on
+    which vectors participate even if the corpus ever mixes widths;
+    ``dims=None`` derives the modal width from the data (max length —
+    deterministic, but data-dependent).
     """
     q = _with_quantized(vectors, id_col, vec_col).filter(F.col("qn") > 0)
     rows = q.select(id_col, "qv", "qn").collect()  # bounded: exactness baseline
@@ -332,7 +337,8 @@ def quantized_neardup_pairs(
         f"quantized_neardup_pairs is the O(N²) truth baseline; "
         f"{len(rows)} vectors exceed the {max_broadcast_rows} ceiling"
     )
-    dims = max((len(r["qv"]) for r in rows), default=0)
+    if dims is None:
+        dims = max((len(r["qv"]) for r in rows), default=0)
     rows = [r for r in rows if len(r["qv"]) == dims]
     spark = vectors.sparkSession
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
@@ -369,6 +375,7 @@ def semdedup(
     tau: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: (id, cell, dup_of, keep) per vector.
 
@@ -412,14 +419,24 @@ def semdedup(
     correctly-rounded IEEE ops on identical inputs.
     """
     q = _with_quantized(vectors, id_col, vec_col)
-    cents = (
+    cents = sorted(
         q.filter(F.col(id_col) < k_cells)
         .filter(F.col("qn") > 0)
         .select(id_col, "qv", "qn")
-        .collect()  # bounded: ≤ k_cells rows — the codebook, by design
+        .collect(),  # bounded: ≤ k_cells rows — the codebook, by design
+        key=lambda r: r[id_col],
     )
+    # Pin the participating width BEFORE picking codebook members: with
+    # dims=None the lowest usable id defines it (the sort makes that
+    # deterministic — a bare .collect() order is not); an oracle-pinned
+    # caller passes dims so codebook MEMBERSHIP can't drift either (the
+    # DuckDB side draws its codebook from the dims-filtered `v` CTE, so an
+    # off-width low-id vector must be excluded here too, not quantized in).
     assert cents, "semdedup: no usable codebook vectors below k_cells"
-    dims = len(cents[0]["qv"])
+    if dims is None:
+        dims = len(cents[0]["qv"])
+    cents = [r for r in cents if len(r["qv"]) == dims]
+    assert cents, f"semdedup: no codebook vectors of width {dims}"
     lit_cents = ", ".join(
         f"struct(cast({r[id_col]} as bigint) as cent_id,"
         f" array({', '.join(str(int(x)) + 'L' for x in r['qv'])}) as cqv,"

@@ -134,7 +134,12 @@ _SD_TAU = 0.4
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
-    return S.semdedup(vecs, k_cells=_SD_K, tau=_SD_TAU).orderBy("vec_id")
+    # dims pinned to the oracle's constant: both engines must agree on
+    # WHICH vectors participate (codebook membership included), not just
+    # on the arithmetic — same discipline as bucket_assign(dims=DIMS)
+    return S.semdedup(
+        vecs, k_cells=_SD_K, tau=_SD_TAU, dims=DIMS
+    ).orderBy("vec_id")
 
 
 def _sd_qdot(a: str, b: str) -> str:
@@ -205,8 +210,10 @@ ORDER BY asg.vec_id
 # --------------------------------------------------------------------------
 def q_semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
-    truth = S.quantized_neardup_pairs(vecs, _SD_TAU)
-    asg = S.semdedup(vecs, k_cells=_SD_K, tau=_SD_TAU).select("vec_id", "cell")
+    truth = S.quantized_neardup_pairs(vecs, _SD_TAU, dims=DIMS)
+    asg = S.semdedup(
+        vecs, k_cells=_SD_K, tau=_SD_TAU, dims=DIMS
+    ).select("vec_id", "cell")
     a1 = asg.select(F.col("vec_id").alias("id1"), F.col("cell").alias("cell1"))
     a2 = asg.select(F.col("vec_id").alias("id2"), F.col("cell").alias("cell2"))
     return (

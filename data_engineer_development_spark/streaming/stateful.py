@@ -65,8 +65,10 @@ def _update(
         u = pdf["__units"].dropna()
         if len(u):
             # int64 micro-units arrive as float64 when the Arrow column is
-            # nullable; values are < 2⁵³ so the float sum is still exact
-            units += int(u.sum())
+            # nullable; each VALUE is < 2⁵³ so the element-wise int64 cast
+            # is exact, and summing in int64 (not float64) keeps the batch
+            # subtotal exact up to the int64 range rather than only 2⁵³
+            units += int(u.to_numpy().astype("int64").sum())
     state.update((n, units))
     yield pd.DataFrame(
         {

@@ -80,6 +80,43 @@ def test_quantized_truth_pairs_on_known_vectors(spark):
     assert got == {(0, 2), (1, 3)}
 
 
+def test_mixed_width_corpus_pins_to_caller_dims(spark):
+    """An off-width vector — even at a codebook-eligible low id — must be
+    excluded when the caller pins ``dims``, exactly as the oracle's
+    dims-filtered ``v`` CTE excludes it; and the codebook must come from
+    the surviving widths only (the lowest usable id was off-width here).
+    With dims=None the lowest usable id's width wins, deterministically."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # 3-wide: codebook-eligible id, wrong width
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 2.0, 0.0, 0.0]),   # copy of 1 → dup_of 1
+        (3, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(df, k_cells=2, tau=0.9, dims=4).collect()
+    }
+    assert 0 not in out, "off-width vector must not participate"
+    assert set(out) == {1, 2, 3}
+    assert out[2]["dup_of"] == 1 and out[2]["keep"] == 0
+    # dims=None: the lowest usable codebook id (0, width 3) pins width 3
+    out_auto = {
+        r["vec_id"]: r for r in semdedup(df, k_cells=2, tau=0.9).collect()
+    }
+    assert set(out_auto) == {0}
+
+    from data_engineer_development_spark.operators.similarity import (
+        quantized_neardup_pairs,
+    )
+
+    got = {
+        (r["id1"], r["id2"])
+        for r in quantized_neardup_pairs(df, tau=0.9, dims=4).collect()
+    }
+    assert got == {(1, 2)}
+
+
 def test_recall_eval_is_consistent(spark):
     """n_within_cell ≤ n_true, recall = ratio exactly, and the sf0.01
     numbers are non-degenerate (some — not all — truth pairs share a

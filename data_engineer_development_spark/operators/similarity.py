@@ -428,7 +428,7 @@ def semdedup(
     )
     # Pin the participating width BEFORE picking codebook members: with
     # dims=None the lowest usable id defines it (the sort makes that
-    # deterministic — a bare .collect() order is not); an oracle-pinned
+    # deterministic — bare driver-fetch row order is not); an oracle-pinned
     # caller passes dims so codebook MEMBERSHIP can't drift either (the
     # DuckDB side draws its codebook from the dims-filtered `v` CTE, so an
     # off-width low-id vector must be excluded here too, not quantized in).

@@ -188,35 +188,40 @@ def asof_join(
     the naive ``l JOIN r ON l.k = r.k AND r.t <= l.t`` + max() approach
     explodes to |matches| rows before aggregating.
 
+    The payload columns are forward-filled as ONE struct, not column-by-
+    column: a right row whose payload is partly NULL still carries its
+    non-null struct wrapper, so (a) a matched row's genuine NULL payload is
+    attached as NULL (DuckDB/kdb ASOF semantics) instead of an older row's
+    value leaking through, and (b) a left row can never receive a torn
+    combination of fields from two different right rows.
+
     Requires unique (key, right_time) pairs on the right for deterministic
     payloads (dedup upstream with a row_number pick).
 
     Ties (right_time == left_time) match, same as DuckDB/kdb ASOF semantics.
     """
+    from pyspark.sql.types import StructField, StructType
+
     keys = [key] if isinstance(key, str) else list(key)
 
-    l_tag = left.withColumn("__t", F.col(left_time)).withColumn("__side", F.lit(1))
-    r_tag = right.select(
-        *[F.col(k) for k in keys],
-        F.col(right_time).alias("__t"),
-        F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_payload]
     )
     left_cols = left.columns
-    l_aligned = l_tag.select(
+    l_aligned = left.select(
         *left_cols,
-        "__t",
-        "__side",
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(payload_type).alias("__r"),
     )
-    r_aligned = r_tag.select(
+    r_aligned = right.select(
         *[
             F.col(c) if c in keys else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left_cols
         ],
-        "__t",
-        "__side",
-        *[f"__r_{c}" for c in right_payload],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("__r"),
     )
 
     w = (
@@ -224,13 +229,11 @@ def asof_join(
         .orderBy(F.col("__t"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l_aligned.unionByName(r_aligned)
-    for c in right_payload:
-        filled = filled.withColumn(
-            f"__f_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
-        )
+    filled = l_aligned.unionByName(r_aligned).withColumn(
+        "__f", F.last(F.col("__r"), ignorenulls=True).over(w)
+    )
     out_payload: list[Column] = [
-        F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in right_payload
+        F.col("__f").getField(c).alias(f"{c}{suffix}") for c in right_payload
     ]
     return filled.filter(F.col("__side") == 1).select(*left_cols, *out_payload)
 

@@ -307,3 +307,45 @@ def test_dpp_partition_join_prunes_at_runtime(spark, tmp_path):
         .toString()
     )
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_asof_join_null_payload_and_atomicity(spark):
+    """The as-of fill must attach the MATCHED right row's payload atomically:
+    a genuine NULL in one payload column stays NULL (no older value leaking
+    through), and a left row can never get a torn mix of fields from two
+    different right rows. Regression for the per-column ignorenulls fill."""
+    from data_engineer_development_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10), ("u1", 25)], "k string, t int"
+    )
+    # at t=20 the price is NULL but the qty is 9; at t=5 both are set.
+    right = spark.createDataFrame(
+        [("u1", 5, 100.0, 7), ("u1", 20, None, 9)],
+        "k string, rt int, price double, qty int",
+    )
+    out = {
+        r["t"]: (r["price"], r["qty"])
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="rt",
+            right_payload=["price", "qty"],
+        ).collect()
+    }
+    assert out[10] == (100.0, 7)
+    # matched row is (rt=20): price must be its NULL, qty its 9 — NOT the
+    # torn (100.0, 9) the independent per-column fill would produce
+    assert out[25] == (None, 9)
+
+
+def test_asof_join_no_match_stays_null(spark):
+    from data_engineer_development_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("u2", 3)], "k string, t int")
+    right = spark.createDataFrame(
+        [("u2", 8, 1.0)], "k string, rt int, price double"
+    )
+    rows = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_payload=["price"],
+    ).collect()
+    assert len(rows) == 1 and rows[0]["price"] is None

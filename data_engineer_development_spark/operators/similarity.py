@@ -203,6 +203,15 @@ def neardup_pairs_cosine(
     guards its own ceiling: above ``max_broadcast_rows`` vectors it
     auto-switches to the LSH path rather than collect a matrix the driver
     can't hold.
+
+    Zero-norm vectors are EXCLUDED up front on both paths: their cosine is
+    0/0, and the three backends disagree on what NaN does to a ``>= tau``
+    filter (numpy: false; Spark SQL and DuckDB: NaN compares greater than
+    everything) — filtering is the only semantics all three express
+    identically. Mixed vector widths fail loudly in the numpy kernel
+    (``np.vstack`` raises) rather than silently NULL-ing like the JVM
+    ``zip_with`` would; callers with mixed-width corpora filter to one
+    width first (see ``semdedup``'s dims pinning).
     """
     n_vec: int | None = None
     if not use_lsh:
@@ -223,8 +232,10 @@ def neardup_pairs_cosine(
         # anyway (and AQE re-coalesces), so input parallelism just needs a
         # sane floor — defaultParallelism, not a pair-count-sized job
         parts = vectors.sparkSession.sparkContext.defaultParallelism
-        with_norm = vectors.repartition(parts).select(
-            F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("nrm")
+        with_norm = (
+            vectors.repartition(parts)
+            .select(F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("nrm"))
+            .filter(F.col("nrm") > 0)
         )
         v = bucket_assign(with_norm, planes=planes, dims=dims, vec_col=vec_col)
         a = v.select(
@@ -245,9 +256,10 @@ def neardup_pairs_cosine(
         )
 
     spark = vectors.sparkSession
-    rows = vectors.select(id_col, vec_col).collect()
+    nz = vectors.filter(norm_expr(vec_col) > 0)
+    rows = nz.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = np.vstack([r[1] for r in rows]).astype(np.float64)
     bc = spark.sparkContext.broadcast((ids, mat))
 
     parts = _pair_partitions(len(ids) * (len(ids) - 1) // 2, spark)
@@ -272,7 +284,7 @@ def neardup_pairs_cosine(
                 {"id1": a_ids[i], "id2": b_ids[j], "cosine": cos[i, j]}
             )
 
-    return vectors.repartition(parts).mapInPandas(
+    return nz.repartition(parts).mapInPandas(
         score_blocks, "id1 long, id2 long, cosine double"
     )
 

@@ -83,6 +83,7 @@ SELECT a.vec_id AS id1, b.vec_id AS id2,
        {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= {COSINE_TAU}
+  AND {_duck_norm('a.embedding')} > 0 AND {_duck_norm('b.embedding')} > 0
 ORDER BY id1, id2
 """
 

@@ -278,3 +278,57 @@ def test_semdedup_quantized_cosine_duckdb_equals_numpy(pair):
     con.close()
     # bit-identical, not approximately equal
     assert got_duck == got_np, (pair, got_duck, got_np)
+
+
+# ---------------------------------------------------------------------------
+# asof_join vs DuckDB's native ASOF LEFT JOIN: arbitrary keys/times and
+# NULLABLE multi-column payloads (the struct-fill regression surface — a
+# per-column fill tears rows / leaks older values through NULLs).
+# ---------------------------------------------------------------------------
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 40)),
+        min_size=1, max_size=12,
+    ),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 40),
+            st.one_of(st.none(), st.integers(-5, 5)),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
+        min_size=0, max_size=12,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+def test_asof_join_equals_duckdb_asof(spark, lrows, rrows):
+    from data_engineer_development_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        "k string, t int, lid int",
+    )
+    right = spark.createDataFrame(
+        rrows, "k string, rt int, p int, q int"
+    ) if rrows else spark.createDataFrame([], "k string, rt int, p int, q int")
+    got = sorted(
+        (r["lid"], r["p"], r["q"])
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="rt",
+            right_payload=["p", "q"],
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k VARCHAR, t INT, lid INT)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)",
+                    [(k, t, i) for i, (k, t) in enumerate(lrows)])
+    con.execute("CREATE TABLE r (k VARCHAR, rt INT, p INT, q INT)")
+    if rrows:
+        con.executemany("INSERT INTO r VALUES (?, ?, ?, ?)", rrows)
+    want = sorted(tuple(row) for row in con.execute(
+        "SELECT l.lid, r.p, r.q FROM l ASOF LEFT JOIN r "
+        "ON l.k = r.k AND l.t >= r.rt"
+    ).fetchall())
+    con.close()
+    assert got == want

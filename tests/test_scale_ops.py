@@ -349,3 +349,28 @@ def test_asof_join_no_match_stays_null(spark):
         right_payload=["price"],
     ).collect()
     assert len(rows) == 1 and rows[0]["price"] is None
+
+
+def test_neardup_pairs_excludes_zero_norm_both_paths(spark):
+    """A zero-norm vector's cosine is 0/0 = NaN, and the three backends
+    disagree on NaN >= tau (numpy: false; Spark SQL / DuckDB: NaN compares
+    greater than everything) — so the operator must exclude zero-norm
+    vectors identically on the exact and LSH paths."""
+    from data_engineer_development_spark.operators.similarity import (
+        neardup_pairs_cosine,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero-norm: must never appear in pairs
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for lsh in (False, True):
+        got = sorted(
+            (r["id1"], r["id2"])
+            for r in neardup_pairs_cosine(
+                vecs, tau=0.5, use_lsh=lsh, planes=2, dims=4
+            ).collect()
+        )
+        assert got == [(1, 2)], f"use_lsh={lsh}: {got}"

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from data_engineer_development_spark.cache import track_persist
 from data_engineer_development_spark.functions.portable_hash import hyperplane
 
 
@@ -258,6 +259,10 @@ def neardup_pairs_cosine(
     spark = vectors.sparkSession
     nz = vectors.filter(norm_expr(vec_col) > 0)
     rows = nz.select(id_col, vec_col).collect()
+    if not rows:
+        # np.vstack([]) raises; an empty (or all-zero-norm) corpus has no
+        # pairs — return the empty result with the contract schema
+        return spark.createDataFrame([], "id1 long, id2 long, cosine double")
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.vstack([r[1] for r in rows]).astype(np.float64)
     bc = spark.sparkContext.broadcast((ids, mat))
@@ -332,7 +337,13 @@ def quantized_neardup_pairs(
     path is EXACT here, not approximate: every product is an integer
     ≤ 127² and every partial sum an integer < 2⁵³, so BLAS accumulation
     order cannot round — the numbers equal int64 math (and therefore the
-    DuckDB oracle) bit-for-bit, at BLAS speed.
+    DuckDB oracle) bit-for-bit, at BLAS speed. The denominator is
+    ``sqrt(qn_a * qn_b)`` — ONE sqrt over the exact integer product
+    (≤ (dims·127²)² < 2⁵³), matching the oracle's
+    ``sqrt(CAST(a.qn * b.qn AS DOUBLE))`` bit-for-bit; the algebraically
+    equal ``sqrt(qn_a) * sqrt(qn_b)`` differs by 1 ulp for ~a third of
+    integer pairs and can flip membership for a cosine within an ulp
+    of tau.
 
     O(N²·d) BY DEFINITION (it is the exactness baseline); the broadcast
     ceiling guards the driver the same way the brute cosine path does.
@@ -340,9 +351,10 @@ def quantized_neardup_pairs(
     family. Callers with an oracle-pinned dimensionality (queries/
     similarity.DIMS) pass ``dims`` explicitly so both engines agree on
     which vectors participate even if the corpus ever mixes widths;
-    ``dims=None`` derives the modal width from the data (max length —
-    deterministic, but data-dependent).
+    ``dims=None`` takes the MAX width present in the data (deterministic,
+    but data-dependent).
     """
+    spark = vectors.sparkSession
     q = _with_quantized(vectors, id_col, vec_col).filter(F.col("qn") > 0)
     rows = q.select(id_col, "qv", "qn").collect()  # bounded: exactness baseline
     assert len(rows) <= max_broadcast_rows, (
@@ -352,22 +364,26 @@ def quantized_neardup_pairs(
     if dims is None:
         dims = max((len(r["qv"]) for r in rows), default=0)
     rows = [r for r in rows if len(r["qv"]) == dims]
-    spark = vectors.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "id1 long, id2 long")
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.array([r["qv"] for r in rows], dtype=np.float64)
-    nrm = np.sqrt(np.array([r["qn"] for r in rows], dtype=np.float64))
-    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+    qns = np.array([r["qn"] for r in rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((ids, mat, qns))
     parts = _pair_partitions(len(ids) * (len(ids) - 1) // 2, spark)
 
     def score_blocks(batches):
-        b_ids, b_mat, b_nrm = bc.value
+        b_ids, b_mat, b_qn = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             a_ids = pdf[id_col].to_numpy().astype(np.int64)
             a_mat = np.vstack(pdf["qv"].to_numpy()).astype(np.float64)
-            a_nrm = np.sqrt(pdf["qn"].to_numpy().astype(np.float64))
-            cos = (a_mat @ b_mat.T) / (a_nrm[:, None] * b_nrm[None, :])
+            a_qn = pdf["qn"].to_numpy().astype(np.int64)
+            # sqrt of the exact INTEGER product (< 2⁵³), not a product of
+            # sqrts — the oracle's sqrt(CAST(a.qn*b.qn AS DOUBLE)) exactly
+            den = np.sqrt((a_qn[:, None] * b_qn[None, :]).astype(np.float64))
+            cos = (a_mat @ b_mat.T) / den
             keep = (a_ids[:, None] < b_ids[None, :]) & (cos >= tau)
             i, j = np.nonzero(keep)
             yield pd.DataFrame({"id1": a_ids[i], "id2": b_ids[j]})
@@ -381,6 +397,25 @@ def quantized_neardup_pairs(
 
 
 
+def _codebook_argmax_expr(cents: list[tuple[int, list[int], int]]) -> F.Column:
+    """argmax over a LITERAL codebook: (cosine DESC, cent_id ASC) via
+    array_max on (s, -cent_id) structs — one projection, no shuffle.
+    Expects (id, qv, qn) columns in scope (``_with_quantized`` output)."""
+    lit_cents = ", ".join(
+        f"struct(cast({cid} as bigint) as cent_id,"
+        f" array({', '.join(str(int(x)) + 'L' for x in cqv)}) as cqv,"
+        f" cast({int(cqn)} as bigint) as cqn)"
+        for cid, cqv, cqn in cents
+    )
+    return F.expr(
+        f"array_max(transform(array({lit_cents}), c -> struct("
+        "cast(aggregate(zip_with(qv, c.cqv, (x, y) -> x * y),"
+        " cast(0 as bigint), (a, x) -> a + x) as double)"
+        " / sqrt(cast(qn * c.cqn as double)) as s,"
+        " -c.cent_id as nc)))"
+    )
+
+
 def semdedup(
     vectors: DataFrame,
     k_cells: int = 8,
@@ -388,6 +423,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    train_iters: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: (id, cell, dup_of, keep) per vector.
 
@@ -399,13 +435,14 @@ def semdedup(
        (`operators/inference.py` — the oracle-portable quantizer), so all
        dot products are exact BIGINT math and cosines are bit-identical
        across engines (CAST to double is exact: |dot| ≤ 64·127² < 2⁵³).
-    2. **Assign to a cell**: the K lowest-id vectors are the codebook (the
-       deterministic stand-in for trained k-means centroids — same shape
-       as `q_sim_ivf_topk`). The codebook is a bounded driver-side collect
-       (K rows) folded into a LITERAL array-of-struct expression, so
-       assignment is a pure projection over the scan — ZERO corpus
-       shuffle, no N×K intermediate, no window. At 100 TB this is the
-       codebook-broadcast pattern every IVF/k-means scorer uses.
+    2. **Assign to a cell**: the codebook seed is the K LOWEST usable ids
+       (deterministic; ``train_iters`` Lloyd rounds — see below — move it
+       toward genuine k-means centroids). The codebook is a bounded
+       driver-side collect (K rows) folded into a LITERAL array-of-struct
+       expression, so assignment is a pure projection over the scan —
+       ZERO corpus shuffle, no N×K intermediate, no window. At 100 TB
+       this is the codebook-broadcast pattern every IVF/k-means scorer
+       uses.
     3. **Per-cell pairs only, never as Spark rows**: one shuffle groups
        vectors by ``cell``; each cell's pair matrix is scored INSIDE numpy
        (``applyInPandas`` — int64 matmul, exact) and only the per-vector
@@ -421,6 +458,21 @@ def semdedup(
        corpus × corpus; K grows with N to bound cell size (the per-cell
        matrix is m×m doubles, so size K for m in the low thousands).
 
+    ``train_iters`` > 0 runs that many LLOYD ROUNDS on the quantized
+    grid before the final assignment (VERDICT r9 #2: id-seeded cells
+    measured recall 0.285 at sf0.1/K=8/τ=0.4 — trained centroids lift
+    it; see BASELINE.md round-10 notes for the measured numbers). Each
+    round: assign by the current literal codebook (projection, no
+    shuffle), per-cell elementwise BIGINT sums (ONE K-group shuffle),
+    then the new centroid is the ROUNDED INTEGER mean
+    ``floor(sum/n + 0.5)`` per dimension — computed on exact int64 sums,
+    so the trained codebook is bit-reproducible and oracle-portable
+    (integer addition commutes; the one double division per dim is IEEE
+    on identical inputs in every engine). A cell that empties, or whose
+    mean rounds to the zero vector, keeps its previous centroid. Per
+    round cost at 100 TB: one corpus pass + a K-row collect — the
+    standard distributed-k-means shape (cf. PageRank's bounded rounds).
+
     Vectors that cannot participate in cosine math (dims ≠ codebook dims,
     or an all-zero quantization) are filtered out up front — explicitly,
     identically in the oracle — instead of leaking NaN/NULL orderings.
@@ -430,45 +482,71 @@ def semdedup(
     is exact (|dot| ≤ dims·127² < 2⁵³), and sqrt/divide are
     correctly-rounded IEEE ops on identical inputs.
     """
+    import math
+
     q = _with_quantized(vectors, id_col, vec_col)
-    cents = sorted(
-        q.filter(F.col(id_col) < k_cells)
-        .filter(F.col("qn") > 0)
-        .select(id_col, "qv", "qn")
-        .collect(),  # bounded: ≤ k_cells rows — the codebook, by design
+    # Seed = the K lowest USABLE ids (qn > 0, width match). Width pinning
+    # happens BEFORE picking members: an oracle-pinned caller passes
+    # ``dims`` so codebook MEMBERSHIP can't drift (the DuckDB side draws
+    # its codebook from the dims-filtered `v` CTE); with dims=None the
+    # lowest usable id defines the width, deterministically.
+    cand = q.filter(F.col("qn") > 0).select(id_col, "qv", "qn")
+    if dims is not None:
+        cand = cand.filter(F.size("qv") == dims)
+    seed_rows = sorted(
+        # bounded: ≤ k_cells rows — the codebook, by design
+        cand.orderBy(id_col).limit(k_cells).collect(),
         key=lambda r: r[id_col],
     )
-    # Pin the participating width BEFORE picking codebook members: with
-    # dims=None the lowest usable id defines it (the sort makes that
-    # deterministic — bare driver-fetch row order is not); an oracle-pinned
-    # caller passes dims so codebook MEMBERSHIP can't drift either (the
-    # DuckDB side draws its codebook from the dims-filtered `v` CTE, so an
-    # off-width low-id vector must be excluded here too, not quantized in).
-    assert cents, "semdedup: no usable codebook vectors below k_cells"
+    assert seed_rows, "semdedup: no usable codebook vectors"
     if dims is None:
-        dims = len(cents[0]["qv"])
-    cents = [r for r in cents if len(r["qv"]) == dims]
-    assert cents, f"semdedup: no codebook vectors of width {dims}"
-    lit_cents = ", ".join(
-        f"struct(cast({r[id_col]} as bigint) as cent_id,"
-        f" array({', '.join(str(int(x)) + 'L' for x in r['qv'])}) as cqv,"
-        f" cast({int(r['qn'])} as bigint) as cqn)"
-        for r in cents
+        dims = len(seed_rows[0]["qv"])
+        seed_rows = [r for r in seed_rows if len(r["qv"]) == dims]
+    cents = [
+        (int(r[id_col]), [int(x) for x in r["qv"]], int(r["qn"]))
+        for r in seed_rows
+    ]
+
+    usable = q.filter((F.size(vec_col) == dims) & (F.col("qn") > 0)).select(
+        id_col, "qv", "qn"
     )
-    # argmax over the literal codebook: (cosine DESC, cent_id ASC) via
-    # array_max on (s, -cent_id) structs — one projection, no shuffle
-    assign = F.expr(
-        f"array_max(transform(array({lit_cents}), c -> struct("
-        "cast(aggregate(zip_with(qv, c.cqv, (x, y) -> x * y),"
-        " cast(0 as bigint), (a, x) -> a + x) as double)"
-        " / sqrt(cast(qn * c.cqn as double)) as s,"
-        " -c.cent_id as nc)))"
-    )
-    assigned = (
-        q.filter((F.size(vec_col) == dims) & (F.col("qn") > 0))
-        .withColumn("cell", (-assign.getField("nc")).alias("cell"))
-        .select(id_col, "qv", "qn", "cell")
-    )
+    if train_iters > 0:
+        # every Lloyd round + the final assignment re-reads the quantized
+        # corpus: persist ONE materialization instead of re-scanning and
+        # re-quantizing per round (tracked → released by the sweep's
+        # scoped release, not a global clearCache)
+        usable = track_persist(usable)
+
+    def _assign(cb):
+        a = _codebook_argmax_expr(cb)
+        return usable.withColumn("cell", -a.getField("nc"))
+
+    for _ in range(train_iters):
+        sums = (
+            _assign(cents)
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at("qv", d + 1)).alias(f"__s{d}")
+                    for d in range(dims)
+                ],
+            )
+            .collect()  # bounded: ≤ k_cells rows — one row per cell
+        )
+        updated = {}
+        for r in sums:
+            n = r["__n"]
+            nqv = [int(math.floor(r[f"__s{d}"] / n + 0.5)) for d in range(dims)]
+            nqn = sum(x * x for x in nqv)
+            if nqn > 0:
+                updated[int(r["cell"])] = (nqv, nqn)
+        cents = [
+            (cid, *updated[cid]) if cid in updated else (cid, cqv, cqn)
+            for cid, cqv, cqn in cents
+        ]
+
+    assigned = _assign(cents).select(id_col, "qv", "qn", "cell")
 
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)

@@ -660,7 +660,10 @@ _MODEL_W_SQL = "[" + ", ".join(str(w) for w in _MODEL_W) + "]"
 #: yields no rows and a length-mismatched SUM would be partial, so the
 #: final ``s`` LEFT-JOINs every source row back in and NULLs the score
 #: whenever len(embedding) != model dims — exactly linear_score's
-#: explicit size-guard semantics on the Spark side.
+#: explicit size-guard semantics on the Spark side. The join key is
+#: vec_id ALONE (the row key; label is functionally dependent on it) —
+#: a label equality predicate would be NULL-unsafe and silently NULL the
+#: score of a NULL-labeled row.
 _SCORED_CTE = f"""m AS (SELECT vec_id, label, embedding,
                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
@@ -680,7 +683,7 @@ sd AS (SELECT vec_id, label,
 s AS (SELECT m.vec_id, m.label,
              CASE WHEN len(m.embedding) = {_MODEL_DIMS} THEN sd.score
                   ELSE NULL END AS score
-      FROM m LEFT JOIN sd ON m.vec_id = sd.vec_id AND m.label = sd.label)"""
+      FROM m LEFT JOIN sd ON m.vec_id = sd.vec_id)"""
 
 _QUALITY_MODEL_SQL = f"""
 WITH {_SCORED_CTE}

@@ -131,6 +131,14 @@ FROM b GROUP BY bucket ORDER BY bucket
 # --------------------------------------------------------------------------
 _SD_K = 8
 _SD_TAU = 0.4
+#: Lloyd training rounds for the semantic-dedup codebook. 0 = the raw
+#: K-lowest-ids seed (the r9 configuration; measured recall 0.285 at
+#: sf0.1/K=8/τ=0.4). The value here is MEASURED, not guessed — the
+#: semdedup_recall_eval harness read recall 0.285/0.325/0.343/0.346/0.341
+#: at iters 0/1/2/3/4 (sf0.1, K=8, τ=0.4); 2 is the knee (iters=3 buys
+#: +0.003 recall for one more corpus pass, 4 regresses — integer-grid
+#: Lloyd oscillates). See BASELINE.md round-10 notes.
+_SD_ITERS = 2
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,7 +147,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WHICH vectors participate (codebook membership included), not just
     # on the arithmetic — same discipline as bucket_assign(dims=DIMS)
     return S.semdedup(
-        vecs, k_cells=_SD_K, tau=_SD_TAU, dims=DIMS
+        vecs, k_cells=_SD_K, tau=_SD_TAU, dims=DIMS, train_iters=_SD_ITERS
     ).orderBy("vec_id")
 
 
@@ -153,10 +161,34 @@ def _sd_qdot(a: str, b: str) -> str:
     )
 
 
-#: shared CTE chain (quantize → usable vectors `v` → codebook → cell
-#: assignment `asg`) — used verbatim by the semantic_dedup oracle AND the
-#: recall eval, so the two can never diverge on the assignment semantics.
-_SD_CTES = f"""m AS (SELECT vec_id, embedding,
+def _sd_assign(src: str, cb: str, name: str) -> str:
+    """One codebook-assignment round: score every usable vector against
+    codebook ``cb`` (exact BIGINT dot / sqrt of the exact integer norm
+    product), argmax with (s DESC, cent_id ASC) tie-break — the same
+    ordering the Spark literal-codebook ``array_max`` struct encodes."""
+    return f"""sc_{name} AS (SELECT {src}.vec_id, c.cent_id,
+              {_sd_qdot(src, 'c')}
+              / sqrt(CAST({src}.qn * c.qn AS DOUBLE)) AS s
+       FROM {src} CROSS JOIN {cb} c),
+{name} AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cent_id AS cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cent_id) AS rk
+            FROM sc_{name}) WHERE rk = 1)"""
+
+
+def _sd_ctes(iters: int) -> str:
+    """Shared CTE chain (quantize → usable vectors `v` → codebook seed →
+    ``iters`` unrolled Lloyd rounds → final cell assignment `asg`) — used
+    verbatim by the semantic_dedup oracle AND the recall eval, so the two
+    can never diverge on assignment semantics. Mirrors
+    ``operators/similarity.semdedup(train_iters=iters)`` exactly: seed =
+    K lowest usable ids; each round reassigns then replaces each centroid
+    with the per-dimension ROUNDED INTEGER mean ``floor(sum/n + 0.5)``
+    (exact BIGINT sums; the one double division per dim is IEEE on
+    identical inputs in both engines); a cell that empties or rounds to
+    the zero vector keeps its previous centroid."""
+    parts = [f"""m AS (SELECT vec_id, embedding,
                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
                       (acc, v) -> greatest(acc, v)) AS mx
@@ -173,16 +205,31 @@ v AS (SELECT * FROM (
                      list_transform(qv, x -> x * x)),
                      (acc, x) -> acc + x) AS qn
           FROM qz) WHERE qn > 0),
-c AS (SELECT vec_id AS cent_id, qv, qn FROM v WHERE vec_id < {_SD_K}),
-sc AS (SELECT v.vec_id, c.cent_id,
-              {_sd_qdot('v', 'c')}
-              / sqrt(CAST(v.qn * c.qn AS DOUBLE)) AS s
-       FROM v CROSS JOIN c),
-asg AS (SELECT vec_id, cell FROM (
-            SELECT vec_id, cent_id AS cell,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY s DESC, cent_id) AS rk
-            FROM sc) WHERE rk = 1)"""
+cb0 AS (SELECT vec_id AS cent_id, qv, qn FROM v
+        ORDER BY vec_id LIMIT {_SD_K})"""]
+    for i in range(iters):
+        parts.append(_sd_assign("v", f"cb{i}", f"asg{i}"))
+        parts.append(f"""ag{i} AS (SELECT a.cell, g.d,
+              CAST(SUM(v.qv[g.d]) AS BIGINT) AS s, COUNT(*) AS n
+       FROM asg{i} a JOIN v ON v.vec_id = a.vec_id
+       CROSS JOIN generate_series(1, {DIMS}) AS g(d)
+       GROUP BY a.cell, g.d),
+nc{i} AS (SELECT cell, list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                        + 0.5) AS BIGINT) ORDER BY d) AS qv
+       FROM ag{i} GROUP BY cell),
+nq{i} AS (SELECT cell, qv,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(qv, x -> x * x)), (acc, x) -> acc + x) AS qn
+       FROM nc{i}),
+cb{i + 1} AS (SELECT b.cent_id, COALESCE(n.qv, b.qv) AS qv,
+                     COALESCE(n.qn, b.qn) AS qn
+       FROM cb{i} b LEFT JOIN nq{i} n
+         ON n.cell = b.cent_id AND n.qn > 0)""")
+    parts.append(_sd_assign("v", f"cb{iters}", "asg"))
+    return ",\n".join(parts)
+
+
+_SD_CTES = _sd_ctes(_SD_ITERS)
 
 _SEMDEDUP_SQL = f"""
 WITH {_SD_CTES},
@@ -213,7 +260,7 @@ def q_semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     truth = S.quantized_neardup_pairs(vecs, _SD_TAU, dims=DIMS)
     asg = S.semdedup(
-        vecs, k_cells=_SD_K, tau=_SD_TAU, dims=DIMS
+        vecs, k_cells=_SD_K, tau=_SD_TAU, dims=DIMS, train_iters=_SD_ITERS
     ).select("vec_id", "cell")
     a1 = asg.select(F.col("vec_id").alias("id1"), F.col("cell").alias("cell1"))
     a2 = asg.select(F.col("vec_id").alias("id2"), F.col("cell").alias("cell2"))

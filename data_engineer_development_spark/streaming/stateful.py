@@ -52,6 +52,24 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
+#: JVM projection: value → exact int64 micro-units (DECIMAL(20,4) × 10⁴).
+#: Guard BEFORE the long cast: in non-ANSI mode an overflowing cast
+#: silently NULLs and the kernel's dropna would make the value vanish
+#: from totals. |value| is bounded to 2⁴⁹ micro-units so (a) the cast can
+#: never overflow int64 and (b) every unit count round-trips the
+#: nullable-Arrow float64 transfer exactly (< 2⁵³); out-of-range values
+#: fail LOUDLY via raise_error instead of disappearing from state.
+#: Module-level so the batch-mode regression test pins the guard.
+UNITS_EXPR = (
+    "case when value is null then cast(null as long) "
+    "when abs(value) > 56294995342.1312d "
+    "then raise_error(concat('running_user_totals: |value| > "
+    "2^49 micro-units, exact int64 state not guaranteed: ', "
+    "cast(value as string))) "
+    "else cast(cast(value as decimal(20,4)) * 10000 as long) "
+    "end"
+)
+
 
 def _update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -90,9 +108,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     return (
         events.select(
             "user_id",
-            F.expr(
-                "cast(cast(value as decimal(20,4)) * 10000 as long)"
-            ).alias("__units"),
+            F.expr(UNITS_EXPR).alias("__units"),
         )
         .groupBy("user_id")
         .applyInPandasWithState(

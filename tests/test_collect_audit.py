@@ -28,12 +28,16 @@ _ALLOWED = {
     "kv.py": (2, "eager KV facade — the reference's Datastore surface is "
                  "likewise eager (datastore.py:14); single-key/small scans"),
     "catalog.py": (1, "SHOW TBLPROPERTIES — metadata rows, never data"),
-    "operators/similarity.py": (3, "documented bounded brute-force path "
+    "operators/similarity.py": (4, "documented bounded brute-force path "
                                    "behind the LSH auto-switch cap; semdedup "
-                                   "codebook collect (≤ k_cells rows, folded "
-                                   "into a literal assignment expression); "
-                                   "quantized truth-set matrix collect "
-                                   "(ceiling-guarded exactness baseline)"),
+                                   "codebook seed collect (≤ k_cells rows, "
+                                   "folded into a literal assignment "
+                                   "expression); Lloyd per-round centroid "
+                                   "sums collect (≤ k_cells rows — one per "
+                                   "cell, the distributed-k-means driver "
+                                   "round-trip); quantized truth-set matrix "
+                                   "collect (ceiling-guarded exactness "
+                                   "baseline)"),
     "queries/contract_extras.py": (2, "5-row nation seed + 25-row dim seed "
                                       "— bounded control-plane landings"),
 }

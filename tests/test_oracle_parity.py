@@ -47,3 +47,28 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
+
+
+def test_fixture_embedding_dims_match_pinned_constants():
+    """VERDICT r9 #5: the inference model (_MODEL_DIMS) and the similarity
+    family (DIMS) both pin 64 dims, and their oracles' size-guard/dims
+    filters assume the FIXTURE is 64-wide. If the testdata is ever
+    regenerated with a different width, fail loudly here instead of
+    letting oracle LEFT-JOIN guards silently mask a family-wide drift."""
+    import duckdb
+
+    from data_engineer_development_spark.queries.corpus_ops import _MODEL_DIMS
+    from data_engineer_development_spark.queries.similarity import DIMS
+
+    assert _MODEL_DIMS == DIMS == 64
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        n_off, n_all = con.execute(
+            f"SELECT COUNT(*) FILTER (len(embedding) <> {DIMS}), COUNT(*) "
+            f"FROM read_parquet('/root/testdata/{sf}/embeddings.parquet')"
+        ).fetchone()
+        assert n_all > 0, f"{sf}: empty embeddings fixture"
+        assert n_off == 0, (
+            f"{sf}: {n_off}/{n_all} embeddings are not {DIMS}-dim — the "
+            "pinned model/similarity dims no longer match the fixture"
+        )

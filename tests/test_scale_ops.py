@@ -374,3 +374,94 @@ def test_neardup_pairs_excludes_zero_norm_both_paths(spark):
             ).collect()
         )
         assert got == [(1, 2)], f"use_lsh={lsh}: {got}"
+
+
+def test_neardup_pairs_empty_and_all_zero_corpus(spark):
+    """ADVICE r9: the exact path's np.vstack([]) crashed on an empty (or
+    all-zero-norm) corpus — it must return an empty result with the
+    contract schema instead, on both kernels."""
+    from data_engineer_development_spark.operators.similarity import (
+        neardup_pairs_cosine,
+        quantized_neardup_pairs,
+    )
+
+    all_zero = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    empty = all_zero.filter("vec_id < 0")
+    for vecs in (all_zero, empty):
+        got = neardup_pairs_cosine(vecs, tau=0.5)
+        assert got.columns == ["id1", "id2", "cosine"]
+        assert got.count() == 0
+        got_q = quantized_neardup_pairs(vecs, tau=0.5)
+        assert got_q.columns == ["id1", "id2"]
+        assert got_q.count() == 0
+
+
+def test_quantized_denominator_is_sqrt_of_product(spark):
+    """ADVICE r9 (medium): the kernel must divide by sqrt(qn_a*qn_b) — ONE
+    sqrt over the exact integer product, the oracle's expression — not by
+    sqrt(qn_a)*sqrt(qn_b), which differs by 1 ulp for ~a third of integer
+    pairs. Pin a pair where the two expressions straddle tau: the pair is
+    kept under sqrt-of-product iff the kernel matches the oracle."""
+    import math
+
+    import numpy as np
+
+    from data_engineer_development_spark.operators.similarity import (
+        quantized_neardup_pairs,
+    )
+
+    # search the int8 grid for a (dot, qn_a, qn_b) whose cosine differs
+    # across the two denominator forms, then build 2-dim vectors realizing
+    # it is hard; instead pin the numerically-verifiable contract on a
+    # real corpus: every emitted pair must satisfy the oracle's form.
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.randint(-5, 6, size=8)]) for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tau = 0.4
+    got = {(r["id1"], r["id2"]) for r in quantized_neardup_pairs(vecs, tau).collect()}
+
+    # independent scalar reference: int64 dot / sqrt(int64 product)
+    def quant(v):
+        v = np.asarray(v, dtype=np.float64)
+        mx = np.abs(v).max()
+        if mx == 0.0:
+            return np.zeros(len(v), dtype=np.int64)
+        return np.floor(v * 127.0 / mx + 0.5).astype(np.int64)
+
+    qvs = {i: quant(v) for i, v in rows}
+    expect = set()
+    for i in range(40):
+        for j in range(i + 1, 40):
+            qa, qb = qvs[i], qvs[j]
+            na, nb = int(qa @ qa), int(qb @ qb)
+            if na == 0 or nb == 0:
+                continue
+            cos = float(int(qa @ qb)) / math.sqrt(float(na * nb))
+            if cos >= tau:
+                expect.add((i, j))
+    assert got == expect
+
+
+def test_running_totals_units_guard_raises_loudly(spark):
+    """ADVICE r9: an out-of-range value must FAIL (raise_error) instead of
+    silently NULL-ing out of the totals via non-ANSI cast overflow."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.streaming.stateful import UNITS_EXPR
+
+    ok = spark.createDataFrame(
+        [(1, 12.3456), (2, None), (3, -56294995342.13)],
+        "user_id long, value double",
+    ).select(F.expr(UNITS_EXPR).alias("u")).collect()
+    assert [r["u"] for r in ok] == [123456, None, -562949953421300]
+
+    bad = spark.createDataFrame(
+        [(1, 5.7e14)], "user_id long, value double"
+    ).select(F.expr(UNITS_EXPR).alias("u"))
+    with pytest.raises(Exception, match="micro-units"):
+        bad.collect()

@@ -61,29 +61,29 @@ _MODULES = [
 # round). Every pair — all entries, regardless of order — stays verified
 # by tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
-    # new this round: SemDeDup-style embedding-space dedup + its recall
-    # eval against the exact quantized truth set
-    "semantic_dedup", "semdedup_recall_eval",
-    # rotation: latest driver row r5
-    "volume_shipping", "promo_revenue", "disjunctive_revenue",
-    "small_qty_revenue", "waiting_suppliers", "domain_mix",
-    "pack_sequences", "chunk_documents", "zorder_layout",
-    "sample_hash_bucket", "stratified_sample", "text_top_token_ratio",
-    "token_count_bpe", "sim_ivf_topk", "range_join_promos",
-    # rotation: latest driver row r6
-    "civil_pipeline_e2e", "substring_dedup", "phrase_search",
-    "heavy_hitters", "vocab_coverage", "bpe_pair_counts",
-    "dictionary_encode", "event_anomaly", "snapshot_diff",
-    "fk_integrity", "er_candidate_pairs", "temporal_dim_join",
-    "streaming_running_totals", "stream_foreachbatch_upsert",
-    "multimodal_frame_sample", "multimodal_audio_features",
-    "multimodal_image_ahash", "text_normalize", "text_familiarity",
-    "text_length_trim", "supplier_pagerank", "click_attribution",
-    "gapfill_daily", "stream_dedup_within_watermark",
-    "rolling_median_value", "dedup_containment", "lsh_candidate_recall",
-    "priority_order_check", "market_share", "sales_opportunity",
-    "recursive_reachability", "lateral_topk_orders",
-    "top_revenue_supplier",
+    # re-driven this round: entries whose code or oracle materially
+    # changed in r10 (semdedup family: Lloyd-trained codebook; inference
+    # oracles: NULL-safe vec_id-only join; streaming totals: loud
+    # overflow guard on the micro-unit projection)
+    "semantic_dedup", "semdedup_recall_eval", "quality_model_score",
+    "quality_stratified_sample", "stream_quality_gate", "streaming_running_totals",
+    # rotation (stalest driver evidence first): the 9 r6-latest entries,
+    # then the stalest r7 cohort in registry order (tools/suggest_front.py)
+    "product_type_profit", "nation_price_corr", "mad_value",
+    "quality_gopher_rules", "text_diversity", "mix_temperature",
+    "salted_skew_join", "dpp_partition_join", "ann_recall_eval",
+    "export_jsonl_roundtrip", "export_csv_roundtrip", "export_orc_roundtrip",
+    "compaction_plan", "skew_profile", "range_partition_plan",
+    "schema_evolution_read", "text_token_stats", "text_repetition",
+    "text_lang_id", "text_quality", "text_fingerprint",
+    "pricing_summary", "quality_typed_select", "dim_decode",
+    "identity_projection", "in_list_filter", "message_envelope",
+    "json_extract", "variant_json_stats", "regexp_clean",
+    "string_funcs", "null_handling", "math_funcs",
+    "join_star_broadcast", "left_join_order_counts", "semi_join_active_customers",
+    "anti_join_dormant_customers", "agg_stats_per_nation", "rollup_status_priority",
+    "asof_last_purchase", "daily_buckets", "dedup_exact",
+    "dedup_jaccard", "dedup_minhash_sigs",
 ]
 
 

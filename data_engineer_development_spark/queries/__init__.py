@@ -61,10 +61,14 @@ _MODULES = [
 # round). Every pair — all entries, regardless of order — stays verified
 # by tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
+    # net-new this round: multi-probe IVF (the standard recall/cost dial;
+    # measured recall@5 0.400 -> 0.533 at nprobe 1 -> 2, sf0.1)
+    "sim_ivf_multiprobe",
     # re-driven this round: entries whose code or oracle materially
-    # changed in r10 (semdedup family: Lloyd-trained codebook; inference
-    # oracles: NULL-safe vec_id-only join; streaming totals: loud
-    # overflow guard on the micro-unit projection)
+    # changed in r10 (semdedup family: Lloyd-trained codebook; IVF chain
+    # refactored for nprobe; inference oracles: NULL-safe vec_id-only
+    # join; streaming totals: loud overflow guard)
+    "sim_ivf_topk",
     "semantic_dedup", "semdedup_recall_eval", "quality_model_score",
     "quality_stratified_sample", "stream_quality_gate", "streaming_running_totals",
     # rotation (stalest driver evidence first): the 9 r6-latest entries,
@@ -83,7 +87,6 @@ _FRONT = [
     "join_star_broadcast", "left_join_order_counts", "semi_join_active_customers",
     "anti_join_dormant_customers", "agg_stats_per_nation", "rollup_status_priority",
     "asof_last_purchase", "daily_buckets", "dedup_exact",
-    "dedup_jaccard", "dedup_minhash_sigs",
 ]
 
 

@@ -162,16 +162,24 @@ FROM documents ORDER BY doc_id
 # --------------------------------------------------------------------------
 # IVF-style ANN: assign every vector to its nearest of K fixed "centroids"
 # (the K lowest vec_ids — deterministic, engine-portable), then answer
-# top-k WITHIN the query's cell. The narrowing is the point: at 100 TB the
-# cell assignment partitions the index and each probe touches 1/K of it
-# (recall < 1 vs exact brute force, like any IVF).
+# top-k WITHIN the query's probed cell(s). The narrowing is the point: at
+# 100 TB the cell assignment partitions the index and each probe touches
+# nprobe/K of it (recall < 1 vs exact brute force, like any IVF).
+# ``nprobe`` is the standard IVF recall/cost dial: the INDEX side keeps
+# one cell per vector; only the QUERY side fans out to its nprobe nearest
+# cells. Measured at sf0.1 (recall@5 vs exact brute force, mean over the
+# 3 probe queries): nprobe=1 0.400, nprobe=2 0.533, nprobe=3 0.600.
+# (Lloyd-TRAINED quantized centroids were also measured for the 1-probe
+# assignment and REJECTED: mean recall dropped 0.40 → 0.27 — balanced
+# cells split these queries' neighborhoods; see BASELINE.md r10 notes.)
 # --------------------------------------------------------------------------
 _IVF_K = 8
 _IVF_QUERY_IDS = [11, 12, 13]
 _IVF_TOPK = 5
+_IVF_NPROBE = 2  # for sim_ivf_multiprobe; sim_ivf_topk stays 1-probe
 
 
-def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     cents = vecs.filter(F.col("vec_id") <= _IVF_K).select(
         F.col("vec_id").alias("cent_id"),
@@ -186,16 +194,21 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
-    assigned = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "vn", F.col("cent_id").alias("cell"))
+    ranked_asg = scored.withColumn("ark", F.row_number().over(w))
+    assigned = ranked_asg.filter(F.col("ark") == 1).select(
+        "vec_id", "embedding", "vn", F.col("cent_id").alias("cell")
     )
-    q = assigned.filter(F.col("vec_id").isin(_IVF_QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("vn").alias("qn"),
-        "cell",
+    # query side probes its nprobe nearest cells; a neighbor lives in
+    # exactly one cell, so no pair can appear twice — no dedup needed
+    q = (
+        ranked_asg.filter(F.col("vec_id").isin(_IVF_QUERY_IDS))
+        .filter(F.col("ark") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("vn").alias("qn"),
+            F.col("cent_id").alias("cell"),
+        )
     )
     cand = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -220,21 +233,33 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# shared WITH-chain: IVF assignment → in-cell ranked candidates (reused by
-# the recall-eval oracle below)
-_IVF_CTES = f"""cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk(spark, sf_dir, nprobe=1)
+
+
+def q_sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk(spark, sf_dir, nprobe=_IVF_NPROBE)
+
+
+def _ivf_ctes(nprobe: int) -> str:
+    """Shared WITH-chain: IVF assignment → in-cell ranked candidates
+    (reused by the multiprobe and recall-eval oracles). Mirrors
+    ``_ivf_topk`` exactly: index side rk=1, query side rk <= nprobe."""
+    return f"""cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
                WHERE vec_id <= {_IVF_K}),
 scored AS (SELECT v.vec_id, v.embedding,
                   c.cent_id,
                   {_duck_cosine('v.embedding', 'c.cv')} AS cos_c
            FROM embeddings v CROSS JOIN cents c),
+ranked_asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_c DESC, cent_id) AS ark
+               FROM scored),
 assigned AS (SELECT vec_id, embedding, cent_id AS cell
-             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY cos_c DESC, cent_id) AS rk
-                   FROM scored)
-             WHERE rk = 1),
-q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM assigned
-      WHERE vec_id IN ({", ".join(map(str, _IVF_QUERY_IDS))})),
+             FROM ranked_asg WHERE ark = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cent_id AS cell
+      FROM ranked_asg
+      WHERE ark <= {nprobe}
+        AND vec_id IN ({", ".join(map(str, _IVF_QUERY_IDS))})),
 pairs AS (SELECT q.query_id, a.vec_id AS neighbor_id,
                  {_duck_cosine('q.qv', 'a.embedding')} AS cosine
           FROM q JOIN assigned a USING (cell)
@@ -242,8 +267,17 @@ pairs AS (SELECT q.query_id, a.vec_id AS neighbor_id,
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine DESC, neighbor_id) AS rk FROM pairs)"""
 
+
+_IVF_CTES = _ivf_ctes(1)
+
 _IVF_SQL = f"""
 WITH {_IVF_CTES}
+SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= {_IVF_TOPK}
+ORDER BY query_id, rk
+"""
+
+_IVF_MULTI_SQL = f"""
+WITH {_ivf_ctes(_IVF_NPROBE)}
 SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= {_IVF_TOPK}
 ORDER BY query_id, rk
 """
@@ -387,6 +421,7 @@ ORDER BY promo_id, o_orderkey
 QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_multiprobe": q_sim_ivf_multiprobe,
     "ann_recall_eval": q_ann_recall_eval,
     "range_join_promos": q_range_join_promos,
     "pivot_status": q_pivot_status,
@@ -403,5 +438,6 @@ ORACLE = {
     "date_funcs": _DATE_FUNCS_SQL,
     "token_count_bpe": _TOKEN_BPE_SQL,
     "sim_ivf_topk": _IVF_SQL,
+    "sim_ivf_multiprobe": _IVF_MULTI_SQL,
     "ann_recall_eval": _ANN_RECALL_SQL,
 }

@@ -449,6 +449,7 @@ _CARTESIAN_OK = {
     "sim_neardup",          # block-nested-loop kernel, auto-switches to LSH
     "ann_recall_eval",      # contains the brute-force truth side
     "sim_ivf_topk",         # centroid broadcast fan-out (K rows)
+    "sim_ivf_multiprobe",   # same centroid broadcast fan-out
     "gapfill_daily",        # day-grid × type dimension cross (metadata-scale)
     "tfidf_top_terms",      # 1-row corpus-count broadcast
     "sales_opportunity",    # 1-row above-average-balance stats broadcast
@@ -548,7 +549,8 @@ _ARROW_KERNEL_OK = {
     "multimodal_features", "multimodal_resize", "multimodal_metadata",
     "multimodal_frame_sample", "multimodal_audio_features",
     "multimodal_image_ahash",                       # mapInPandas codecs
-    "sim_cosine_topk", "sim_ivf_topk", "ann_recall_eval",  # seq_dot UDF
+    "sim_cosine_topk", "sim_ivf_topk",                     # seq_dot UDF
+    "sim_ivf_multiprobe", "ann_recall_eval",               # seq_dot UDF
     "sim_neardup",                                  # block-NL mapInPandas
     "semantic_dedup",  # per-cell pair matrix in numpy (applyInPandas) —
                        # pairs never materialize as rows (int64-exact)

@@ -465,3 +465,60 @@ def test_running_totals_units_guard_raises_loudly(spark):
     ).select(F.expr(UNITS_EXPR).alias("u"))
     with pytest.raises(Exception, match="micro-units"):
         bad.collect()
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe=2 must recover AT LEAST every true neighbor the 1-probe
+    answer recovers (probing a superset of cells can only add candidates)
+    and, on the fixture, strictly more — the measured point of the
+    recall/cost dial (sf0.1: recall@5 0.400 -> 0.533)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators.similarity import (
+        norm_expr,
+        seq_dot,
+    )
+    from data_engineer_development_spark.queries.extras import (
+        _IVF_QUERY_IDS,
+        _IVF_TOPK,
+        q_sim_ivf_multiprobe,
+        q_sim_ivf_topk,
+    )
+    from data_engineer_development_spark.sources import load_table
+
+    vecs = load_table(spark, SF_CORRECT, "embeddings")
+    q = vecs.filter(F.col("vec_id").isin(_IVF_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm_expr("embedding").alias("qn"),
+    )
+    bf = (
+        vecs.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("nv"),
+            norm_expr("embedding").alias("nn"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter("neighbor_id != query_id")
+        .withColumn("cosine", seq_dot("qv", "nv") / (F.col("qn") * F.col("nn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in bf.withColumn("rk", F.row_number().over(w))
+        .filter(f"rk <= {_IVF_TOPK}")
+        .collect()
+    }
+    one = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_sim_ivf_topk(spark, SF_CORRECT).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_sim_ivf_multiprobe(spark, SF_CORRECT).collect()
+    }
+    assert truth & one <= truth & multi
+    assert len(truth & multi) > len(truth & one)

@@ -176,3 +176,98 @@ def test_lloyd_training_lifts_recall_on_fixture(spark):
         }
         recalls[iters] = sum(asg[a] == asg[b] for a, b in t) / len(t)
     assert recalls[2] > recalls[0], recalls
+
+
+def test_lloyd_trainer_matches_pure_python_mirror(spark):
+    """Pin the Spark trainer to the documented spec (the same spec the
+    DuckDB oracle unrolls): quantize → K-LOWEST-id seed → Lloyd rounds
+    with per-dimension rounded integer means and empty-cell carryover →
+    argmax assignment (s DESC, cent_id ASC) → per-cell greedy dedup.
+    Randomized corpora with SPARSE ids (the r9 ADVICE case: ids nowhere
+    near 0) — every number in the mirror is the identical IEEE op chain,
+    so equality is exact, not approximate."""
+    import math
+
+    import numpy as np
+
+    DIMS, K, ITERS = 4, 3, 2
+
+    def quant(vec):
+        v = np.array([float(np.float32(x)) for x in vec], dtype=np.float64)
+        mx = float(np.abs(v).max()) if len(v) else 0.0
+        if mx == 0.0:
+            return np.zeros(len(v), dtype=np.int64)
+        return np.floor(v * 127.0 / mx + 0.5).astype(np.int64)
+
+    def mirror(rows, tau):
+        q = {vid: quant(vec) for vid, vec in rows}
+        usable = {
+            vid: qv
+            for vid, qv in q.items()
+            if len(qv) == DIMS and int(qv @ qv) > 0
+        }
+        cents = [(vid, usable[vid].copy()) for vid in sorted(usable)[:K]]
+
+        def score(qv, cqv):
+            return float(int(qv @ cqv)) / math.sqrt(
+                float(int(qv @ qv) * int(cqv @ cqv))
+            )
+
+        def assign(cb):
+            out = {}
+            for vid, qv in usable.items():
+                out[vid] = max(cb, key=lambda c: (score(qv, c[1]), -c[0]))[0]
+            return out
+
+        for _ in range(ITERS):
+            a = assign(cents)
+            new = []
+            for cid, cqv in cents:
+                members = [usable[v] for v, cell in a.items() if cell == cid]
+                if members:
+                    s = np.sum(np.stack(members), axis=0)
+                    nqv = np.array(
+                        [
+                            int(math.floor(int(sd) / len(members) + 0.5))
+                            for sd in s
+                        ],
+                        dtype=np.int64,
+                    )
+                    if int(nqv @ nqv) > 0:
+                        new.append((cid, nqv))
+                        continue
+                new.append((cid, cqv))
+            cents = new
+        a = assign(cents)
+        out = {}
+        for vid in sorted(usable):
+            dup = None
+            for other in sorted(usable):
+                if other >= vid or a[other] != a[vid]:
+                    continue
+                if score2(usable[other], usable[vid]) >= tau:
+                    dup = other
+                    break
+            out[vid] = (a[vid], dup, 0 if dup is not None else 1)
+        return out
+
+    def score2(qa, qb):
+        return float(int(qa @ qb)) / math.sqrt(
+            float(int(qa @ qa) * int(qb @ qb))
+        )
+
+    for seed, tau in ((1, 0.4), (2, 0.8), (3, 0.95)):
+        rng = np.random.RandomState(seed)
+        ids = sorted(rng.choice(range(100, 10_000), size=25, replace=False))
+        rows = [
+            (int(vid), [float(x) for x in rng.randint(-4, 5, size=DIMS)])
+            for vid in ids
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r["vec_id"]: (r["cell"], r["dup_of"], r["keep"])
+            for r in semdedup(
+                df, k_cells=K, tau=tau, dims=DIMS, train_iters=ITERS
+            ).collect()
+        }
+        assert got == mirror(rows, tau), f"seed={seed} tau={tau}"

@@ -62,8 +62,10 @@ _MODULES = [
 # by tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
     # net-new this round: multi-probe IVF (the standard recall/cost dial;
-    # measured recall@5 0.400 -> 0.533 at nprobe 1 -> 2, sf0.1)
-    "sim_ivf_multiprobe",
+    # measured recall@5 0.400 -> 0.533 at nprobe 1 -> 2, sf0.1) and the
+    # streaming embedding near-dup gate (dedup-at-ingest: LSH-bucket keyed
+    # state, drop-if-any-earlier-neighbor at quantized cosine >= tau)
+    "sim_ivf_multiprobe", "stream_neardup_gate",
     # re-driven this round: entries whose code or oracle materially
     # changed in r10 (semdedup family: Lloyd-trained codebook; IVF chain
     # refactored for nprobe; inference oracles: NULL-safe vec_id-only
@@ -86,7 +88,7 @@ _FRONT = [
     "string_funcs", "null_handling", "math_funcs",
     "join_star_broadcast", "left_join_order_counts", "semi_join_active_customers",
     "anti_join_dormant_customers", "agg_stats_per_nation", "rollup_status_priority",
-    "asof_last_purchase", "daily_buckets", "dedup_exact",
+    "asof_last_purchase", "daily_buckets",
 ]
 
 

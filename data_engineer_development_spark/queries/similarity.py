@@ -102,15 +102,23 @@ def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_buckets_sql() -> str:
+def _bucket_expr_sql(planes: int) -> str:
+    """Sign-LSH bucket id as a flat literal expression over ``embedding``
+    — bit-identical to ``bucket_assign``'s fold (left-assoc sum; 0.0+t1
+    == t1 exactly), shared by the bucket histogram and the streaming
+    near-dup gate oracles."""
     bit_cols = []
-    for pidx in range(PLANES):
+    for pidx in range(planes):
         w = hyperplane(pidx, DIMS)
         terms = " + ".join(
             f"CAST(embedding[{d + 1}] AS DOUBLE) * ({w[d]!r})" for d in range(DIMS)
         )
         bit_cols.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << pidx} ELSE 0 END)")
-    bucket = " + ".join(bit_cols)
+    return " + ".join(bit_cols)
+
+
+def _lsh_buckets_sql() -> str:
+    bucket = _bucket_expr_sql(PLANES)
     return f"""
 WITH b AS (SELECT vec_id, {bucket} AS bucket FROM embeddings)
 SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
@@ -177,18 +185,11 @@ def _sd_assign(src: str, cb: str, name: str) -> str:
             FROM sc_{name}) WHERE rk = 1)"""
 
 
-def _sd_ctes(iters: int) -> str:
-    """Shared CTE chain (quantize → usable vectors `v` → codebook seed →
-    ``iters`` unrolled Lloyd rounds → final cell assignment `asg`) — used
-    verbatim by the semantic_dedup oracle AND the recall eval, so the two
-    can never diverge on assignment semantics. Mirrors
-    ``operators/similarity.semdedup(train_iters=iters)`` exactly: seed =
-    K lowest usable ids; each round reassigns then replaces each centroid
-    with the per-dimension ROUNDED INTEGER mean ``floor(sum/n + 0.5)``
-    (exact BIGINT sums; the one double division per dim is IEEE on
-    identical inputs in both engines); a cell that empties or rounds to
-    the zero vector keeps its previous centroid."""
-    parts = [f"""m AS (SELECT vec_id, embedding,
+#: quantize → usable vectors `v` — the family-shared oracle prefix
+#: (semantic dedup, its recall eval, and the streaming near-dup gate all
+#: draw from the SAME text, so they can never diverge on which vectors
+#: participate or on the int8 grid).
+_QUANT_CTES = f"""m AS (SELECT vec_id, embedding,
                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
                       (acc, v) -> greatest(acc, v)) AS mx
@@ -204,7 +205,21 @@ v AS (SELECT * FROM (
                  list_reduce(list_prepend(CAST(0 AS BIGINT),
                      list_transform(qv, x -> x * x)),
                      (acc, x) -> acc + x) AS qn
-          FROM qz) WHERE qn > 0),
+          FROM qz) WHERE qn > 0)"""
+
+
+def _sd_ctes(iters: int) -> str:
+    """Shared CTE chain (quantize → usable vectors `v` → codebook seed →
+    ``iters`` unrolled Lloyd rounds → final cell assignment `asg`) — used
+    verbatim by the semantic_dedup oracle AND the recall eval, so the two
+    can never diverge on assignment semantics. Mirrors
+    ``operators/similarity.semdedup(train_iters=iters)`` exactly: seed =
+    K lowest usable ids; each round reassigns then replaces each centroid
+    with the per-dimension ROUNDED INTEGER mean ``floor(sum/n + 0.5)``
+    (exact BIGINT sums; the one double division per dim is IEEE on
+    identical inputs in both engines); a cell that empties or rounds to
+    the zero vector keeps its previous centroid."""
+    parts = [f"""{_QUANT_CTES},
 cb0 AS (SELECT vec_id AS cent_id, qv, qn FROM v
         ORDER BY vec_id LIMIT {_SD_K})"""]
     for i in range(iters):
@@ -307,12 +322,75 @@ FROM j
 """
 
 
+# --------------------------------------------------------------------------
+# Streaming embedding near-dup gate: dedup-at-ingest. Arriving vectors are
+# quantized + sign-LSH-bucketed (stateless projections); keyed state per
+# bucket holds everything seen, and a vector is ADMITTED only if no
+# lower-id same-bucket vector covers it at quantized cosine ≥ τ — the
+# family's drop-if-any-earlier-neighbor rule evaluated incrementally
+# (streaming/stateful.stream_neardup_gate). The batch dual below is exact
+# because the whole source drains in ONE micro-batch
+# (assert_single_batch) and the kernel processes each bucket in id order;
+# in a real multi-batch run "earlier" means earlier ARRIVAL — the true
+# gate semantics. planes=2 at test scale so buckets are big enough to
+# reject a meaningful fraction (27/500 at sf0.01); at volume, planes and
+# a state TTL are the dials.
+# --------------------------------------------------------------------------
+_GATE_PLANES = 2
+
+
+def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from data_engineer_development_spark.streaming.stateful import (
+        stream_neardup_gate,
+    )
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_table,
+    )
+
+    gated = stream_neardup_gate(
+        stream_table(spark, sf_dir, "embeddings"),
+        tau=_SD_TAU,
+        planes=_GATE_PLANES,
+        dims=DIMS,
+    )
+    name = f"q_ndgate_{_uuid.uuid4().hex[:8]}"
+    # update mode emits each vector's verdict exactly once (a vector is
+    # processed in exactly one batch); single-batch asserted so the
+    # id-order greedy equals the batch dual (see block comment)
+    run_to_memory_sink(
+        gated, name, output_mode="update", assert_single_batch=True,
+        state_partitions=4, no_data_batches=False,
+    )
+    return spark.table(name).orderBy("vec_id")
+
+
+_STREAM_NDGATE_SQL = f"""
+WITH {_QUANT_CTES},
+bk AS (SELECT v.vec_id, v.qv, v.qn,
+              CAST({_bucket_expr_sql(_GATE_PLANES)} AS BIGINT) AS bucket
+       FROM v JOIN embeddings e ON e.vec_id = v.vec_id),
+p AS (SELECT b.vec_id AS id2, MIN(a.vec_id) AS dup_of
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_sd_qdot('a', 'b')}
+            / sqrt(CAST(a.qn * b.qn AS DOUBLE)) >= {_SD_TAU}
+      GROUP BY b.vec_id)
+SELECT bk.vec_id, bk.bucket, p.dup_of,
+       CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS admitted
+FROM bk LEFT JOIN p ON bk.vec_id = p.id2
+ORDER BY bk.vec_id
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_neardup": q_sim_neardup,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "semantic_dedup": q_semantic_dedup,
     "semdedup_recall_eval": q_semdedup_recall_eval,
+    "stream_neardup_gate": q_stream_neardup_gate,
 }
 
 ORACLE = {
@@ -321,4 +399,5 @@ ORACLE = {
     "sim_lsh_buckets": _lsh_buckets_sql(),
     "semantic_dedup": _SEMDEDUP_SQL,
     "semdedup_recall_eval": _SEMDEDUP_RECALL_SQL,
+    "stream_neardup_gate": _STREAM_NDGATE_SQL,
 }

@@ -18,7 +18,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -294,4 +296,142 @@ def user_stats_tws(events: DataFrame) -> DataFrame:
         outputStructType=TWS_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming embedding near-dup gate: dedup-at-ingest for an embedding
+# stream. Each arriving vector is quantized on the int8 max-abs grid and
+# sign-LSH-bucketed (both pure stateless projections — stream-safe); keyed
+# state per BUCKET holds every vector seen so far, and a vector is
+# ADMITTED only if no lower-id same-bucket vector covers it at quantized
+# cosine ≥ tau — the family's drop-if-any-earlier-neighbor representative
+# rule (operators/similarity.semdedup), evaluated incrementally at ingest.
+#
+# State is O(vectors per bucket): at production volume you would TTL the
+# state (watermark + timeout) or raise `planes` so buckets stay small —
+# both are dials, not redesigns. Work per batch is per-bucket Gram-matrix
+# scoring inside numpy (exact int64 math; the one sqrt/divide per pair is
+# IEEE on exactly-representable integers, so verdicts are bit-identical
+# to the batch SQL dual). With the whole source draining in one
+# micro-batch (assert_single_batch in the registry entry), "earlier
+# arrival" equals "lower id" and the output equals the batch greedy —
+# which is what the oracle pins; across real multi-batch runs the rule is
+# earliest-ARRIVAL, the true gate semantics.
+# --------------------------------------------------------------------------
+GATE_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        # seen quantized vectors, flattened row-major (len = n_seen * dims)
+        StructField("flat", ArrayType(LongType())),
+    ]
+)
+
+GATE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("bucket", LongType()),
+        StructField("dup_of", LongType()),
+        StructField("admitted", IntegerType()),
+    ]
+)
+
+
+def make_neardup_gate_update(dims: int, tau: float):
+    """Kernel factory (dims/tau are plan-time constants, closed over)."""
+    import numpy as np
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            sids, flat = state.get
+            seen_ids = np.array(sids, dtype=np.int64)
+            seen = np.array(flat, dtype=np.int64).reshape(-1, dims)
+        else:
+            seen_ids = np.empty(0, dtype=np.int64)
+            seen = np.empty((0, dims), dtype=np.int64)
+        # concat the batch's Arrow chunks BEFORE sorting: chunks interleave
+        # ids, and the greedy rule needs the whole group in id order
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            B = np.vstack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
+            )
+            bqn = (B * B).sum(axis=1)
+            dup = np.full(len(ids), -1, dtype=np.int64)
+            if len(seen_ids):
+                sqn = (seen * seen).sum(axis=1)
+                # sqrt of the exact INTEGER product — the family's
+                # oracle-exact denominator (see quantized_neardup_pairs)
+                cos_s = (B @ seen.T).astype(np.float64) / np.sqrt(
+                    np.outer(bqn, sqn).astype(np.float64)
+                )
+                cov_s = cos_s >= tau
+                for j in range(len(ids)):
+                    if cov_s[j].any():
+                        dup[j] = int(seen_ids[cov_s[j]].min())
+            gram = (B @ B.T).astype(np.float64) / np.sqrt(
+                np.outer(bqn, bqn).astype(np.float64)
+            )
+            cov_b = np.triu(gram >= tau, k=1)  # row i covers column j, i < j
+            for j in range(len(ids)):
+                if cov_b[:, j].any():
+                    # ids sorted asc → argmax (first True) = lowest id
+                    cand = int(ids[cov_b[:, j].argmax()])
+                    dup[j] = cand if dup[j] < 0 else min(dup[j], cand)
+            out = pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "bucket": np.full(len(ids), int(key[0]), dtype=np.int64),
+                    "dup_of": pd.array(
+                        [None if d < 0 else int(d) for d in dup],
+                        dtype="Int64",
+                    ),
+                    "admitted": (dup < 0).astype("int32"),
+                }
+            )
+            seen_ids = np.concatenate([seen_ids, ids])
+            seen = np.vstack([seen, B])
+            state.update(
+                (
+                    [int(x) for x in seen_ids],
+                    [int(x) for x in seen.reshape(-1)],
+                )
+            )
+            yield out
+
+    return _update
+
+
+def stream_neardup_gate(
+    vectors: DataFrame,
+    tau: float = 0.4,
+    planes: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket, dup_of, admitted) per arriving vector — see the
+    block comment above for semantics and the 100 TB state story."""
+    from data_engineer_development_spark.operators.similarity import (
+        _with_quantized,
+        bucket_assign,
+    )
+
+    q = _with_quantized(vectors, id_col, vec_col)
+    usable = q.filter((F.size(vec_col) == dims) & (F.col("qn") > 0))
+    bucketed = bucket_assign(usable, planes=planes, dims=dims, vec_col=vec_col)
+    return (
+        bucketed.select(id_col, "qv", "bucket")
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            make_neardup_gate_update(dims, tau),
+            outputStructType=GATE_OUTPUT_SCHEMA,
+            stateStructType=GATE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

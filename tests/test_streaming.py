@@ -115,3 +115,46 @@ def test_tws_user_stats_matches_batch(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_neardup_gate_known_vectors(spark, tmp_path):
+    """Dedup-at-ingest on crafted vectors: a scaled copy sharing its
+    original's LSH bucket is rejected with dup_of = the original; an
+    anti-parallel vector (opposite half-space → different bucket, and
+    cos = -1 anyway) is admitted; the zero vector never reaches the
+    gate. Single micro-batch → output equals the batch greedy dual."""
+    import pandas as pd
+
+    from data_engineer_development_spark.streaming.stateful import (
+        stream_neardup_gate,
+    )
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.5, 0.0, 0.0, 0.0]),   # scaled copy of 0 → rejected, dup_of 0
+        (2, [-3.0, 0.0, 0.0, 0.0]),  # anti-parallel → admitted
+        (3, [0.0, 0.0, 0.0, 0.0]),   # zero vector → filtered before the gate
+        (4, [0.5, 0.0, 0.0, 0.0]),   # another copy → dup_of 0 (lowest id)
+    ]
+    src = str(tmp_path / "vecs")
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                        "embedding": [r[1] for r in rows]})
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.format("parquet").schema(schema).load(src)
+    out_name = "t_ndgate_unit"
+    run_to_memory_sink(
+        stream_neardup_gate(stream, tau=0.9, planes=2, dims=4),
+        out_name, output_mode="update", assert_single_batch=True,
+        state_partitions=2, no_data_batches=False,
+    )
+    got = {r["vec_id"]: r for r in spark.table(out_name).collect()}
+    assert set(got) == {0, 1, 2, 4}
+    assert got[0]["admitted"] == 1 and got[0]["dup_of"] is None
+    assert got[1]["admitted"] == 0 and got[1]["dup_of"] == 0
+    assert got[2]["admitted"] == 1
+    assert got[4]["admitted"] == 0 and got[4]["dup_of"] == 0
+    assert got[0]["bucket"] == got[1]["bucket"] == got[4]["bucket"]

@@ -158,3 +158,74 @@ def test_stream_neardup_gate_known_vectors(spark, tmp_path):
     assert got[2]["admitted"] == 1
     assert got[4]["admitted"] == 0 and got[4]["dup_of"] == 0
     assert got[0]["bucket"] == got[1]["bucket"] == got[4]["bucket"]
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in: exists/get/update — enough to drive
+    the gate kernel's state-resume branch without a streaming query."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_stream_neardup_gate_kernel_multi_batch_state():
+    """The cross-batch branch (`state.exists`) is the part the e2e
+    single-batch tests can't reach: a later ARRIVAL must be rejected by
+    a vector already in state even when its id is SMALLER (earlier means
+    earlier arrival), and dup_of must be the MIN over both the state
+    candidate and the lowest in-batch candidate."""
+    import numpy as np
+    import pandas as pd
+
+    from data_engineer_development_spark.streaming.stateful import (
+        make_neardup_gate_update,
+    )
+
+    kernel = make_neardup_gate_update(dims=4, tau=0.9)
+    state = _FakeGroupState()
+
+    # batch 1: two orthogonal vectors — both admitted, both enter state
+    b1 = pd.DataFrame({
+        "vec_id": [10, 11],
+        "qv": [[127, 0, 0, 0], [0, 127, 0, 0]],
+    })
+    (out1,) = list(kernel((7,), iter([b1]), state))
+    got1 = {r.vec_id: r for r in out1.itertuples()}
+    assert got1[10].admitted == 1 and pd.isna(got1[10].dup_of)
+    assert got1[11].admitted == 1 and pd.isna(got1[11].dup_of)
+    sids, flat = state.get
+    assert sids == [10, 11] and len(flat) == 8
+
+    # batch 2: id 3 (smaller id, later arrival) parallel to state-10 →
+    # rejected with dup_of 10; id 13 is covered by BOTH state-10 and
+    # in-batch 3 → dup_of = min(10, 3) = 3
+    b2 = pd.DataFrame({
+        "vec_id": [3, 13],
+        "qv": [[127, 0, 0, 0], [100, 0, 0, 0]],
+    })
+    (out2,) = list(kernel((7,), iter([b2]), state))
+    got2 = {r.vec_id: r for r in out2.itertuples()}
+    assert got2[3].admitted == 0 and got2[3].dup_of == 10
+    assert got2[13].admitted == 0 and got2[13].dup_of == 3
+    assert all(r.bucket == 7 for r in out2.itertuples())
+    sids, flat = state.get
+    assert sids == [10, 11, 3, 13] and len(flat) == 16
+    assert np.array(flat[8:12]).tolist() == [127, 0, 0, 0]
+
+    # an all-empty batch yields nothing and leaves state untouched
+    before = state.get
+    empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                          "qv": pd.Series([], dtype="object")})
+    assert list(kernel((7,), iter([empty]), state)) == []
+    assert state.get == before

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from data_engineer_development_spark.queries import (
     analytics,
     contract_extras,
+    contrastive,
     core,
     behavior,
     corpus_ops,
@@ -40,7 +41,7 @@ _MODULES = [
     text_analysis, core, scalar_ops, behavior, analytics,
     timeseries, dedup, similarity, corpus_ops, relational_ext,
     relational_more, quality_rules, scale_patterns,
-    training_mix, sampling, extras,
+    training_mix, sampling, extras, contrastive,
 ]
 
 # The driver samples the FIRST 50 registry keys each round for its
@@ -62,10 +63,17 @@ _MODULES = [
 # by tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
     # net-new this round: multi-probe IVF (the standard recall/cost dial;
-    # measured recall@5 0.400 -> 0.533 at nprobe 1 -> 2, sf0.1) and the
+    # measured recall@5 0.400 -> 0.533 at nprobe 1 -> 2, sf0.1), the
     # streaming embedding near-dup gate (dedup-at-ingest: LSH-bucket keyed
-    # state, drop-if-any-earlier-neighbor at quantized cosine >= tau)
+    # state, drop-if-any-earlier-neighbor at quantized cosine >= tau),
+    # hard-negative mining (per-anchor top-k cross-label neighbors,
+    # IVF-cell restricted), and the JL random-projection distortion eval
+    # (bounded-sample |cos_proj - cos_true| buckets). The last two displace
+    # exactly two r7-latest rotation slots (asof_last_purchase,
+    # daily_buckets) — both stay inside the freshness bar (nothing older
+    # than r7 after this round) per tools/suggest_front.py.
     "sim_ivf_multiprobe", "stream_neardup_gate",
+    "hard_negative_mining", "emb_jl_distortion",
     # re-driven this round: entries whose code or oracle materially
     # changed in r10 (semdedup family: Lloyd-trained codebook; IVF chain
     # refactored for nprobe; inference oracles: NULL-safe vec_id-only
@@ -88,7 +96,6 @@ _FRONT = [
     "string_funcs", "null_handling", "math_funcs",
     "join_star_broadcast", "left_join_order_counts", "semi_join_active_customers",
     "anti_join_dormant_customers", "agg_stats_per_nation", "rollup_status_priority",
-    "asof_last_purchase", "daily_buckets",
 ]
 
 

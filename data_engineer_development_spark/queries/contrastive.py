@@ -1,0 +1,300 @@
+"""Contrastive-training data curation over the embeddings table.
+
+Two operators a large-scale training-data pipeline needs around its
+embedding store (north-star extension, SURVEY.md §7.2 item 5 family):
+
+- ``hard_negative_mining``: for EVERY anchor vector, the top-k most
+  cosine-similar vectors carrying a DIFFERENT label — the standard
+  "hard negatives" a contrastive/embedding trainer mines from its corpus
+  (similar-looking, semantically different). Candidates are restricted to
+  the anchor's IVF cell (the same K-lowest-id centroid assignment as
+  ``sim_ivf_topk``), so the pair set is Σ|cell|·|cell-crosslabel| ≤
+  Σ|cell|² — never corpus². At 100 TB the cell count K scales with the
+  corpus (K ~ √N keeps cells bounded) and each cell's pairs score inside
+  one equi-join partition; the centroid fan-out stays a K-row broadcast.
+
+- ``emb_jl_distortion``: measure-don't-guess harness for random-projection
+  (Johnson–Lindenstrauss) dimensionality reduction: project 64-d → 16-d
+  with fixed md5-derived hyperplanes (the same literal family the sign-LSH
+  buckets use) and report how far projected cosine drifts from true cosine
+  over a BOUNDED sample of pairs (id-capped ≤ 500 vectors — a distortion
+  estimate is a statistic; its precision does not improve with corpus
+  size, so the eval's cost is constant at any scale). The output is
+  engine-exact by construction: error-bucket COUNTS (integers) plus the
+  MAX error (order-independent over bit-identical doubles) — no
+  float-summation ordering anywhere in the aggregate.
+
+Both entries keep the repo's bit-exactness discipline: every dot product
+is the same sequential left-fold in Spark, numpy, and the DuckDB oracle
+(see ``operators/similarity.seq_dot``), and the projection weights are
+3-decimal literals that parse to identical doubles in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.functions.portable_hash import hyperplane
+from data_engineer_development_spark.operators.similarity import (
+    dot_expr,
+    norm_expr,
+    seq_dot,
+)
+from data_engineer_development_spark.queries.similarity import (
+    DIMS,
+    _duck_cosine,
+    _duck_dot,
+    _duck_norm,
+)
+from data_engineer_development_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Hard-negative mining: per-anchor top-k cross-label neighbors, IVF-cell
+# restricted (same centroid family as sim_ivf_topk: the K lowest vec_ids).
+# --------------------------------------------------------------------------
+_HN_K = 8
+_HN_TOPK = 3
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    cents = vecs.filter(F.col("vec_id") <= _HN_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cv"),
+        norm_expr("embedding").alias("cn"),
+    )
+    # K-row centroid broadcast fan-out → nearest-cell assignment (the
+    # zero-shuffle IVF shape; one row_number per vector, partitioned).
+    scored = (
+        vecs.select(
+            "vec_id", "label", "embedding", norm_expr("embedding").alias("vn")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cos_c", seq_dot("embedding", "cv") / (F.col("vn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("ark", F.row_number().over(w))
+        .filter(F.col("ark") == 1)
+        .select("vec_id", "label", "embedding", "vn", F.col("cent_id").alias("cell"))
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("av"),
+        F.col("vn").alias("an"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("embedding").alias("nv"),
+        F.col("vn").alias("nn"),
+        "cell",
+    )
+    # cell equi-join (Σ|cell|² pairs, never corpus²); cross-label filter
+    # implies anchor_id != negative_id (a row shares its own label)
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("anchor_label") != F.col("negative_label"))
+        .withColumn(
+            "cosine", seq_dot("av", "nv") / (F.col("an") * F.col("nn"))
+        )
+    )
+    w2 = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _HN_TOPK)
+        .select(
+            "anchor_id", "anchor_label", "rk",
+            "negative_id", "negative_label", "cosine",
+        )
+        .orderBy("anchor_id", "rk")
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+               WHERE vec_id <= {_HN_K}),
+scored AS (SELECT v.vec_id, v.label, v.embedding, c.cent_id,
+                  {_duck_cosine('v.embedding', 'c.cv')} AS cos_c
+           FROM embeddings v CROSS JOIN cents c),
+ranked_asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_c DESC, cent_id) AS ark
+               FROM scored),
+assigned AS (SELECT vec_id, label, embedding, cent_id AS cell
+             FROM ranked_asg WHERE ark = 1),
+pairs AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                 b.vec_id AS negative_id, b.label AS negative_label,
+                 {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
+          FROM assigned a JOIN assigned b USING (cell)
+          WHERE a.label <> b.label),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                        ORDER BY cosine DESC, negative_id) AS rk
+           FROM pairs)
+SELECT anchor_id, anchor_label, rk, negative_id, negative_label, cosine
+FROM ranked WHERE rk <= {_HN_TOPK}
+ORDER BY anchor_id, rk
+"""
+
+
+# --------------------------------------------------------------------------
+# JL random-projection distortion eval: 64-d → 16-d via fixed hyperplanes;
+# |cos_proj − cos_true| over a bounded pair sample. Scaling cancels in
+# cosine, so the raw ±1-ish 3-decimal planes need no 1/√m factor.
+# --------------------------------------------------------------------------
+_JL_M = 16
+_JL_PLANE_BASE = 100  # plane namespace disjoint from the LSH buckets (0..7)
+_JL_SAMPLE_MOD = 10
+_JL_SAMPLE_RES = 7
+#: absolute id cap: ≤ cap/mod sampled vectors at ANY scale — the sample
+#: self-cross below is a bounded broadcast by construction, not corpus².
+_JL_SAMPLE_CAP = 5_000
+_JL_ERR_EDGES = (0.05, 0.1, 0.2)
+
+
+def _jl_weights() -> list[list[float]]:
+    return [hyperplane(_JL_PLANE_BASE + j, DIMS) for j in range(_JL_M)]
+
+
+def _jl_proj_all_spark(ws: list[list[float]]) -> F.Column:
+    """All 16 projections as ONE ``transform`` over a literal weight
+    matrix → ``array<double>``. Per-projection column expressions inline
+    their 64-term fold into every downstream reference (pn, cos_proj) and
+    Catalyst's CollapseProject re-substitutes them through each layer —
+    16 separate y columns OOMed the driver on pure plan compilation; the
+    single array column is referenced, not re-expanded. Each element is
+    the same left-fold as the oracle's flat sum (0.0 + t1 == t1 exactly)."""
+    mat = ", ".join(
+        "array(" + ", ".join(repr(x) for x in w) + ")" for w in ws
+    )
+    return F.expr(
+        f"transform(array({mat}), ws -> "
+        f"aggregate(zip_with(embedding, ws, (x, w) -> cast(x as double) * w), "
+        f"cast(0.0 as double), (acc, v) -> acc + v))"
+    ).alias("y")
+
+
+def q_emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws = _jl_weights()
+    s = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            (F.col("vec_id") % _JL_SAMPLE_MOD == _JL_SAMPLE_RES)
+            & (F.col("vec_id") < _JL_SAMPLE_CAP)
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            norm_expr("embedding").alias("vn"),
+            _jl_proj_all_spark(ws),
+        )
+        .filter(F.col("vn") > 0)
+    )
+    # projected norm: 0.0 + y0² + y1² + … left-assoc == the oracle's flat
+    # (y0*y0) + (y1*y1) + … exactly. Zero-norm exclusion on BOTH the
+    # original and projected vectors, on both engines: 0/0 cosines are NaN
+    # and the engines order NaN differently vs thresholds (the sim_neardup
+    # lesson).
+    s = s.withColumn(
+        "pn",
+        F.expr(
+            "sqrt(aggregate(y, cast(0.0 as double), (acc, v) -> acc + v * v))"
+        ),
+    ).filter(F.col("pn") > 0)
+    a = s.select(
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("av"),
+        F.col("vn").alias("an"),
+        F.col("pn").alias("apn"),
+        F.col("y").alias("ay"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("bv"),
+        F.col("vn").alias("bn"),
+        F.col("pn").alias("bpn"),
+        F.col("y").alias("by"),
+    )
+    proj_dot = F.expr(
+        "aggregate(zip_with(ay, by, (x, z) -> x * z), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    pairs = (
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            (dot_expr("av", "bv") / (F.col("an") * F.col("bn"))).alias(
+                "cos_orig"
+            ),
+            (proj_dot / (F.col("apn") * F.col("bpn"))).alias("cos_proj"),
+        )
+        .select(F.abs(F.col("cos_proj") - F.col("cos_orig")).alias("err"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    for e in _JL_ERR_EDGES:
+        tag = str(e).replace("0.", "").ljust(3, "0")
+        aggs.append(
+            F.sum(F.when(F.col("err") <= F.lit(e), 1).otherwise(0)).alias(
+                f"pairs_err_le_{tag}"
+            )
+        )
+    aggs.append(F.max("err").alias("max_abs_err"))
+    return pairs.agg(*aggs)
+
+
+def _jl_proj_sql(w: list[float]) -> str:
+    return " + ".join(
+        f"CAST(embedding[{d + 1}] AS DOUBLE) * ({w[d]!r})" for d in range(DIMS)
+    )
+
+
+def _jl_sql() -> str:
+    ws = _jl_weights()
+    proj_cols = ",\n        ".join(
+        f"({_jl_proj_sql(w)}) AS y{j}" for j, w in enumerate(ws)
+    )
+    pn = " + ".join(f"(y{j} * y{j})" for j in range(_JL_M))
+    proj_dot = " + ".join(f"(a.y{j} * b.y{j})" for j in range(_JL_M))
+    bucket_aggs = ",\n  ".join(
+        f"CAST(sum(CASE WHEN err <= {e!r} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS pairs_err_le_{str(e).replace('0.', '').ljust(3, '0')}"
+        for e in _JL_ERR_EDGES
+    )
+    return f"""
+WITH s0 AS (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % {_JL_SAMPLE_MOD} = {_JL_SAMPLE_RES}
+              AND vec_id < {_JL_SAMPLE_CAP}),
+p AS (SELECT vec_id, embedding,
+        {_duck_norm('embedding')} AS vn,
+        {proj_cols}
+      FROM s0),
+p2 AS (SELECT *, sqrt({pn}) AS pn FROM p WHERE vn > 0),
+p3 AS (SELECT * FROM p2 WHERE pn > 0),
+pairs AS (SELECT
+            ({_duck_dot('a.embedding', 'b.embedding')} / (a.vn * b.vn))
+              AS cos_orig,
+            (({proj_dot}) / (a.pn * b.pn)) AS cos_proj
+          FROM p3 a JOIN p3 b ON a.vec_id < b.vec_id),
+e AS (SELECT abs(cos_proj - cos_orig) AS err FROM pairs)
+SELECT count(*) AS n_pairs,
+  {bucket_aggs},
+  max(err) AS max_abs_err
+FROM e
+"""
+
+
+QUERIES = {
+    "hard_negative_mining": q_hard_negative_mining,
+    "emb_jl_distortion": q_emb_jl_distortion,
+}
+
+ORACLE = {
+    "hard_negative_mining": _HARD_NEG_SQL,
+    "emb_jl_distortion": _jl_sql(),
+}

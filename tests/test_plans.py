@@ -450,6 +450,9 @@ _CARTESIAN_OK = {
     "ann_recall_eval",      # contains the brute-force truth side
     "sim_ivf_topk",         # centroid broadcast fan-out (K rows)
     "sim_ivf_multiprobe",   # same centroid broadcast fan-out
+    "hard_negative_mining",  # same K-row centroid broadcast fan-out
+    "emb_jl_distortion",    # id-capped ≤500-row sample self-cross (the
+                            # distortion eval is bounded by construction)
     "gapfill_daily",        # day-grid × type dimension cross (metadata-scale)
     "tfidf_top_terms",      # 1-row corpus-count broadcast
     "sales_opportunity",    # 1-row above-average-balance stats broadcast
@@ -551,6 +554,7 @@ _ARROW_KERNEL_OK = {
     "multimodal_image_ahash",                       # mapInPandas codecs
     "sim_cosine_topk", "sim_ivf_topk",                     # seq_dot UDF
     "sim_ivf_multiprobe", "ann_recall_eval",               # seq_dot UDF
+    "hard_negative_mining",                                # seq_dot UDF
     "sim_neardup",                                  # block-NL mapInPandas
     "semantic_dedup",  # per-cell pair matrix in numpy (applyInPandas) —
                        # pairs never materialize as rows (int64-exact)

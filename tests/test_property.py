@@ -332,3 +332,61 @@ def test_asof_join_equals_duckdb_asof(spark, lrows, rrows):
     ).fetchall())
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# connected_components vs a reference union-find: arbitrary small graphs
+# (self-loops, duplicate/reversed edges, singletons, edges to a shared hub).
+# The operator's min-label propagation + pointer jumping + singleton union
+# must agree with the textbook algorithm on every graph shape.
+# ---------------------------------------------------------------------------
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(1, 14),
+    st.lists(
+        st.tuples(st.integers(0, 13), st.integers(0, 13)),
+        min_size=0, max_size=20,
+    ),
+)
+def test_connected_components_equals_union_find(spark, n_nodes, raw_edges):
+    from data_engineer_development_spark.operators.graph import (
+        connected_components,
+    )
+
+    # keep only edges between existing nodes (ids 0..n_nodes-1)
+    edges = [(a, b) for a, b in raw_edges if a < n_nodes and b < n_nodes]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min node id per component — the operator's cluster_id contract
+    want = {}
+    roots = {}
+    for v in range(n_nodes):
+        r = find(v)
+        roots.setdefault(r, []).append(v)
+    for members in roots.values():
+        m = min(members)
+        for v in members:
+            want[v] = m
+
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    edges_df = (
+        spark.createDataFrame(edges, "id1 long, id2 long")
+        if edges
+        else spark.createDataFrame([], "id1 long, id2 long")
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    assert got == want

@@ -7,7 +7,7 @@ embedding store (north-star extension, SURVEY.md §7.2 item 5 family):
   cosine-similar vectors carrying a DIFFERENT label — the standard
   "hard negatives" a contrastive/embedding trainer mines from its corpus
   (similar-looking, semantically different). Candidates are restricted to
-  the anchor's IVF cell (the same K-lowest-id centroid assignment as
+  the anchor's IVF cell (the same ``vec_id <= K`` centroid convention as
   ``sim_ivf_topk``), so the pair set is Σ|cell|·|cell-crosslabel| ≤
   Σ|cell|² — never corpus². At 100 TB the cell count K scales with the
   corpus (K ~ √N keeps cells bounded) and each cell's pairs score inside

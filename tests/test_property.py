@@ -390,3 +390,66 @@ def test_connected_components_equals_union_find(spark, n_nodes, raw_edges):
         for r in connected_components(nodes_df, edges_df).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply vs a reference implementation: arbitrary active/update
+# snapshots with NULL attrs (the eqNullSafe surface), overlapping and
+# disjoint key sets. Invariants: history untouched, exactly one open row
+# per surviving key, changed keys close at eff and reopen with new attrs.
+# ---------------------------------------------------------------------------
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.one_of(st.none(), st.integers(0, 3))),
+        min_size=0, max_size=8, unique_by=lambda r: r[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 8), st.one_of(st.none(), st.integers(0, 3))),
+        min_size=0, max_size=8, unique_by=lambda r: r[0],
+    ),
+)
+def test_scd2_apply_equals_reference(spark, actives, updates):
+    import datetime
+
+    from data_engineer_development_spark.operators.scd import scd2_apply
+
+    eff = datetime.date(2024, 6, 1)
+    vf = datetime.date(2024, 1, 1)
+    hist = [(99, 7, datetime.date(2023, 1, 1), datetime.date(2023, 6, 1))]
+    cur = spark.createDataFrame(
+        hist + [(k, a, vf, None) for k, a in actives],
+        "k int, attr int, valid_from date, valid_to date",
+    )
+    upd = (
+        spark.createDataFrame(updates, "k int, attr int")
+        if updates
+        else spark.createDataFrame([], "k int, attr int")
+    )
+    def keyfn(r):  # None-safe total order per position
+        return tuple((x is None, 0 if x is None else x) for x in r)
+
+    got = sorted(
+        (
+            (r["k"], r["attr"], r["valid_from"], r["valid_to"])
+            for r in scd2_apply(
+                cur, upd, key="k", attrs=["attr"],
+                effective_date="2024-06-01",
+            ).collect()
+        ),
+        key=keyfn,
+    )
+
+    umap = dict(updates)
+    want = list(hist)
+    for k, a in actives:
+        if k in umap and umap[k] != a:  # None == None matches eqNullSafe
+            want.append((k, a, vf, eff))
+            want.append((k, umap[k], eff, None))
+        else:
+            want.append((k, a, vf, None))
+    akeys = {k for k, _ in actives}
+    for k, u in updates:
+        if k not in akeys:
+            want.append((k, u, eff, None))
+    assert got == sorted(want, key=keyfn)

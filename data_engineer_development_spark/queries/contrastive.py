@@ -59,10 +59,18 @@ _HN_TOPK = 3
 
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
-    cents = vecs.filter(F.col("vec_id") <= _HN_K).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cv"),
-        norm_expr("embedding").alias("cn"),
+    # zero-norm exclusion on BOTH sides (corpus rows and centroids), same
+    # as the rest of the similarity family: a zero vector's cosine is 0/0
+    # = NaN and Spark/DuckDB order NaN vs finite values differently under
+    # DESC, so it must never reach a row_number ordering.
+    cents = (
+        vecs.filter(F.col("vec_id") <= _HN_K)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cv"),
+            norm_expr("embedding").alias("cn"),
+        )
+        .filter(F.col("cn") > 0)
     )
     # K-row centroid broadcast fan-out → nearest-cell assignment (the
     # zero-shuffle IVF shape; one row_number per vector, partitioned).
@@ -70,6 +78,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.select(
             "vec_id", "label", "embedding", norm_expr("embedding").alias("vn")
         )
+        .filter(F.col("vn") > 0)
         .crossJoin(F.broadcast(cents))
         .withColumn(
             "cos_c", seq_dot("embedding", "cv") / (F.col("vn") * F.col("cn"))
@@ -120,10 +129,12 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HARD_NEG_SQL = f"""
 WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-               WHERE vec_id <= {_HN_K}),
+               WHERE vec_id <= {_HN_K} AND {_duck_norm('embedding')} > 0),
+vs AS (SELECT vec_id, label, embedding FROM embeddings
+       WHERE {_duck_norm('embedding')} > 0),
 scored AS (SELECT v.vec_id, v.label, v.embedding, c.cent_id,
                   {_duck_cosine('v.embedding', 'c.cv')} AS cos_c
-           FROM embeddings v CROSS JOIN cents c),
+           FROM vs v CROSS JOIN cents c),
 ranked_asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                             ORDER BY cos_c DESC, cent_id) AS ark
                FROM scored),

@@ -1,0 +1,82 @@
+"""Regression tests for the contrastive-curation entries.
+
+Pins the zero-norm exclusion in ``hard_negative_mining`` (the sim_neardup
+lesson: a zero vector's cosine is 0/0 = NaN, and Spark and DuckDB order
+NaN differently under DESC, so a zero-norm row reaching the row_number
+ordering is a latent cross-engine parity break even when the shipped
+fixture is clean). The test corpus deliberately carries BOTH failure
+shapes: a zero-norm centroid candidate (id inside the ``vec_id <= K``
+codebook convention) and a zero-norm corpus row.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from data_engineer_development_spark.queries.contrastive import (
+    _HARD_NEG_SQL,
+    q_hard_negative_mining,
+)
+from data_engineer_development_spark.queries.similarity import DIMS
+from tests.oracle_harness import _normalize_rows
+
+
+def _vec(hot: int, value: float = 1.0, second: int | None = None) -> list[float]:
+    v = [0.0] * DIMS
+    v[hot] = value
+    if second is not None:
+        v[second] = 0.5
+    return v
+
+
+@pytest.fixture(scope="module")
+def zero_norm_dir(spark, tmp_path_factory):
+    """A tiny embeddings table with a zero-norm CENTROID candidate (id 3)
+    and a zero-norm corpus row (id 99) among otherwise well-formed 64-d
+    vectors spanning two labels."""
+    rows = [
+        (0, "a", _vec(0)),
+        (1, "b", _vec(0, second=1)),
+        (2, "a", _vec(1)),
+        (3, "a", [0.0] * DIMS),  # zero-norm centroid candidate → excluded
+        (4, "b", _vec(1, second=2)),
+        (5, "a", _vec(2)),
+        (6, "b", _vec(2, second=3)),
+        (7, "a", _vec(3)),
+        (10, "b", _vec(0, value=2.0)),
+        (11, "a", _vec(1, value=-1.0)),
+        (99, "b", [0.0] * DIMS),  # zero-norm corpus row → excluded
+    ]
+    d = tmp_path_factory.mktemp("zn")
+    spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_zero_norm_rows_never_appear(spark, zero_norm_dir):
+    out = q_hard_negative_mining(spark, zero_norm_dir).collect()
+    assert out, "well-formed cross-label pairs must survive"
+    touched = {r["anchor_id"] for r in out} | {r["negative_id"] for r in out}
+    assert 3 not in touched and 99 not in touched
+    for r in out:
+        assert r["cosine"] == r["cosine"], f"NaN cosine leaked: {r}"
+
+
+def test_zero_norm_parity_with_oracle(spark, zero_norm_dir):
+    """Spark and DuckDB must agree row-for-row on the degenerate corpus —
+    the exact comparison the driver's value-hash gate performs."""
+    sdf = q_hard_negative_mining(spark, zero_norm_dir)
+    srows = _normalize_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{zero_norm_dir}/embeddings.parquet/*.parquet')"
+    )
+    res = con.execute(_HARD_NEG_SQL).arrow()
+    ocols = res.column_names
+    orows = _normalize_rows(ocols, [tuple(r) for r in zip(*[c.to_pylist() for c in res.columns])])
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert srows == orows

@@ -19,6 +19,7 @@ from data_engineer_development_spark.operators.similarity import (
 )
 from data_engineer_development_spark.queries.similarity import (
     _duck_cosine,
+    _duck_norm,
 )
 from data_engineer_development_spark.sources import load_table
 
@@ -181,13 +182,21 @@ _IVF_NPROBE = 2  # for sim_ivf_multiprobe; sim_ivf_topk stays 1-probe
 
 def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
-    cents = vecs.filter(F.col("vec_id") <= _IVF_K).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cv"),
-        norm_expr("embedding").alias("cn"),
+    # zero-norm exclusion on centroids AND corpus rows (the sim_neardup
+    # lesson: 0/0 cosines are NaN and the engines order NaN differently
+    # under DESC — no NaN may reach a row_number ordering)
+    cents = (
+        vecs.filter(F.col("vec_id") <= _IVF_K)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cv"),
+            norm_expr("embedding").alias("cn"),
+        )
+        .filter(F.col("cn") > 0)
     )
     scored = (
         vecs.select("vec_id", "embedding", norm_expr("embedding").alias("vn"))
+        .filter(F.col("vn") > 0)
         .crossJoin(F.broadcast(cents))
         .withColumn(
             "cos_c", seq_dot("embedding", "cv") / (F.col("vn") * F.col("cn"))
@@ -246,11 +255,13 @@ def _ivf_ctes(nprobe: int) -> str:
     (reused by the multiprobe and recall-eval oracles). Mirrors
     ``_ivf_topk`` exactly: index side rk=1, query side rk <= nprobe."""
     return f"""cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-               WHERE vec_id <= {_IVF_K}),
+               WHERE vec_id <= {_IVF_K} AND {_duck_norm('embedding')} > 0),
+ivfvs AS (SELECT vec_id, embedding FROM embeddings
+          WHERE {_duck_norm('embedding')} > 0),
 scored AS (SELECT v.vec_id, v.embedding,
                   c.cent_id,
                   {_duck_cosine('v.embedding', 'c.cv')} AS cos_c
-           FROM embeddings v CROSS JOIN cents c),
+           FROM ivfvs v CROSS JOIN cents c),
 ranked_asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                             ORDER BY cos_c DESC, cent_id) AS ark
                FROM scored),
@@ -293,10 +304,17 @@ ORDER BY query_id, rk
 # --------------------------------------------------------------------------
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
-    q = vecs.filter(F.col("vec_id").isin(_IVF_QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        norm_expr("embedding").alias("qn"),
+    # same zero-norm exclusion as the IVF path it grades (a zero-norm
+    # query disappears from BOTH engines' outputs; a zero-norm candidate
+    # never scores)
+    q = (
+        vecs.filter(F.col("vec_id").isin(_IVF_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            norm_expr("embedding").alias("qn"),
+        )
+        .filter(F.col("qn") > 0)
     )
     bf_pairs = (
         vecs.select(
@@ -304,6 +322,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("nv"),
             norm_expr("embedding").alias("nn"),
         )
+        .filter(F.col("nn") > 0)
         .crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
@@ -340,10 +359,11 @@ _ANN_RECALL_SQL = f"""
 WITH {_IVF_CTES},
 ivf AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= {_IVF_TOPK}),
 bfq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        WHERE vec_id IN ({", ".join(map(str, _IVF_QUERY_IDS))})),
+        WHERE vec_id IN ({", ".join(map(str, _IVF_QUERY_IDS))})
+          AND {_duck_norm('embedding')} > 0),
 bf AS (SELECT bfq.query_id, v.vec_id AS neighbor_id,
               {_duck_cosine('bfq.qv', 'v.embedding')} AS cosine
-       FROM bfq JOIN embeddings v ON v.vec_id <> bfq.query_id),
+       FROM bfq JOIN ivfvs v ON v.vec_id <> bfq.query_id),
 bftop AS (SELECT query_id, neighbor_id
           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                               ORDER BY cosine DESC, neighbor_id) AS rk

@@ -1,12 +1,13 @@
-"""Regression tests for the contrastive-curation entries.
+"""Regression tests for the contrastive-curation and IVF entries.
 
-Pins the zero-norm exclusion in ``hard_negative_mining`` (the sim_neardup
-lesson: a zero vector's cosine is 0/0 = NaN, and Spark and DuckDB order
-NaN differently under DESC, so a zero-norm row reaching the row_number
-ordering is a latent cross-engine parity break even when the shipped
-fixture is clean). The test corpus deliberately carries BOTH failure
-shapes: a zero-norm centroid candidate (id inside the ``vec_id <= K``
-codebook convention) and a zero-norm corpus row.
+Pins the zero-norm exclusion in ``hard_negative_mining`` and the IVF
+family (the sim_neardup lesson: a zero vector's cosine is 0/0 = NaN, and
+Spark and DuckDB order NaN differently under DESC, so a zero-norm row
+reaching a row_number ordering is a latent cross-engine parity break even
+when the shipped fixture is clean). The test corpus deliberately carries
+all three failure shapes: a zero-norm centroid candidate (id inside the
+``vec_id <= K`` codebook convention), a zero-norm IVF QUERY id, and a
+zero-norm plain corpus row.
 """
 
 from __future__ import annotations
@@ -17,6 +18,14 @@ import pytest
 from data_engineer_development_spark.queries.contrastive import (
     _HARD_NEG_SQL,
     q_hard_negative_mining,
+)
+from data_engineer_development_spark.queries.extras import (
+    _ANN_RECALL_SQL,
+    _IVF_MULTI_SQL,
+    _IVF_SQL,
+    q_ann_recall_eval,
+    q_sim_ivf_multiprobe,
+    q_sim_ivf_topk,
 )
 from data_engineer_development_spark.queries.similarity import DIMS
 from tests.oracle_harness import _normalize_rows
@@ -45,7 +54,9 @@ def zero_norm_dir(spark, tmp_path_factory):
         (6, "b", _vec(2, second=3)),
         (7, "a", _vec(3)),
         (10, "b", _vec(0, value=2.0)),
-        (11, "a", _vec(1, value=-1.0)),
+        (11, "a", _vec(1, value=-1.0)),  # IVF query id, well-formed
+        (12, "b", [0.0] * DIMS),  # zero-norm IVF QUERY id → excluded
+        (13, "a", _vec(0, second=2)),  # IVF query id, well-formed
         (99, "b", [0.0] * DIMS),  # zero-norm corpus row → excluded
     ]
     d = tmp_path_factory.mktemp("zn")
@@ -59,15 +70,37 @@ def test_zero_norm_rows_never_appear(spark, zero_norm_dir):
     out = q_hard_negative_mining(spark, zero_norm_dir).collect()
     assert out, "well-formed cross-label pairs must survive"
     touched = {r["anchor_id"] for r in out} | {r["negative_id"] for r in out}
-    assert 3 not in touched and 99 not in touched
+    assert touched.isdisjoint({3, 12, 99})
     for r in out:
         assert r["cosine"] == r["cosine"], f"NaN cosine leaked: {r}"
 
 
-def test_zero_norm_parity_with_oracle(spark, zero_norm_dir):
+def test_ivf_zero_norm_rows_never_appear(spark, zero_norm_dir):
+    for fn in (q_sim_ivf_topk, q_sim_ivf_multiprobe):
+        out = fn(spark, zero_norm_dir).collect()
+        assert out, "well-formed neighbors must survive"
+        assert {r["query_id"] for r in out} <= {11, 13}  # 12 is zero-norm
+        assert {r["neighbor_id"] for r in out}.isdisjoint({3, 12, 99})
+        for r in out:
+            assert r["cosine"] == r["cosine"], f"NaN cosine leaked: {r}"
+    recall = q_ann_recall_eval(spark, zero_norm_dir).collect()
+    assert {r["query_id"] for r in recall} == {11, 13}
+
+
+@pytest.mark.parametrize(
+    "fn,sql",
+    [
+        (q_hard_negative_mining, _HARD_NEG_SQL),
+        (q_sim_ivf_topk, _IVF_SQL),
+        (q_sim_ivf_multiprobe, _IVF_MULTI_SQL),
+        (q_ann_recall_eval, _ANN_RECALL_SQL),
+    ],
+    ids=["hard_negative_mining", "sim_ivf_topk", "sim_ivf_multiprobe", "ann_recall_eval"],
+)
+def test_zero_norm_parity_with_oracle(spark, zero_norm_dir, fn, sql):
     """Spark and DuckDB must agree row-for-row on the degenerate corpus —
     the exact comparison the driver's value-hash gate performs."""
-    sdf = q_hard_negative_mining(spark, zero_norm_dir)
+    sdf = fn(spark, zero_norm_dir)
     srows = _normalize_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
 
     con = duckdb.connect()
@@ -75,8 +108,10 @@ def test_zero_norm_parity_with_oracle(spark, zero_norm_dir):
         "CREATE VIEW embeddings AS SELECT * FROM "
         f"read_parquet('{zero_norm_dir}/embeddings.parquet/*.parquet')"
     )
-    res = con.execute(_HARD_NEG_SQL).arrow()
+    res = con.execute(sql).arrow()
     ocols = res.column_names
-    orows = _normalize_rows(ocols, [tuple(r) for r in zip(*[c.to_pylist() for c in res.columns])])
+    orows = _normalize_rows(
+        ocols, [tuple(r) for r in zip(*[c.to_pylist() for c in res.columns])]
+    )
     assert sorted(sdf.columns) == sorted(ocols)
     assert srows == orows

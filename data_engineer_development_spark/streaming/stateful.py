@@ -337,13 +337,27 @@ GATE_OUTPUT_SCHEMA = StructType(
 )
 
 
-def make_neardup_gate_update(dims: int, tau: float):
-    """Kernel factory (dims/tau are plan-time constants, closed over)."""
+def make_neardup_gate_update(dims: int, tau: float, ttl_ms: int | None = None):
+    """Kernel factory (dims/tau/ttl are plan-time constants, closed over).
+
+    ``ttl_ms`` is the bounded-state dial: when set, a bucket whose state
+    has seen no arrival for that long is EVICTED (processing-time
+    timeout), so state is O(vectors per bucket per TTL window) instead of
+    O(all vectors ever). The documented trade: a duplicate re-arriving
+    after the TTL is re-admitted — the batch semdedup /
+    dedup_cleaned_corpus pass remains the exactness backstop (the same
+    compaction story as every TTL'd streaming dedup).
+    """
     import numpy as np
 
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # timeout invocation: no new rows for this bucket — drop the
+            # state and emit nothing (eviction, not output)
+            state.remove()
+            return
         if state.exists:
             sids, flat = state.get
             seen_ids = np.array(sids, dtype=np.int64)
@@ -401,6 +415,10 @@ def make_neardup_gate_update(dims: int, tau: float):
                     [int(x) for x in seen.reshape(-1)],
                 )
             )
+            if ttl_ms is not None:
+                # re-arm on every arrival: idle-bucket eviction, not a
+                # hard cap on bucket lifetime
+                state.setTimeoutDuration(ttl_ms)
             yield out
 
     return _update
@@ -413,9 +431,16 @@ def stream_neardup_gate(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """(vec_id, bucket, dup_of, admitted) per arriving vector — see the
-    block comment above for semantics and the 100 TB state story."""
+    block comment above for semantics and the 100 TB state story.
+
+    ``ttl_ms`` bounds state at volume: an idle bucket's seen-set is
+    evicted after that many ms of processing time with no arrival (the
+    registry entry keeps the default None — exact within the run — so the
+    oracle dual stays the batch greedy; production ingest sets a TTL and
+    leans on the batch semdedup pass as the exactness backstop)."""
     from data_engineer_development_spark.operators.similarity import (
         _with_quantized,
         bucket_assign,
@@ -428,10 +453,14 @@ def stream_neardup_gate(
         bucketed.select(id_col, "qv", "bucket")
         .groupBy("bucket")
         .applyInPandasWithState(
-            make_neardup_gate_update(dims, tau),
+            make_neardup_gate_update(dims, tau, ttl_ms=ttl_ms),
             outputStructType=GATE_OUTPUT_SCHEMA,
             stateStructType=GATE_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if ttl_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )

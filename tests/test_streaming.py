@@ -159,13 +159,30 @@ def test_stream_neardup_gate_known_vectors(spark, tmp_path):
     assert got[4]["admitted"] == 0 and got[4]["dup_of"] == 0
     assert got[0]["bucket"] == got[1]["bucket"] == got[4]["bucket"]
 
+    # TTL'd variant must run end-to-end under ProcessingTimeTimeout (no
+    # timeout fires within a single drain — output identical)
+    run_to_memory_sink(
+        stream_neardup_gate(stream, tau=0.9, planes=2, dims=4,
+                            ttl_ms=600_000),
+        out_name + "_ttl", output_mode="update", assert_single_batch=True,
+        state_partitions=2, no_data_batches=False,
+    )
+    got_ttl = {r["vec_id"]: r for r in spark.table(out_name + "_ttl").collect()}
+    assert {k: (v["admitted"], v["dup_of"]) for k, v in got_ttl.items()} == {
+        k: (v["admitted"], v["dup_of"]) for k, v in got.items()
+    }
+
 
 class _FakeGroupState:
-    """Minimal GroupState stand-in: exists/get/update — enough to drive
-    the gate kernel's state-resume branch without a streaming query."""
+    """Minimal GroupState stand-in: exists/get/update plus the timeout
+    surface (hasTimedOut/remove/setTimeoutDuration) — enough to drive the
+    gate kernel's state-resume and TTL-eviction branches without a
+    streaming query."""
 
-    def __init__(self):
+    def __init__(self, timed_out=False):
         self._v = None
+        self.hasTimedOut = timed_out
+        self.timeout_set_ms = None
 
     @property
     def exists(self):
@@ -177,6 +194,12 @@ class _FakeGroupState:
 
     def update(self, v):
         self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set_ms = ms
 
 
 def test_stream_neardup_gate_kernel_multi_batch_state():
@@ -229,3 +252,45 @@ def test_stream_neardup_gate_kernel_multi_batch_state():
                           "qv": pd.Series([], dtype="object")})
     assert list(kernel((7,), iter([empty]), state)) == []
     assert state.get == before
+
+
+def test_stream_neardup_gate_kernel_ttl_eviction():
+    """The TTL dial: a timed-out invocation evicts the bucket's state and
+    emits nothing; a TTL'd kernel re-arms the timeout on every arrival;
+    and after eviction a re-arriving duplicate is re-admitted (the
+    documented bounded-state trade — the batch pass is the backstop)."""
+    import pandas as pd
+
+    from data_engineer_development_spark.streaming.stateful import (
+        make_neardup_gate_update,
+    )
+
+    kernel = make_neardup_gate_update(dims=4, tau=0.9, ttl_ms=60_000)
+
+    state = _FakeGroupState()
+    b1 = pd.DataFrame({"vec_id": [10], "qv": [[127, 0, 0, 0]]})
+    (out1,) = list(kernel((7,), iter([b1]), state))
+    assert out1["admitted"].tolist() == [1]
+    assert state.exists and state.timeout_set_ms == 60_000
+
+    # timeout invocation: empty input, hasTimedOut=True → state dropped,
+    # no output rows
+    timed_out = _FakeGroupState(timed_out=True)
+    timed_out.update(state.get)
+    assert list(kernel((7,), iter([]), timed_out)) == []
+    assert not timed_out.exists
+
+    # the duplicate of evicted id 10 is re-admitted into fresh state
+    # (a new-arrival invocation always comes in with hasTimedOut=False)
+    timed_out.hasTimedOut = False
+    b2 = pd.DataFrame({"vec_id": [20], "qv": [[127, 0, 0, 0]]})
+    (out2,) = list(kernel((7,), iter([b2]), timed_out))
+    assert out2["admitted"].tolist() == [1]
+    assert out2["dup_of"].isna().all()
+
+    # an un-TTL'd kernel must never call setTimeoutDuration (NoTimeout
+    # queries throw if it is ever invoked)
+    plain = _FakeGroupState()
+    no_ttl = make_neardup_gate_update(dims=4, tau=0.9)
+    list(no_ttl((7,), iter([b1]), plain))
+    assert plain.timeout_set_ms is None

@@ -116,15 +116,26 @@ def cosine_topk(
     # (single-file scan) nor fragments into per-task overhead.
     n_vec = vectors.count()
     parts = _pair_partitions(len(query_ids) * n_vec, vectors.sparkSession)
-    q = vectors.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm_expr(vec_col).alias("qn"),
+    # zero-norm exclusion on queries AND candidates (the sim_neardup
+    # lesson: 0/0 cosines are NaN, and Spark/DuckDB order NaN differently
+    # under DESC — no NaN may reach the row_number ranking)
+    q = (
+        vectors.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm_expr(vec_col).alias("qn"),
+        )
+        .filter(F.col("qn") > 0)
     )
-    n = vectors.repartition(parts).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nv"),
-        norm_expr(vec_col).alias("nn"),
+    n = (
+        vectors.repartition(parts)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nv"),
+            norm_expr(vec_col).alias("nn"),
+        )
+        .filter(F.col("nn") > 0)
     )
     scored = (
         F.broadcast(q)

@@ -57,10 +57,13 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIM_TOPK_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+           WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})
+             AND {_duck_norm('embedding')} > 0),
+cand AS (SELECT vec_id, embedding FROM embeddings
+         WHERE {_duck_norm('embedding')} > 0),
 scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
                   {_duck_cosine('q.qv', 'e.embedding')} AS cosine
-           FROM q CROSS JOIN embeddings e WHERE q.query_id <> e.vec_id),
+           FROM q CROSS JOIN cand e WHERE q.query_id <> e.vec_id),
 ranked AS (SELECT query_id, neighbor_id, cosine,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, neighbor_id) AS rk

@@ -27,7 +27,11 @@ from data_engineer_development_spark.queries.extras import (
     q_sim_ivf_multiprobe,
     q_sim_ivf_topk,
 )
-from data_engineer_development_spark.queries.similarity import DIMS
+from data_engineer_development_spark.queries.similarity import (
+    _SIM_TOPK_SQL,
+    DIMS,
+    q_sim_cosine_topk,
+)
 from tests.oracle_harness import _normalize_rows
 
 
@@ -94,8 +98,17 @@ def test_ivf_zero_norm_rows_never_appear(spark, zero_norm_dir):
         (q_sim_ivf_topk, _IVF_SQL),
         (q_sim_ivf_multiprobe, _IVF_MULTI_SQL),
         (q_ann_recall_eval, _ANN_RECALL_SQL),
+        # query id 3 is the zero vector here → the exact-topk query-side
+        # exclusion branch
+        (q_sim_cosine_topk, _SIM_TOPK_SQL),
     ],
-    ids=["hard_negative_mining", "sim_ivf_topk", "sim_ivf_multiprobe", "ann_recall_eval"],
+    ids=[
+        "hard_negative_mining",
+        "sim_ivf_topk",
+        "sim_ivf_multiprobe",
+        "ann_recall_eval",
+        "sim_cosine_topk",
+    ],
 )
 def test_zero_norm_parity_with_oracle(spark, zero_norm_dir, fn, sql):
     """Spark and DuckDB must agree row-for-row on the degenerate corpus —

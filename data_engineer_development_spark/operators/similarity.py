@@ -108,9 +108,16 @@ def cosine_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id (self excluded).
-    The query side is broadcast; ranking is deterministic (score desc, id)."""
+    The query side is broadcast; ranking is deterministic (score desc, id).
+
+    ``dims``, when set, pins participating vectors to exactly that width
+    (oracle-portable callers MUST pin: SQL duals that index 1..dims
+    NULL-out shorter vectors but truncate longer ones)."""
+    if dims is not None:
+        vectors = vectors.filter(F.size(vec_col) == dims)
     # The probe side sets the output partitioning of the broadcast join —
     # size it by pair count so the scoring stage neither runs on one task
     # (single-file scan) nor fragments into per-task overhead.

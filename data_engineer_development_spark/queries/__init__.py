@@ -78,12 +78,14 @@ _FRONT = [
     # changed in r10 (semdedup family: Lloyd-trained codebook; IVF chain
     # refactored for nprobe; inference oracles: NULL-safe vec_id-only
     # join; streaming totals: loud overflow guard; cosine/IVF/contrastive
-    # family: zero-norm exclusion hardening — sim_cosine_topk, also
-    # r7-latest, enters the changed block displacing the least-stale
-    # rotation tail entry rollup_status_priority: freshness-neutral, and
-    # a changed plan needs driver re-validation more than an untouched
-    # stale one)
-    "sim_ivf_topk", "sim_cosine_topk",
+    # family: zero-norm + mixed-width exclusion hardening —
+    # sim_cosine_topk / sim_neardup / sim_lsh_buckets, all r7-latest,
+    # enter the changed block displacing the three least-stale rotation
+    # tail entries (rollup_status_priority, agg_stats_per_nation,
+    # anti_join_dormant_customers — likewise r7-latest): freshness-
+    # neutral, and a changed plan needs driver re-validation more than an
+    # untouched stale one)
+    "sim_ivf_topk", "sim_cosine_topk", "sim_neardup", "sim_lsh_buckets",
     "semantic_dedup", "semdedup_recall_eval", "quality_model_score",
     "quality_stratified_sample", "stream_quality_gate", "streaming_running_totals",
     # rotation (stalest driver evidence first): the 9 r6-latest entries,
@@ -100,7 +102,6 @@ _FRONT = [
     "json_extract", "variant_json_stats", "regexp_clean",
     "string_funcs", "null_handling", "math_funcs",
     "join_star_broadcast", "left_join_order_counts", "semi_join_active_customers",
-    "anti_join_dormant_customers", "agg_stats_per_nation",
 ]
 
 

@@ -59,12 +59,15 @@ _HN_TOPK = 3
 
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
-    # zero-norm exclusion on BOTH sides (corpus rows and centroids), same
-    # as the rest of the similarity family: a zero vector's cosine is 0/0
-    # = NaN and Spark/DuckDB order NaN vs finite values differently under
-    # DESC, so it must never reach a row_number ordering.
+    # zero-norm + width exclusion on BOTH sides (corpus rows and
+    # centroids), same as the rest of the similarity family: a zero
+    # vector's cosine is 0/0 = NaN and Spark/DuckDB order NaN vs finite
+    # values differently under DESC, and the oracle's generate_series
+    # indexing NULLs-out shorter vectors but TRUNCATES longer ones — only
+    # an explicit dims pin keeps membership identical across engines.
+    usable = vecs.filter(F.size("embedding") == DIMS)
     cents = (
-        vecs.filter(F.col("vec_id") <= _HN_K)
+        usable.filter(F.col("vec_id") <= _HN_K)
         .select(
             F.col("vec_id").alias("cent_id"),
             F.col("embedding").alias("cv"),
@@ -75,7 +78,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # K-row centroid broadcast fan-out → nearest-cell assignment (the
     # zero-shuffle IVF shape; one row_number per vector, partitioned).
     scored = (
-        vecs.select(
+        usable.select(
             "vec_id", "label", "embedding", norm_expr("embedding").alias("vn")
         )
         .filter(F.col("vn") > 0)
@@ -129,9 +132,10 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HARD_NEG_SQL = f"""
 WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-               WHERE vec_id <= {_HN_K} AND {_duck_norm('embedding')} > 0),
+               WHERE vec_id <= {_HN_K} AND len(embedding) = {DIMS}
+                 AND {_duck_norm('embedding')} > 0),
 vs AS (SELECT vec_id, label, embedding FROM embeddings
-       WHERE {_duck_norm('embedding')} > 0),
+       WHERE len(embedding) = {DIMS} AND {_duck_norm('embedding')} > 0),
 scored AS (SELECT v.vec_id, v.label, v.embedding, c.cent_id,
                   {_duck_cosine('v.embedding', 'c.cv')} AS cos_c
            FROM vs v CROSS JOIN cents c),
@@ -198,6 +202,10 @@ def q_emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("vec_id") % _JL_SAMPLE_MOD == _JL_SAMPLE_RES)
             & (F.col("vec_id") < _JL_SAMPLE_CAP)
+            # width pin: the oracle's embedding[d] indexing truncates
+            # longer vectors where zip_with would NULL them out — only an
+            # explicit dims pin keeps the sample identical across engines
+            & (F.size("embedding") == DIMS)
         )
         .select(
             "vec_id",
@@ -280,7 +288,8 @@ def _jl_sql() -> str:
     return f"""
 WITH s0 AS (SELECT vec_id, embedding FROM embeddings
             WHERE vec_id % {_JL_SAMPLE_MOD} = {_JL_SAMPLE_RES}
-              AND vec_id < {_JL_SAMPLE_CAP}),
+              AND vec_id < {_JL_SAMPLE_CAP}
+              AND len(embedding) = {DIMS}),
 p AS (SELECT vec_id, embedding,
         {_duck_norm('embedding')} AS vn,
         {proj_cols}

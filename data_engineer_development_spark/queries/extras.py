@@ -18,6 +18,7 @@ from data_engineer_development_spark.operators.similarity import (
     seq_dot,
 )
 from data_engineer_development_spark.queries.similarity import (
+    DIMS,
     _duck_cosine,
     _duck_norm,
 )
@@ -182,11 +183,14 @@ _IVF_NPROBE = 2  # for sim_ivf_multiprobe; sim_ivf_topk stays 1-probe
 
 def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
-    # zero-norm exclusion on centroids AND corpus rows (the sim_neardup
-    # lesson: 0/0 cosines are NaN and the engines order NaN differently
-    # under DESC — no NaN may reach a row_number ordering)
+    # zero-norm + width exclusion on centroids AND corpus rows (the
+    # sim_neardup / semdedup lessons: 0/0 cosines are NaN and the engines
+    # order NaN differently under DESC; and the oracle's generate_series
+    # indexing NULLs-out shorter vectors but TRUNCATES longer ones, so
+    # only an explicit dims pin keeps membership identical across engines)
+    usable = vecs.filter(F.size("embedding") == DIMS)
     cents = (
-        vecs.filter(F.col("vec_id") <= _IVF_K)
+        usable.filter(F.col("vec_id") <= _IVF_K)
         .select(
             F.col("vec_id").alias("cent_id"),
             F.col("embedding").alias("cv"),
@@ -195,7 +199,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .filter(F.col("cn") > 0)
     )
     scored = (
-        vecs.select("vec_id", "embedding", norm_expr("embedding").alias("vn"))
+        usable.select("vec_id", "embedding", norm_expr("embedding").alias("vn"))
         .filter(F.col("vn") > 0)
         .crossJoin(F.broadcast(cents))
         .withColumn(
@@ -255,9 +259,10 @@ def _ivf_ctes(nprobe: int) -> str:
     (reused by the multiprobe and recall-eval oracles). Mirrors
     ``_ivf_topk`` exactly: index side rk=1, query side rk <= nprobe."""
     return f"""cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-               WHERE vec_id <= {_IVF_K} AND {_duck_norm('embedding')} > 0),
+               WHERE vec_id <= {_IVF_K} AND len(embedding) = {DIMS}
+                 AND {_duck_norm('embedding')} > 0),
 ivfvs AS (SELECT vec_id, embedding FROM embeddings
-          WHERE {_duck_norm('embedding')} > 0),
+          WHERE len(embedding) = {DIMS} AND {_duck_norm('embedding')} > 0),
 scored AS (SELECT v.vec_id, v.embedding,
                   c.cent_id,
                   {_duck_cosine('v.embedding', 'c.cv')} AS cos_c
@@ -304,11 +309,12 @@ ORDER BY query_id, rk
 # --------------------------------------------------------------------------
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
-    # same zero-norm exclusion as the IVF path it grades (a zero-norm
-    # query disappears from BOTH engines' outputs; a zero-norm candidate
-    # never scores)
+    # same zero-norm + width exclusion as the IVF path it grades (a
+    # degenerate query disappears from BOTH engines' outputs; a
+    # degenerate candidate never scores)
+    usable = vecs.filter(F.size("embedding") == DIMS)
     q = (
-        vecs.filter(F.col("vec_id").isin(_IVF_QUERY_IDS))
+        usable.filter(F.col("vec_id").isin(_IVF_QUERY_IDS))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
@@ -317,7 +323,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qn") > 0)
     )
     bf_pairs = (
-        vecs.select(
+        usable.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("nv"),
             norm_expr("embedding").alias("nn"),
@@ -360,7 +366,7 @@ WITH {_IVF_CTES},
 ivf AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= {_IVF_TOPK}),
 bfq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
         WHERE vec_id IN ({", ".join(map(str, _IVF_QUERY_IDS))})
-          AND {_duck_norm('embedding')} > 0),
+          AND len(embedding) = {DIMS} AND {_duck_norm('embedding')} > 0),
 bf AS (SELECT bfq.query_id, v.vec_id AS neighbor_id,
               {_duck_cosine('bfq.qv', 'v.embedding')} AS cosine
        FROM bfq JOIN ivfvs v ON v.vec_id <> bfq.query_id),

@@ -52,15 +52,17 @@ def _duck_cosine(a: str, b: str) -> str:
 # --------------------------------------------------------------------------
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_topk(vecs, QUERY_IDS, TOPK).orderBy("query_id", "rk")
+    return S.cosine_topk(vecs, QUERY_IDS, TOPK, dims=DIMS).orderBy(
+        "query_id", "rk"
+    )
 
 
 _SIM_TOPK_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})
-             AND {_duck_norm('embedding')} > 0),
+             AND len(embedding) = {DIMS} AND {_duck_norm('embedding')} > 0),
 cand AS (SELECT vec_id, embedding FROM embeddings
-         WHERE {_duck_norm('embedding')} > 0),
+         WHERE len(embedding) = {DIMS} AND {_duck_norm('embedding')} > 0),
 scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
                   {_duck_cosine('q.qv', 'e.embedding')} AS cosine
            FROM q CROSS JOIN cand e WHERE q.query_id <> e.vec_id),
@@ -77,14 +79,22 @@ ORDER BY query_id, rk
 # All-pairs cosine near-dup (exactness baseline for embedding dedup).
 # --------------------------------------------------------------------------
 def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = load_table(spark, sf_dir, "embeddings")
+    # dims pin per the operator's contract ("callers with mixed-width
+    # corpora filter to one width first") — keeps the entry mixed-width-
+    # proof instead of mixed-width-crashing, and identical to the oracle's
+    # len() predicate
+    vecs = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == DIMS
+    )
     return S.neardup_pairs_cosine(vecs, COSINE_TAU).orderBy("id1", "id2")
 
 
 _SIM_NEARDUP_SQL = f"""
+WITH nd AS (SELECT vec_id, embedding FROM embeddings
+            WHERE len(embedding) = {DIMS})
 SELECT a.vec_id AS id1, b.vec_id AS id2,
        {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM nd a JOIN nd b ON a.vec_id < b.vec_id
 WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= {COSINE_TAU}
   AND {_duck_norm('a.embedding')} > 0 AND {_duck_norm('b.embedding')} > 0
 ORDER BY id1, id2
@@ -96,7 +106,14 @@ ORDER BY id1, id2
 # the scale path that replaces all-pairs at 100 TB).
 # --------------------------------------------------------------------------
 def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = load_table(spark, sf_dir, "embeddings")
+    # width pin: bucket_assign's dims only sizes the hyperplanes — a
+    # LONGER vector pads the zip_with with NULL planes (NULL dot → bit 0 →
+    # bucket 0 in Spark) where the oracle's embedding[d] indexing silently
+    # TRUNCATES to a real bucket. Pinning membership is the only portable
+    # semantics (shorter vectors already agree: both engines read bit 0).
+    vecs = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == DIMS
+    )
     return (
         S.bucket_assign(vecs, planes=PLANES, dims=DIMS)
         .groupBy("bucket")
@@ -123,7 +140,8 @@ def _bucket_expr_sql(planes: int) -> str:
 def _lsh_buckets_sql() -> str:
     bucket = _bucket_expr_sql(PLANES)
     return f"""
-WITH b AS (SELECT vec_id, {bucket} AS bucket FROM embeddings)
+WITH b AS (SELECT vec_id, {bucket} AS bucket FROM embeddings
+           WHERE len(embedding) = {DIMS})
 SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
 FROM b GROUP BY bucket ORDER BY bucket
 """

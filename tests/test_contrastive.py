@@ -28,9 +28,15 @@ from data_engineer_development_spark.queries.extras import (
     q_sim_ivf_topk,
 )
 from data_engineer_development_spark.queries.similarity import (
+    _SIM_NEARDUP_SQL,
     _SIM_TOPK_SQL,
     DIMS,
     q_sim_cosine_topk,
+    q_sim_lsh_buckets,
+    q_sim_neardup,
+)
+from data_engineer_development_spark.queries.similarity import (
+    _lsh_buckets_sql,
 )
 from tests.oracle_harness import _normalize_rows
 
@@ -45,9 +51,11 @@ def _vec(hot: int, value: float = 1.0, second: int | None = None) -> list[float]
 
 @pytest.fixture(scope="module")
 def zero_norm_dir(spark, tmp_path_factory):
-    """A tiny embeddings table with a zero-norm CENTROID candidate (id 3)
-    and a zero-norm corpus row (id 99) among otherwise well-formed 64-d
-    vectors spanning two labels."""
+    """A tiny embeddings table with a zero-norm CENTROID candidate (id 3),
+    a zero-norm corpus row (id 99), a SHORTER-than-DIMS vector (id 14, the
+    oracle NULLs it out) and a LONGER one (id 15, the oracle would
+    silently TRUNCATE it where Spark's zip_with NULLs it) among otherwise
+    well-formed 64-d vectors spanning two labels."""
     rows = [
         (0, "a", _vec(0)),
         (1, "b", _vec(0, second=1)),
@@ -61,6 +69,8 @@ def zero_norm_dir(spark, tmp_path_factory):
         (11, "a", _vec(1, value=-1.0)),  # IVF query id, well-formed
         (12, "b", [0.0] * DIMS),  # zero-norm IVF QUERY id → excluded
         (13, "a", _vec(0, second=2)),  # IVF query id, well-formed
+        (14, "b", [1.0] * (DIMS // 2)),  # short vector → excluded
+        (15, "a", [1.0] * (DIMS + 32)),  # long vector → excluded
         (99, "b", [0.0] * DIMS),  # zero-norm corpus row → excluded
     ]
     d = tmp_path_factory.mktemp("zn")
@@ -74,7 +84,7 @@ def test_zero_norm_rows_never_appear(spark, zero_norm_dir):
     out = q_hard_negative_mining(spark, zero_norm_dir).collect()
     assert out, "well-formed cross-label pairs must survive"
     touched = {r["anchor_id"] for r in out} | {r["negative_id"] for r in out}
-    assert touched.isdisjoint({3, 12, 99})
+    assert touched.isdisjoint({3, 12, 14, 15, 99})
     for r in out:
         assert r["cosine"] == r["cosine"], f"NaN cosine leaked: {r}"
 
@@ -84,7 +94,7 @@ def test_ivf_zero_norm_rows_never_appear(spark, zero_norm_dir):
         out = fn(spark, zero_norm_dir).collect()
         assert out, "well-formed neighbors must survive"
         assert {r["query_id"] for r in out} <= {11, 13}  # 12 is zero-norm
-        assert {r["neighbor_id"] for r in out}.isdisjoint({3, 12, 99})
+        assert {r["neighbor_id"] for r in out}.isdisjoint({3, 12, 14, 15, 99})
         for r in out:
             assert r["cosine"] == r["cosine"], f"NaN cosine leaked: {r}"
     recall = q_ann_recall_eval(spark, zero_norm_dir).collect()
@@ -101,6 +111,8 @@ def test_ivf_zero_norm_rows_never_appear(spark, zero_norm_dir):
         # query id 3 is the zero vector here → the exact-topk query-side
         # exclusion branch
         (q_sim_cosine_topk, _SIM_TOPK_SQL),
+        (q_sim_neardup, _SIM_NEARDUP_SQL),
+        (q_sim_lsh_buckets, _lsh_buckets_sql()),
     ],
     ids=[
         "hard_negative_mining",
@@ -108,6 +120,8 @@ def test_ivf_zero_norm_rows_never_appear(spark, zero_norm_dir):
         "sim_ivf_multiprobe",
         "ann_recall_eval",
         "sim_cosine_topk",
+        "sim_neardup",
+        "sim_lsh_buckets",
     ],
 )
 def test_zero_norm_parity_with_oracle(spark, zero_norm_dir, fn, sql):

@@ -72,3 +72,29 @@ def test_fixture_embedding_dims_match_pinned_constants():
             f"{sf}: {n_off}/{n_all} embeddings are not {DIMS}-dim — the "
             "pinned model/similarity dims no longer match the fixture"
         )
+
+
+def test_fixed_width_oracles_pin_membership():
+    """Mechanizes the mixed-width discipline: any oracle that indexes
+    embeddings at FIXED positions (generate_series(1, d) / embedding[d])
+    silently TRUNCATES longer vectors and NULLs-out shorter ones, where
+    Spark's zip_with/aggregate fold over each array's own length — so such
+    an oracle MUST pin participation with a len(embedding) = d predicate
+    (per-element list_transform oracles are width-agnostic and exempt).
+    A new fixed-width oracle without a pin is a latent cross-engine
+    membership divergence on any mixed-width corpus — fail here first."""
+    import re
+
+    import __spark_entry__ as e
+
+    fixed_idx = re.compile(r"generate_series\(1,\s*\d+|embedding\[\s*\d")
+    pin = re.compile(r"len\([a-z0-9_.]*embedding\)\s*=\s*\d+")
+    unpinned = [
+        name
+        for name, sql in e.oracle_sql().items()
+        if fixed_idx.search(sql) and not pin.search(sql)
+    ]
+    assert not unpinned, (
+        "fixed-width-indexing oracles without a len(embedding) pin "
+        f"(membership diverges on mixed-width corpora): {unpinned}"
+    )

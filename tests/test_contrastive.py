@@ -28,9 +28,13 @@ from data_engineer_development_spark.queries.extras import (
     q_sim_ivf_topk,
 )
 from data_engineer_development_spark.queries.similarity import (
+    _SEMDEDUP_RECALL_SQL,
+    _SEMDEDUP_SQL,
     _SIM_NEARDUP_SQL,
     _SIM_TOPK_SQL,
     DIMS,
+    q_semantic_dedup,
+    q_semdedup_recall_eval,
     q_sim_cosine_topk,
     q_sim_lsh_buckets,
     q_sim_neardup,
@@ -113,6 +117,10 @@ def test_ivf_zero_norm_rows_never_appear(spark, zero_norm_dir):
         (q_sim_cosine_topk, _SIM_TOPK_SQL),
         (q_sim_neardup, _SIM_NEARDUP_SQL),
         (q_sim_lsh_buckets, _lsh_buckets_sql()),
+        # the dims-pinned family: codebook membership (K lowest USABLE
+        # ids) must skip the zero/short/long rows identically
+        (q_semantic_dedup, _SEMDEDUP_SQL),
+        (q_semdedup_recall_eval, _SEMDEDUP_RECALL_SQL),
     ],
     ids=[
         "hard_negative_mining",
@@ -122,6 +130,8 @@ def test_ivf_zero_norm_rows_never_appear(spark, zero_norm_dir):
         "sim_cosine_topk",
         "sim_neardup",
         "sim_lsh_buckets",
+        "semantic_dedup",
+        "semdedup_recall_eval",
     ],
 )
 def test_zero_norm_parity_with_oracle(spark, zero_norm_dir, fn, sql):

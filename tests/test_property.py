@@ -453,3 +453,52 @@ def test_scd2_apply_equals_reference(spark, actives, updates):
         if k not in akeys:
             want.append((k, u, eff, None))
     assert got == sorted(want, key=keyfn)
+
+
+# ---------------------------------------------------------------------------
+# range_join vs reference half-open BETWEEN semantics: integer points and
+# intervals — negatives (long-cast truncates toward zero, NOT floor, so
+# bins differ from floor-division bins there; correctness must hold anyway
+# because truncation is monotonic), boundary equality (p == s included,
+# p == e excluded), empty/reversed intervals, spans across many bins, and
+# varying bin widths.
+# ---------------------------------------------------------------------------
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(-200, 200), min_size=0, max_size=15),
+    st.lists(
+        st.tuples(st.integers(-200, 200), st.integers(-200, 200)),
+        min_size=0,
+        max_size=8,
+    ),
+    st.sampled_from([1, 7, 32, 100]),
+)
+def test_range_join_equals_reference_between(spark, points, raw_ivals, bin_w):
+    from data_engineer_development_spark.operators.joins import range_join
+
+    ivals = [(i, s, e) for i, (s, e) in enumerate(raw_ivals)]
+    left = (
+        spark.createDataFrame(
+            [(i, p) for i, p in enumerate(points)], "pid long, p long"
+        )
+        if points
+        else spark.createDataFrame([], "pid long, p long")
+    )
+    intervals = (
+        spark.createDataFrame(ivals, "iid long, s long, e long")
+        if ivals
+        else spark.createDataFrame([], "iid long, s long, e long")
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            left, "p", intervals, "s", "e", bin_width=bin_w
+        ).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, p in enumerate(points)
+        for iid, s, e in ivals
+        if s <= p < e
+    )
+    assert got == want

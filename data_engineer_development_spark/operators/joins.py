@@ -269,8 +269,14 @@ def salted_join(
     matching dim row exactly once — the replicated dim copy with the
     matching salt).
     """
+    # coalesce: a NULL row_salt (e.g. a hash of a NULL column) must not
+    # silently drop a key-matching fact row — "exactly the plain inner
+    # join" includes those rows, parked in bucket 0
     salted_fact = fact.withColumn(
-        "__salt", F.pmod(row_salt, F.lit(salt_buckets)).cast("int")
+        "__salt",
+        F.coalesce(F.pmod(row_salt, F.lit(salt_buckets)), F.lit(0)).cast(
+            "int"
+        ),
     )
     rep = dim.withColumn(
         "__salt",

@@ -502,3 +502,59 @@ def test_range_join_equals_reference_between(spark, points, raw_ivals, bin_w):
         if s <= p < e
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# salted_join ≡ plain inner join on every input: hot keys, keys missing on
+# either side, NULL join keys (dropped by both), and NULL row_salt values
+# (a hash of a NULL column — must NOT silently drop a matching fact row;
+# pinned to bucket 0 by the coalesce guard).
+# ---------------------------------------------------------------------------
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 5)),
+            st.one_of(st.none(), st.integers(-100, 100)),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+    st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)), st.integers(0, 9)),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda r: r[0],
+    ),
+)
+def test_salted_join_equals_plain_inner(spark, frows, drows):
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators.joins import salted_join
+
+    fact = (
+        spark.createDataFrame(
+            [(i, k, s) for i, (k, s) in enumerate(frows)],
+            "fid int, fk int, seed int",
+        )
+        if frows
+        else spark.createDataFrame([], "fid int, fk int, seed int")
+    )
+    dim = (
+        spark.createDataFrame(drows, "dk int, dval int")
+        if drows
+        else spark.createDataFrame([], "dk int, dval int")
+    )
+    got = sorted(
+        (r["fid"], r["dval"])
+        for r in salted_join(
+            fact, dim, "fk", "dk", row_salt=F.xxhash64("seed"), salt_buckets=4
+        ).collect()
+    )
+    dmap = {k: v for k, v in drows if k is not None}
+    want = sorted(
+        (i, dmap[k])
+        for i, (k, _) in enumerate(frows)
+        if k is not None and k in dmap
+    )
+    assert got == want

@@ -163,12 +163,17 @@ def bucket_assign(
     planes: int = 8,
     dims: int = 64,
     vec_col: str = "embedding",
+    plane_offset: int = 0,
+    out_col: str = "bucket",
 ) -> DataFrame:
-    """Sign-LSH bucket id: bit p = (v · hyperplane_p >= 0). Hyperplanes are
-    fixed md5-derived 3-decimal literals (portable to the oracle)."""
+    """Sign-LSH bucket id: bit p = (v · hyperplane_{plane_offset+p} >= 0).
+    Hyperplanes are fixed md5-derived 3-decimal literals (portable to the
+    oracle). ``plane_offset`` selects a disjoint slice of the same plane
+    family — table t of a multi-table (banded) LSH uses offset t·planes,
+    so table 0 is bit-identical to the single-table assignment."""
     bit_cols = []
     for pidx in range(planes):
-        w = hyperplane(pidx, dims)
+        w = hyperplane(plane_offset + pidx, dims)
         lits = ", ".join(repr(x) for x in w)
         # Fold over a literal weight array: ((0.0+t1)+t2)+... is bit-identical
         # to the oracle's left-assoc sum (0.0+t1 == t1 exactly), and the
@@ -180,7 +185,7 @@ def bucket_assign(
             f"(acc, v) -> acc + v)"
         )
         bit_cols.append(f"(case when ({dot}) >= 0 then {1 << pidx} else 0 end)")
-    return vectors.withColumn("bucket", F.expr(" + ".join(bit_cols)))
+    return vectors.withColumn(out_col, F.expr(" + ".join(bit_cols)))
 
 
 #: exact-path ceiling: the index side is broadcast as one numpy matrix

@@ -336,8 +336,22 @@ GATE_OUTPUT_SCHEMA = StructType(
     ]
 )
 
+#: banded (multi-table) gate: one verdict row per (vector, table); the
+#: final admission is the AND over tables (combine_gate_tables).
+BANDED_GATE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("tbl", IntegerType()),
+        StructField("bucket", LongType()),
+        StructField("dup_of", LongType()),
+        StructField("admitted", IntegerType()),
+    ]
+)
 
-def make_neardup_gate_update(dims: int, tau: float, ttl_ms: int | None = None):
+
+def make_neardup_gate_update(
+    dims: int, tau: float, ttl_ms: int | None = None, banded: bool = False
+):
     """Kernel factory (dims/tau/ttl are plan-time constants, closed over).
 
     ``ttl_ms`` is the bounded-state dial: when set, a bucket whose state
@@ -347,6 +361,12 @@ def make_neardup_gate_update(dims: int, tau: float, ttl_ms: int | None = None):
     after the TTL is re-admitted — the batch semdedup /
     dedup_cleaned_corpus pass remains the exactness backstop (the same
     compaction story as every TTL'd streaming dedup).
+
+    ``banded`` switches the key shape to (tbl, bucket) for the
+    multi-table gate: the per-group greedy is UNCHANGED (a table is just
+    an independent bucketing of the same stream), the verdict row gains
+    the table index, and the cross-table AND happens downstream
+    (combine_gate_tables).
     """
     import numpy as np
 
@@ -396,17 +416,17 @@ def make_neardup_gate_update(dims: int, tau: float, ttl_ms: int | None = None):
                     # ids sorted asc → argmax (first True) = lowest id
                     cand = int(ids[cov_b[:, j].argmax()])
                     dup[j] = cand if dup[j] < 0 else min(dup[j], cand)
-            out = pd.DataFrame(
-                {
-                    "vec_id": ids,
-                    "bucket": np.full(len(ids), int(key[0]), dtype=np.int64),
-                    "dup_of": pd.array(
-                        [None if d < 0 else int(d) for d in dup],
-                        dtype="Int64",
-                    ),
-                    "admitted": (dup < 0).astype("int32"),
-                }
+            cols: dict = {"vec_id": ids}
+            if banded:
+                cols["tbl"] = np.full(len(ids), int(key[0]), dtype=np.int32)
+            cols["bucket"] = np.full(
+                len(ids), int(key[1] if banded else key[0]), dtype=np.int64
             )
+            cols["dup_of"] = pd.array(
+                [None if d < 0 else int(d) for d in dup], dtype="Int64"
+            )
+            cols["admitted"] = (dup < 0).astype("int32")
+            out = pd.DataFrame(cols)
             seen_ids = np.concatenate([seen_ids, ids])
             seen = np.vstack([seen, B])
             state.update(
@@ -432,6 +452,7 @@ def stream_neardup_gate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ttl_ms: int | None = None,
+    tables: int = 1,
 ) -> DataFrame:
     """(vec_id, bucket, dup_of, admitted) per arriving vector — see the
     block comment above for semantics and the 100 TB state story.
@@ -440,7 +461,20 @@ def stream_neardup_gate(
     evicted after that many ms of processing time with no arrival (the
     registry entry keeps the default None — exact within the run — so the
     oracle dual stays the batch greedy; production ingest sets a TTL and
-    leans on the batch semdedup pass as the exactness backstop)."""
+    leans on the batch semdedup pass as the exactness backstop).
+
+    ``tables`` is the RECALL dial (multi-table / banded LSH): table t
+    re-buckets the same stream with the disjoint plane slice
+    t·planes … t·planes+planes−1 (table 0 is bit-identical to the
+    single-table gate), state is keyed by (tbl, bucket), and a vector is
+    dropped iff ANY table sees an earlier covering neighbor — the exact
+    banding the batch dedup_minhash_lsh family uses. Measured on the
+    fixture (BASELINE.md round-10 gate audit): planes=2 recall 0.38–0.48
+    single-table → 0.63–0.72 at tables=2 and 0.79–0.83 at tables=3,
+    while state scales ×tables and per-bucket Gram cost is unchanged.
+    With tables>1 the output is ONE ROW PER (vector, table)
+    (BANDED_GATE_OUTPUT_SCHEMA); fold it with combine_gate_tables once
+    the stream is drained (or in a foreachBatch sink)."""
     from data_engineer_development_spark.operators.similarity import (
         _with_quantized,
         bucket_assign,
@@ -448,19 +482,56 @@ def stream_neardup_gate(
 
     q = _with_quantized(vectors, id_col, vec_col)
     usable = q.filter((F.size(vec_col) == dims) & (F.col("qn") > 0))
-    bucketed = bucket_assign(usable, planes=planes, dims=dims, vec_col=vec_col)
-    return (
-        bucketed.select(id_col, "qv", "bucket")
-        .groupBy("bucket")
-        .applyInPandasWithState(
-            make_neardup_gate_update(dims, tau, ttl_ms=ttl_ms),
-            outputStructType=GATE_OUTPUT_SCHEMA,
-            stateStructType=GATE_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=(
-                GroupStateTimeout.NoTimeout
-                if ttl_ms is None
-                else GroupStateTimeout.ProcessingTimeTimeout
-            ),
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    if tables == 1:
+        bucketed = bucket_assign(
+            usable, planes=planes, dims=dims, vec_col=vec_col
         )
+        return (
+            bucketed.select(id_col, "qv", "bucket")
+            .groupBy("bucket")
+            .applyInPandasWithState(
+                make_neardup_gate_update(dims, tau, ttl_ms=ttl_ms),
+                outputStructType=GATE_OUTPUT_SCHEMA,
+                stateStructType=GATE_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=timeout,
+            )
+        )
+    # banded: per-table bucket columns (stateless projections over the
+    # same literal plane family), unpivoted to (tbl, bucket) rows via
+    # stack — still stateless, so the stream stays a single stateful op.
+    b = usable
+    for t in range(tables):
+        b = bucket_assign(
+            b, planes=planes, dims=dims, vec_col=vec_col,
+            plane_offset=t * planes, out_col=f"__b{t}",
+        )
+    stack = ", ".join(f"cast({t} as int), __b{t}" for t in range(tables))
+    exploded = b.selectExpr(
+        id_col, "qv", f"stack({tables}, {stack}) as (tbl, bucket)"
+    )
+    return exploded.groupBy("tbl", "bucket").applyInPandasWithState(
+        make_neardup_gate_update(dims, tau, ttl_ms=ttl_ms, banded=True),
+        outputStructType=BANDED_GATE_OUTPUT_SCHEMA,
+        stateStructType=GATE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def combine_gate_tables(verdicts: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Fold a banded gate's per-(vector, table) verdicts into the final
+    per-vector one: dropped iff ANY table dropped it; dup_of = the lowest
+    covering id any table saw (min over tables — each covering pair is
+    detected by every table where it collides, so min-of-mins equals the
+    min over the union of detections). Batch-side: run it on the drained
+    sink table (or per micro-batch in a foreachBatch sink)."""
+    return verdicts.groupBy(id_col).agg(
+        F.min("dup_of").alias("dup_of"),
+        F.min("admitted").cast("int").alias("admitted"),
     )

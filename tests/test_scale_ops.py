@@ -522,3 +522,57 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     }
     assert truth & one <= truth & multi
     assert len(truth & multi) > len(truth & one)
+
+
+def test_retrieval_mrr_eval_oracle_parity(spark):
+    """Round-11 registration candidate (see queries/extras.py): the
+    rank-sensitive MRR@k eval of the multiprobe IVF answer must already
+    hold hash-exact oracle parity at both fixture SFs, and its mrr must
+    be consistent with its own first_hit_rank."""
+    from data_engineer_development_spark.queries.extras import (
+        _RETRIEVAL_MRR_SQL,
+        q_retrieval_mrr_eval,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "retrieval_mrr_eval",
+            q_retrieval_mrr_eval, _RETRIEVAL_MRR_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    rows = q_retrieval_mrr_eval(spark, SF_CORRECT).collect()
+    assert len(rows) == 3  # the 3 probe queries
+    for r in rows:
+        if r["first_hit_rank"] is None:
+            assert r["mrr"] == 0.0
+        else:
+            assert r["mrr"] == 1.0 / r["first_hit_rank"]
+
+
+def test_tokenizer_fertility_oracle_parity(spark):
+    """Round-11+ registration candidate: per-language tokenizer fertility
+    (chars-per-token from exact bigint sums) must hold hash-exact oracle
+    parity at both fixture SFs, and the division must be consistent with
+    its own integer sums."""
+    from data_engineer_development_spark.queries.extras import (
+        _TOKENIZER_FERTILITY_SQL,
+        q_tokenizer_fertility,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "tokenizer_fertility",
+            q_tokenizer_fertility, _TOKENIZER_FERTILITY_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    rows = q_tokenizer_fertility(spark, SF_CORRECT).collect()
+    assert rows  # fixture has at least one language
+    for r in rows:
+        assert r["sum_tokens"] > 0
+        assert r["chars_per_token"] == r["sum_chars"] / r["sum_tokens"]

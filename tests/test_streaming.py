@@ -294,3 +294,153 @@ def test_stream_neardup_gate_kernel_ttl_eviction():
     no_ttl = make_neardup_gate_update(dims=4, tau=0.9)
     list(no_ttl((7,), iter([b1]), plain))
     assert plain.timeout_set_ms is None
+
+
+def test_stream_neardup_gate_kernel_banded_key_shape():
+    """banded=True keys the kernel by (tbl, bucket): the verdict rows
+    carry the table index, the greedy within the group is unchanged, and
+    the same vectors land in independent state per table."""
+    import pandas as pd
+
+    from data_engineer_development_spark.streaming.stateful import (
+        make_neardup_gate_update,
+    )
+
+    kernel = make_neardup_gate_update(dims=4, tau=0.9, banded=True)
+    state = _FakeGroupState()
+    b = pd.DataFrame({
+        "vec_id": [10, 11],
+        "qv": [[127, 0, 0, 0], [127, 1, 0, 0]],  # near-dups, same group
+    })
+    (out,) = list(kernel((2, 7), iter([b]), state))
+    got = {r.vec_id: r for r in out.itertuples()}
+    assert all(r.tbl == 2 and r.bucket == 7 for r in out.itertuples())
+    assert got[10].admitted == 1 and got[11].admitted == 0
+    assert got[11].dup_of == 10
+
+
+def _banded_gate_mirror(rows, planes, tables, tau, dims):
+    """Pure-python/numpy mirror of the banded gate's batch-greedy dual,
+    using the engine's exact quantizer (int8 max-abs, round-half-up), the
+    same md5 hyperplane family with table t = plane slice t*planes.., and
+    a LEFT-FOLD float64 dot for the bucket bit (the engine's aggregate()
+    order). Returns {vec_id: (admitted, dup_of)}."""
+    import math
+
+    import numpy as np
+
+    from data_engineer_development_spark.functions.portable_hash import (
+        hyperplane,
+    )
+
+    qvs, order = {}, []
+    for vid, v in rows:
+        if len(v) != dims:
+            continue
+        mx = max(abs(float(x)) for x in v)
+        qv = (
+            [0] * dims
+            if mx == 0.0
+            else [math.floor(float(x) * 127.0 / mx + 0.5) for x in v]
+        )
+        if sum(q * q for q in qv) > 0:
+            qvs[vid] = np.array(qv, dtype=np.int64)
+            order.append(vid)
+
+    def bucket(vec, t):
+        b = 0
+        for p in range(planes):
+            w = hyperplane(t * planes + p, dims)
+            acc = 0.0
+            for x, wi in zip(vec, w):
+                acc += float(x) * wi  # left fold, engine order
+            if acc >= 0:
+                b |= 1 << p
+        return b
+
+    raw_by_id = dict(rows)
+    verdict = {vid: [1, None] for vid in order}
+    for t in range(tables):
+        groups: dict = {}
+        for vid in order:
+            groups.setdefault(bucket(raw_by_id[vid], t), []).append(vid)
+        for _, ids in groups.items():
+            ids = sorted(ids)
+            M = np.vstack([qvs[i] for i in ids])
+            qn = (M * M).sum(axis=1)
+            cos = (M @ M.T).astype(np.float64) / np.sqrt(
+                np.outer(qn, qn).astype(np.float64)
+            )
+            for j in range(len(ids)):
+                cover = [ids[i] for i in range(j) if cos[i, j] >= tau]
+                if cover:
+                    d = min(cover)
+                    verdict[ids[j]][0] = 0
+                    cur = verdict[ids[j]][1]
+                    verdict[ids[j]][1] = d if cur is None else min(cur, d)
+    return {k: (a, d) for k, (a, d) in verdict.items()}
+
+
+def test_stream_neardup_gate_banded_fixture_matches_mirror(spark):
+    """e2e banded gate (tables=2, planes=2) on the sf0.001 embeddings
+    fixture: combine_gate_tables output equals the numpy mirror of the
+    banded batch greedy, and every vector the single-table gate rejects
+    is also rejected banded (table 0 IS the shipped gate)."""
+    from data_engineer_development_spark.streaming.stateful import (
+        combine_gate_tables,
+        stream_neardup_gate,
+    )
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    planes, tables, tau, dims = 2, 2, 0.4, 64
+
+    banded = stream_neardup_gate(
+        stream_table(spark, SF_SMOKE, "embeddings"),
+        tau=tau, planes=planes, dims=dims, tables=tables,
+    )
+    run_to_memory_sink(
+        banded, "t_ndgate_banded", output_mode="update",
+        assert_single_batch=True, state_partitions=4, no_data_batches=False,
+    )
+    per_table = spark.table("t_ndgate_banded")
+    n_ids = per_table.select("vec_id").distinct().count()
+    assert per_table.count() == tables * n_ids  # one verdict per (vec, tbl)
+    got = {
+        r["vec_id"]: (r["admitted"], r["dup_of"])
+        for r in combine_gate_tables(per_table).collect()
+    }
+
+    import duckdb
+
+    rows = [
+        (int(vid), list(map(float, v)))
+        for vid, v in duckdb.sql(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{SF_SMOKE}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+    ]
+    exp = _banded_gate_mirror(rows, planes, tables, tau, dims)
+    assert got == exp
+
+    # superset property vs the shipped single-table gate
+    single = stream_neardup_gate(
+        stream_table(spark, SF_SMOKE, "embeddings"),
+        tau=tau, planes=planes, dims=dims,
+    )
+    run_to_memory_sink(
+        single, "t_ndgate_single", output_mode="update",
+        assert_single_batch=True, state_partitions=4, no_data_batches=False,
+    )
+    single_rejects = {
+        r["vec_id"]
+        for r in spark.table("t_ndgate_single")
+        .filter("admitted = 0").collect()
+    }
+    banded_rejects = {k for k, (a, _) in got.items() if a == 0}
+    assert single_rejects <= banded_rejects
+    # and on this fixture banding must strictly add recall
+    assert len(banded_rejects) > len(single_rejects)

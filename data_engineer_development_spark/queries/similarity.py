@@ -122,14 +122,16 @@ def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr_sql(planes: int) -> str:
+def _bucket_expr_sql(planes: int, plane_offset: int = 0) -> str:
     """Sign-LSH bucket id as a flat literal expression over ``embedding``
     — bit-identical to ``bucket_assign``'s fold (left-assoc sum; 0.0+t1
     == t1 exactly), shared by the bucket histogram and the streaming
-    near-dup gate oracles."""
+    near-dup gate oracles. ``plane_offset`` selects the disjoint plane
+    slice of banded table t (offset t·planes), mirroring
+    ``bucket_assign(plane_offset=...)``."""
     bit_cols = []
     for pidx in range(planes):
-        w = hyperplane(pidx, DIMS)
+        w = hyperplane(plane_offset + pidx, DIMS)
         terms = " + ".join(
             f"CAST(embedding[{d + 1}] AS DOUBLE) * ({w[d]!r})" for d in range(DIMS)
         )
@@ -399,6 +401,71 @@ p AS (SELECT b.vec_id AS id2, MIN(a.vec_id) AS dup_of
             / sqrt(CAST(a.qn * b.qn AS DOUBLE)) >= {_SD_TAU}
       GROUP BY b.vec_id)
 SELECT bk.vec_id, bk.bucket, p.dup_of,
+       CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS admitted
+FROM bk LEFT JOIN p ON bk.vec_id = p.id2
+ORDER BY bk.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Banded (multi-table) gate — ROUND-11 REGISTRATION CANDIDATE (see
+# COVERAGE.md r10 note): the recall dial the r10 gate audit measured
+# (single-table 0.38–0.48 → 0.63–0.72 at tables=2 for +12 % wall). Same
+# shape as q_stream_neardup_gate with tables=_GATE_TABLES; per-table
+# verdicts folded batch-side AFTER the sink (combine_gate_tables — min
+# dup_of / AND admitted). The oracle detects a covering pair if the two
+# vectors share a bucket in ANY table (per-table bucket columns, OR'd
+# join predicate): min-of-mins over tables equals the min over the union
+# of detections, so one flat MIN reproduces the fold exactly.
+# --------------------------------------------------------------------------
+_GATE_TABLES = 2
+
+
+def q_stream_neardup_gate_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from data_engineer_development_spark.streaming.stateful import (
+        combine_gate_tables,
+        stream_neardup_gate,
+    )
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_table,
+    )
+
+    gated = stream_neardup_gate(
+        stream_table(spark, sf_dir, "embeddings"),
+        tau=_SD_TAU,
+        planes=_GATE_PLANES,
+        dims=DIMS,
+        tables=_GATE_TABLES,
+    )
+    name = f"q_ndgate_b_{_uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(
+        gated, name, output_mode="update", assert_single_batch=True,
+        state_partitions=4, no_data_batches=False,
+    )
+    return combine_gate_tables(spark.table(name)).orderBy("vec_id")
+
+
+_BANDED_BUCKETS = ",\n              ".join(
+    f"CAST({_bucket_expr_sql(_GATE_PLANES, plane_offset=t * _GATE_PLANES)}"
+    f" AS BIGINT) AS b{t}"
+    for t in range(_GATE_TABLES)
+)
+_BANDED_SHARE = " OR ".join(f"a.b{t} = b.b{t}" for t in range(_GATE_TABLES))
+
+_STREAM_NDGATE_BANDED_SQL = f"""
+WITH {_QUANT_CTES},
+bk AS (SELECT v.vec_id, v.qv, v.qn,
+              {_BANDED_BUCKETS}
+       FROM v JOIN embeddings e ON e.vec_id = v.vec_id),
+p AS (SELECT b.vec_id AS id2, MIN(a.vec_id) AS dup_of
+      FROM bk a JOIN bk b ON ({_BANDED_SHARE}) AND a.vec_id < b.vec_id
+      WHERE {_sd_qdot('a', 'b')}
+            / sqrt(CAST(a.qn * b.qn AS DOUBLE)) >= {_SD_TAU}
+      GROUP BY b.vec_id)
+SELECT bk.vec_id, p.dup_of,
        CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS admitted
 FROM bk LEFT JOIN p ON bk.vec_id = p.id2
 ORDER BY bk.vec_id

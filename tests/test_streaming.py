@@ -444,3 +444,36 @@ def test_stream_neardup_gate_banded_fixture_matches_mirror(spark):
     assert single_rejects <= banded_rejects
     # and on this fixture banding must strictly add recall
     assert len(banded_rejects) > len(single_rejects)
+
+
+def test_stream_neardup_gate_banded_oracle_parity(spark):
+    """Round-11 registration candidate: the banded gate entry
+    (q_stream_neardup_gate_banded + its UNION-free OR-predicate oracle)
+    must hold hash-exact parity at both fixture SFs, and must reject a
+    strict superset of the registered single-table entry's rejections."""
+    from data_engineer_development_spark.queries.similarity import (
+        _STREAM_NDGATE_BANDED_SQL,
+        q_stream_neardup_gate,
+        q_stream_neardup_gate_banded,
+    )
+    from tests.conftest import SF_CORRECT, SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "stream_neardup_gate_banded",
+            q_stream_neardup_gate_banded, _STREAM_NDGATE_BANDED_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    single_rej = {
+        r["vec_id"]
+        for r in q_stream_neardup_gate(spark, SF_CORRECT)
+        .filter("admitted = 0").collect()
+    }
+    banded_rej = {
+        r["vec_id"]
+        for r in q_stream_neardup_gate_banded(spark, SF_CORRECT)
+        .filter("admitted = 0").collect()
+    }
+    assert single_rej < banded_rej  # strict superset on this fixture

@@ -477,3 +477,24 @@ def test_stream_neardup_gate_banded_oracle_parity(spark):
         .filter("admitted = 0").collect()
     }
     assert single_rej < banded_rej  # strict superset on this fixture
+
+
+def test_stream_neardup_gate_banded_single_stateful_op(spark):
+    """The banded gate's 100 TB claim pinned in the plan: per-table
+    bucketing is a STATELESS stack/Generate projection, so the whole
+    banded stream still contains exactly ONE stateful operator (state
+    ×tables lives inside that operator's (tbl, bucket) keyspace, not in
+    extra shuffles or a second state store)."""
+    from data_engineer_development_spark.streaming.stateful import (
+        stream_neardup_gate,
+    )
+    from data_engineer_development_spark.streaming.windows import stream_table
+    from tests.conftest import SF_SMOKE
+
+    g = stream_neardup_gate(
+        stream_table(spark, SF_SMOKE, "embeddings"),
+        tau=0.4, planes=2, dims=64, tables=2,
+    )
+    plan = g._jdf.queryExecution().analyzed().toString()
+    assert plan.count("FlatMapGroupsInPandasWithState") == 1
+    assert plan.count("Generate stack") == 1

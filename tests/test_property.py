@@ -558,3 +558,78 @@ def test_salted_join_equals_plain_inner(spark, frows, drows):
         if k is not None and k in dmap
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Banded near-dup gate oracle vs the pure-numpy mirror of the banded batch
+# greedy, on ADVERSARIAL corpora (scaled/perturbed copies force cosines
+# near and above tau; zero vectors and wrong widths must be excluded
+# identically). Spark-e2e == oracle is pinned on the fixture
+# (tests/test_streaming.py); this closes the triangle oracle == mirror on
+# arbitrary inputs, so all three implementations share one semantics.
+# ---------------------------------------------------------------------------
+_F32_SMALL = st.floats(
+    min_value=-8.0, max_value=8.0, allow_nan=False, allow_infinity=False,
+    width=32,
+)
+
+
+@st.composite
+def _gate_corpus(draw):
+    dims = 64
+    n_bases = draw(st.integers(1, 3))
+    bases = [
+        draw(st.lists(_F32_SMALL, min_size=dims, max_size=dims))
+        for _ in range(n_bases)
+    ]
+    n_rows = draw(st.integers(0, 9))
+    rows = []
+    for i in range(n_rows):
+        kind = draw(st.integers(0, 9))
+        if kind == 0:
+            rows.append((i, [0.0] * dims))          # zero → excluded
+        elif kind == 1:
+            rows.append((i, [1.0] * (dims - 1)))     # wrong width → excluded
+        else:
+            b = list(bases[draw(st.integers(0, n_bases - 1))])
+            scale = draw(
+                st.floats(min_value=-4.0, max_value=4.0,
+                          allow_nan=False, width=32)
+            )
+            v = [float(np.float32(x * scale)) for x in b]
+            if draw(st.booleans()):                  # perturb one coord
+                j = draw(st.integers(0, dims - 1))
+                v[j] = float(np.float32(v[j] + draw(_F32_SMALL)))
+            rows.append((i, v))
+    return rows
+
+
+@settings(max_examples=15, deadline=None)
+@given(_gate_corpus())
+def test_banded_gate_oracle_equals_mirror(rows):
+    from data_engineer_development_spark.queries.similarity import (
+        _GATE_PLANES,
+        _GATE_TABLES,
+        _SD_TAU,
+        _STREAM_NDGATE_BANDED_SQL,
+    )
+    from tests.test_streaming import _banded_gate_mirror
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings (vec_id BIGINT, embedding DOUBLE[])"
+    )
+    for vid, v in rows:
+        con.execute(
+            "INSERT INTO embeddings VALUES (?, ?)", [vid, list(v)]
+        )
+    got = {
+        int(r[0]): (int(r[2]), None if r[1] is None else int(r[1]))
+        for r in con.execute(_STREAM_NDGATE_BANDED_SQL).fetchall()
+    }
+    con.close()
+
+    exp = _banded_gate_mirror(
+        rows, planes=_GATE_PLANES, tables=_GATE_TABLES, tau=_SD_TAU, dims=64
+    )
+    assert got == {k: (a, d) for k, (a, d) in exp.items()}

@@ -439,6 +439,76 @@ def _codebook_argmax_expr(cents: list[tuple[int, list[int], int]]) -> F.Column:
     )
 
 
+def _seed_codebook(
+    q: DataFrame, k_cells: int, dims: int | None, id_col: str
+) -> tuple[list[tuple[int, list[int], int]], int]:
+    """Codebook seed = the K lowest USABLE ids (qn > 0, width match) of a
+    ``_with_quantized`` frame. Width pinning happens BEFORE picking
+    members: an oracle-pinned caller passes ``dims`` so codebook
+    MEMBERSHIP can't drift (the DuckDB side draws its codebook from the
+    dims-filtered CTE); with dims=None the lowest usable id defines the
+    width, deterministically. Bounded: ≤ k_cells rows collected."""
+    cand = q.filter(F.col("qn") > 0).select(id_col, "qv", "qn")
+    if dims is not None:
+        cand = cand.filter(F.size("qv") == dims)
+    seed_rows = sorted(
+        cand.orderBy(id_col).limit(k_cells).collect(),
+        key=lambda r: r[id_col],
+    )
+    assert seed_rows, "semdedup: no usable codebook vectors"
+    if dims is None:
+        dims = len(seed_rows[0]["qv"])
+        seed_rows = [r for r in seed_rows if len(r["qv"]) == dims]
+    cents = [
+        (int(r[id_col]), [int(x) for x in r["qv"]], int(r["qn"]))
+        for r in seed_rows
+    ]
+    return cents, dims
+
+
+def _lloyd_rounds(
+    usable: DataFrame,
+    cents: list[tuple[int, list[int], int]],
+    dims: int,
+    train_iters: int,
+) -> list[tuple[int, list[int], int]]:
+    """``train_iters`` Lloyd rounds on the quantized grid: assign by the
+    current literal codebook (projection, no shuffle), per-cell
+    elementwise BIGINT sums (ONE K-group shuffle), new centroid = the
+    ROUNDED INTEGER mean ``floor(sum/n + 0.5)`` per dimension — exact
+    int64 sums, so the trained codebook is bit-reproducible and
+    oracle-portable. A cell that empties, or whose mean rounds to the
+    zero vector, keeps its previous centroid."""
+    import math
+
+    for _ in range(train_iters):
+        a = _codebook_argmax_expr(cents)
+        sums = (
+            usable.withColumn("cell", -a.getField("nc"))
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at("qv", d + 1)).alias(f"__s{d}")
+                    for d in range(dims)
+                ],
+            )
+            .collect()  # bounded: ≤ k_cells rows — one row per cell
+        )
+        updated = {}
+        for r in sums:
+            n = r["__n"]
+            nqv = [int(math.floor(r[f"__s{d}"] / n + 0.5)) for d in range(dims)]
+            nqn = sum(x * x for x in nqv)
+            if nqn > 0:
+                updated[int(r["cell"])] = (nqv, nqn)
+        cents = [
+            (cid, *updated[cid]) if cid in updated else (cid, cqv, cqn)
+            for cid, cqv, cqn in cents
+        ]
+    return cents
+
+
 def semdedup(
     vectors: DataFrame,
     k_cells: int = 8,
@@ -505,30 +575,8 @@ def semdedup(
     is exact (|dot| ≤ dims·127² < 2⁵³), and sqrt/divide are
     correctly-rounded IEEE ops on identical inputs.
     """
-    import math
-
     q = _with_quantized(vectors, id_col, vec_col)
-    # Seed = the K lowest USABLE ids (qn > 0, width match). Width pinning
-    # happens BEFORE picking members: an oracle-pinned caller passes
-    # ``dims`` so codebook MEMBERSHIP can't drift (the DuckDB side draws
-    # its codebook from the dims-filtered `v` CTE); with dims=None the
-    # lowest usable id defines the width, deterministically.
-    cand = q.filter(F.col("qn") > 0).select(id_col, "qv", "qn")
-    if dims is not None:
-        cand = cand.filter(F.size("qv") == dims)
-    seed_rows = sorted(
-        # bounded: ≤ k_cells rows — the codebook, by design
-        cand.orderBy(id_col).limit(k_cells).collect(),
-        key=lambda r: r[id_col],
-    )
-    assert seed_rows, "semdedup: no usable codebook vectors"
-    if dims is None:
-        dims = len(seed_rows[0]["qv"])
-        seed_rows = [r for r in seed_rows if len(r["qv"]) == dims]
-    cents = [
-        (int(r[id_col]), [int(x) for x in r["qv"]], int(r["qn"]))
-        for r in seed_rows
-    ]
+    cents, dims = _seed_codebook(q, k_cells, dims, id_col)
 
     usable = q.filter((F.size(vec_col) == dims) & (F.col("qn") > 0)).select(
         id_col, "qv", "qn"
@@ -540,36 +588,11 @@ def semdedup(
         # scoped release, not a global clearCache)
         usable = track_persist(usable)
 
-    def _assign(cb):
-        a = _codebook_argmax_expr(cb)
-        return usable.withColumn("cell", -a.getField("nc"))
-
-    for _ in range(train_iters):
-        sums = (
-            _assign(cents)
-            .groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.sum(F.element_at("qv", d + 1)).alias(f"__s{d}")
-                    for d in range(dims)
-                ],
-            )
-            .collect()  # bounded: ≤ k_cells rows — one row per cell
-        )
-        updated = {}
-        for r in sums:
-            n = r["__n"]
-            nqv = [int(math.floor(r[f"__s{d}"] / n + 0.5)) for d in range(dims)]
-            nqn = sum(x * x for x in nqv)
-            if nqn > 0:
-                updated[int(r["cell"])] = (nqv, nqn)
-        cents = [
-            (cid, *updated[cid]) if cid in updated else (cid, cqv, cqn)
-            for cid, cqv, cqn in cents
-        ]
-
-    assigned = _assign(cents).select(id_col, "qv", "qn", "cell")
+    cents = _lloyd_rounds(usable, cents, dims, train_iters)
+    a = _codebook_argmax_expr(cents)
+    assigned = usable.withColumn("cell", -a.getField("nc")).select(
+        id_col, "qv", "qn", "cell"
+    )
 
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -599,4 +622,117 @@ def semdedup(
 
     return assigned.groupBy("cell").applyInPandas(
         dedup_cell, f"{id_col} long, cell long, dup_of long, keep int"
+    )
+
+
+def semdedup_incremental(
+    base: DataFrame,
+    new: DataFrame,
+    k_cells: int = 8,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    train_iters: int = 0,
+) -> DataFrame:
+    """Incremental SemDeDup: verdicts for a NEW delta against an
+    already-compacted BASE — the 100 TB compaction story (you never
+    re-dedup the whole corpus; ``dedup_incremental`` is the lexical
+    analogue). Returns (id, cell, dup_of, keep) for NEW rows only.
+
+    Semantics = ``semdedup`` under a virtual ordering that places every
+    base vector before every new one: a new vector is dropped iff covered
+    (quantized cosine ≥ tau, same cell) by ANY base vector (dup_of = the
+    lowest covering base id) or, failing that, by a LOWER-ID new vector.
+    Base verdicts are never re-opened; base/new ids must be disjoint
+    (caller contract — the registry entry splits on md5 parity).
+
+    The scale win is what the kernel does NOT compute: per cell the Gram
+    work is |base|·|new| + |new|² — never |base|² (on a daily delta
+    against a huge corpus, base² IS the cost incremental compaction
+    exists to avoid). The codebook is seeded AND Lloyd-trained on BASE
+    ONLY, then frozen for assignment of both sides: training on the
+    union would move cell boundaries and silently invalidate the base's
+    prior verdicts — the same frozen-index discipline every IVF
+    compaction uses. A base that is the output of a prior ``semdedup``
+    pass at the same tau/codebook is internally non-covering per cell,
+    so composing passes reproduces the one-shot greedy.
+    """
+    qb = _with_quantized(base, id_col, vec_col)
+    cents, dims = _seed_codebook(qb, k_cells, dims, id_col)
+
+    usable_b = qb.filter(
+        (F.size(vec_col) == dims) & (F.col("qn") > 0)
+    ).select(id_col, "qv", "qn")
+    if train_iters > 0:
+        usable_b = track_persist(usable_b)
+    cents = _lloyd_rounds(usable_b, cents, dims, train_iters)
+
+    qn_ = _with_quantized(new, id_col, vec_col)
+    usable_n = qn_.filter(
+        (F.size(vec_col) == dims) & (F.col("qn") > 0)
+    ).select(id_col, "qv", "qn")
+
+    a = _codebook_argmax_expr(cents)
+    both = (
+        usable_b.withColumn("is_new", F.lit(0))
+        .unionByName(usable_n.withColumn("is_new", F.lit(1)))
+        .withColumn("cell", -a.getField("nc"))
+        .select(id_col, "qv", "qn", "cell", "is_new")
+    )
+
+    def dedup_cell_incr(pdf: pd.DataFrame) -> pd.DataFrame:
+        nd = pdf[pdf["is_new"] == 1].sort_values(id_col)
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int64"),
+                "dup_of": pd.array([], dtype="Int64"),
+                "keep": pd.Series([], dtype="int32"),
+            }
+        )
+        if not len(nd):
+            return empty
+        ids_n = nd[id_col].to_numpy(dtype=np.int64)
+        N = np.vstack(nd["qv"].to_numpy()).astype(np.int64)
+        nqn = nd["qn"].to_numpy(dtype=np.int64)
+        dup = np.full(len(ids_n), -1, dtype=np.int64)
+
+        bd = pdf[pdf["is_new"] == 0]
+        if len(bd):
+            ids_b = bd[id_col].to_numpy(dtype=np.int64)
+            B = np.vstack(bd["qv"].to_numpy()).astype(np.int64)
+            bqn = bd["qn"].to_numpy(dtype=np.int64)
+            # |base|·|new| scores — the only base work in the whole pass
+            cos_bn = (B @ N.T).astype(np.float64) / np.sqrt(
+                np.outer(bqn, nqn).astype(np.float64)
+            )
+            cov_b = cos_bn >= tau
+            for j in range(len(ids_n)):
+                if cov_b[:, j].any():
+                    dup[j] = int(ids_b[cov_b[:, j]].min())
+
+        cos_nn = (N @ N.T).astype(np.float64) / np.sqrt(
+            np.outer(nqn, nqn).astype(np.float64)
+        )
+        cov_n = np.triu(cos_nn >= tau, k=1)
+        for j in range(len(ids_n)):
+            # base cover wins (virtual ordering: base < new); else the
+            # LOWEST-id covering new vector (ids sorted asc → argmax)
+            if dup[j] < 0 and cov_n[:, j].any():
+                dup[j] = int(ids_n[cov_n[:, j].argmax()])
+
+        return pd.DataFrame(
+            {
+                id_col: ids_n,
+                "cell": nd["cell"].to_numpy(dtype=np.int64),
+                "dup_of": pd.array(
+                    [None if d < 0 else int(d) for d in dup], dtype="Int64"
+                ),
+                "keep": (dup < 0).astype(np.int32),
+            }
+        )
+
+    return both.groupBy("cell").applyInPandas(
+        dedup_cell_incr, f"{id_col} long, cell long, dup_of long, keep int"
     )

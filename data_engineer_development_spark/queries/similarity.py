@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_engineer_development_spark.functions.portable_hash import hyperplane
+from data_engineer_development_spark.functions.portable_hash import (
+    duck_md5_int,
+    hyperplane,
+    spark_md5_int,
+)
 from data_engineer_development_spark.operators import similarity as S
 from data_engineer_development_spark.sources import load_table
 
@@ -231,7 +235,7 @@ v AS (SELECT * FROM (
           FROM qz) WHERE qn > 0)"""
 
 
-def _sd_ctes(iters: int) -> str:
+def _sd_ctes(iters: int, train_src: str = "v", extra_cte: str = "") -> str:
     """Shared CTE chain (quantize → usable vectors `v` → codebook seed →
     ``iters`` unrolled Lloyd rounds → final cell assignment `asg`) — used
     verbatim by the semantic_dedup oracle AND the recall eval, so the two
@@ -241,15 +245,23 @@ def _sd_ctes(iters: int) -> str:
     with the per-dimension ROUNDED INTEGER mean ``floor(sum/n + 0.5)``
     (exact BIGINT sums; the one double division per dim is IEEE on
     identical inputs in both engines); a cell that empties or rounds to
-    the zero vector keeps its previous centroid."""
-    parts = [f"""{_QUANT_CTES},
-cb0 AS (SELECT vec_id AS cent_id, qv, qn FROM v
+    the zero vector keeps its previous centroid.
+
+    ``train_src``/``extra_cte`` generalize the chain for the INCREMENTAL
+    entry: seed + Lloyd run over ``train_src`` (e.g. a base-side ``vb``
+    CTE supplied via ``extra_cte``) while the final ``asg`` still covers
+    all of ``v`` — the frozen-codebook discipline
+    ``operators/similarity.semdedup_incremental`` mirrors. Defaults
+    produce the byte-identical text the registered oracles pin."""
+    head = _QUANT_CTES if not extra_cte else f"{_QUANT_CTES},\n{extra_cte}"
+    parts = [f"""{head},
+cb0 AS (SELECT vec_id AS cent_id, qv, qn FROM {train_src}
         ORDER BY vec_id LIMIT {_SD_K})"""]
     for i in range(iters):
-        parts.append(_sd_assign("v", f"cb{i}", f"asg{i}"))
+        parts.append(_sd_assign(train_src, f"cb{i}", f"asg{i}"))
         parts.append(f"""ag{i} AS (SELECT a.cell, g.d,
-              CAST(SUM(v.qv[g.d]) AS BIGINT) AS s, COUNT(*) AS n
-       FROM asg{i} a JOIN v ON v.vec_id = a.vec_id
+              CAST(SUM({train_src}.qv[g.d]) AS BIGINT) AS s, COUNT(*) AS n
+       FROM asg{i} a JOIN {train_src} ON {train_src}.vec_id = a.vec_id
        CROSS JOIN generate_series(1, {DIMS}) AS g(d)
        GROUP BY a.cell, g.d),
 nc{i} AS (SELECT cell, list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
@@ -404,6 +416,63 @@ SELECT bk.vec_id, bk.bucket, p.dup_of,
        CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS admitted
 FROM bk LEFT JOIN p ON bk.vec_id = p.id2
 ORDER BY bk.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Incremental SemDeDup — ROUND-11+ REGISTRATION CANDIDATE (see COVERAGE.md
+# r10 note): dedup a NEW delta (md5-parity 1) against an already-compacted
+# BASE (parity 0) without ever scoring base×base — the compaction story at
+# 100 TB, embedding-space analogue of dedup_incremental. Codebook seeded +
+# Lloyd-trained on BASE ONLY, frozen for both sides (training on the union
+# would move cell boundaries and invalidate the base's prior verdicts); a
+# new vector is dropped iff covered by ANY base vector (dup_of = lowest
+# covering base id) or a LOWER-ID new vector. Verdicts for new rows only.
+# --------------------------------------------------------------------------
+_SD_SPLIT_SPARK = f"{spark_md5_int('cast(vec_id as string)')} % 2"
+
+
+def _sd_split_duck(col: str = "vec_id") -> str:
+    return f"{duck_md5_int(f'CAST({col} AS VARCHAR)')} % 2"
+
+
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    side = F.expr(_SD_SPLIT_SPARK)
+    return S.semdedup_incremental(
+        vecs.filter(side == 0),
+        vecs.filter(side == 1),
+        k_cells=_SD_K,
+        tau=_SD_TAU,
+        dims=DIMS,
+        train_iters=_SD_ITERS,
+    ).orderBy("vec_id")
+
+
+_SEMDEDUP_INCR_SQL = f"""
+WITH {_sd_ctes(
+    _SD_ITERS,
+    train_src="vb",
+    extra_cte=f"vb AS (SELECT * FROM v WHERE {_sd_split_duck()} = 0)",
+)},
+u AS (SELECT asg.vec_id, asg.cell, v.qv, v.qn,
+             CAST({_sd_split_duck('asg.vec_id')} AS INT) AS is_new
+      FROM asg JOIN v ON v.vec_id = asg.vec_id),
+p AS (SELECT b.vec_id AS id2,
+             MIN(CASE WHEN a.is_new = 0 THEN a.vec_id END) AS dup_base,
+             MIN(CASE WHEN a.is_new = 1 AND a.vec_id < b.vec_id
+                      THEN a.vec_id END) AS dup_new
+      FROM u a JOIN u b ON a.cell = b.cell AND b.is_new = 1
+            AND (a.is_new = 0 OR a.vec_id < b.vec_id)
+      WHERE {_sd_qdot('a', 'b')}
+            / sqrt(CAST(a.qn * b.qn AS DOUBLE)) >= {_SD_TAU}
+      GROUP BY b.vec_id)
+SELECT u.vec_id, u.cell,
+       COALESCE(p.dup_base, p.dup_new) AS dup_of,
+       CAST(CASE WHEN p.id2 IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM u LEFT JOIN p ON u.vec_id = p.id2
+WHERE u.is_new = 1
+ORDER BY u.vec_id
 """
 
 

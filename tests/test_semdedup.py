@@ -271,3 +271,61 @@ def test_lloyd_trainer_matches_pure_python_mirror(spark):
             ).collect()
         }
         assert got == mirror(rows, tau), f"seed={seed} tau={tau}"
+
+
+def test_semdedup_incremental_known_vectors(spark):
+    """Crafted base/new split pins the incremental semantics: a new
+    vector covered by a base vector reports the lowest covering BASE id
+    even when a lower-id NEW vector also covers it (virtual ordering:
+    all base before all new); new-vs-new falls back to the lowest-id
+    earlier new; verdicts are emitted for NEW rows only."""
+    from data_engineer_development_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+
+    base = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0, 0.0]),  # covered by base 0
+            (3, [3.0, 0.0, 0.0, 0.0]),  # covered by base 0 AND new 1 → 0
+            (5, [0.0, 0.0, 1.0, 0.0]),  # uncovered → keep
+            (7, [0.0, 0.0, 2.0, 0.0]),  # covered by new 5
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["dup_of"], r["keep"])
+        for r in semdedup_incremental(
+            base, new, k_cells=2, tau=0.9, dims=4, train_iters=0
+        ).collect()
+    }
+    assert got == {1: (0, 0), 3: (0, 0), 5: (None, 1), 7: (5, 0)}
+
+
+def test_semdedup_incremental_oracle_parity(spark):
+    """Round-11+ registration candidate (COVERAGE.md r10 note): the
+    md5-parity-split incremental entry must hold hash-exact oracle
+    parity at both fixture SFs, and the two sides of the split must both
+    be non-trivial."""
+    from data_engineer_development_spark.queries.similarity import (
+        _SEMDEDUP_INCR_SQL,
+        q_semdedup_incremental,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "semdedup_incremental",
+            q_semdedup_incremental, _SEMDEDUP_INCR_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    out = q_semdedup_incremental(spark, SF_CORRECT)
+    n_new = out.count()
+    n_all = 500
+    assert 0 < n_new < n_all  # the parity split left rows on both sides
+    assert out.filter("keep = 0").count() > 0  # some new rows are dups

@@ -329,3 +329,110 @@ def test_semdedup_incremental_oracle_parity(spark):
     n_all = 500
     assert 0 < n_new < n_all  # the parity split left rows on both sides
     assert out.filter("keep = 0").count() > 0  # some new rows are dups
+
+
+def test_semdedup_incremental_matches_pure_python_mirror(spark):
+    """Randomized base/new splits (sparse ids, arbitrary split fractions)
+    pin semdedup_incremental to its spec: codebook seeded + Lloyd-trained
+    on BASE only then frozen, cells assigned to both sides, a new vector
+    dropped by the lowest covering BASE id first, else the lowest-id
+    covering earlier NEW vector. Every number in the mirror is the
+    identical IEEE op chain — equality is exact."""
+    import math
+
+    import numpy as np
+
+    from data_engineer_development_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+
+    DIMS, K, ITERS = 4, 3, 2
+
+    def quant(vec):
+        v = np.array([float(np.float32(x)) for x in vec], dtype=np.float64)
+        mx = float(np.abs(v).max()) if len(v) else 0.0
+        if mx == 0.0:
+            return np.zeros(len(v), dtype=np.int64)
+        return np.floor(v * 127.0 / mx + 0.5).astype(np.int64)
+
+    def score(qa, qb):
+        return float(int(qa @ qb)) / math.sqrt(
+            float(int(qa @ qa) * int(qb @ qb))
+        )
+
+    def mirror(base_rows, new_rows, tau):
+        ub = {v: quant(x) for v, x in base_rows}
+        ub = {v: q for v, q in ub.items() if len(q) == DIMS and int(q @ q) > 0}
+        un = {v: quant(x) for v, x in new_rows}
+        un = {v: q for v, q in un.items() if len(q) == DIMS and int(q @ q) > 0}
+        cents = [(vid, ub[vid].copy()) for vid in sorted(ub)[:K]]
+
+        def assign(cb, pool):
+            return {
+                vid: max(cb, key=lambda c: (score(qv, c[1]), -c[0]))[0]
+                for vid, qv in pool.items()
+            }
+
+        for _ in range(ITERS):
+            a = assign(cents, ub)
+            new_cents = []
+            for cid, cqv in cents:
+                members = [ub[v] for v, cell in a.items() if cell == cid]
+                if members:
+                    s = np.sum(np.stack(members), axis=0)
+                    nqv = np.array(
+                        [int(math.floor(int(sd) / len(members) + 0.5))
+                         for sd in s],
+                        dtype=np.int64,
+                    )
+                    if int(nqv @ nqv) > 0:
+                        new_cents.append((cid, nqv))
+                        continue
+                new_cents.append((cid, cqv))
+            cents = new_cents
+        ab = assign(cents, ub)
+        an = assign(cents, un)
+        out = {}
+        for vid in sorted(un):
+            dup = None
+            for b in sorted(ub):
+                if ab[b] == an[vid] and score(ub[b], un[vid]) >= tau:
+                    dup = b
+                    break
+            if dup is None:
+                for o in sorted(un):
+                    if o >= vid or an[o] != an[vid]:
+                        continue
+                    if score(un[o], un[vid]) >= tau:
+                        dup = o
+                        break
+            out[vid] = (an[vid], dup, 0 if dup is not None else 1)
+        return out
+
+    for seed, tau in ((11, 0.4), (12, 0.8), (13, 0.95)):
+        rng = np.random.RandomState(seed)
+        ids = sorted(rng.choice(range(100, 10_000), size=30, replace=False))
+        rows = [
+            (int(vid), [float(x) for x in rng.randint(-4, 5, size=DIMS)])
+            for vid in ids
+        ]
+        # arbitrary split fraction — NOT interleaved, so base/new id
+        # ranges overlap and the virtual ordering is genuinely exercised
+        mask = rng.rand(len(rows)) < rng.uniform(0.2, 0.8)
+        base_rows = [r for r, m in zip(rows, mask) if m]
+        new_rows = [r for r, m in zip(rows, mask) if not m]
+        if not base_rows or not new_rows:
+            continue
+        bdf = spark.createDataFrame(
+            base_rows, "vec_id long, embedding array<float>"
+        )
+        ndf = spark.createDataFrame(
+            new_rows, "vec_id long, embedding array<float>"
+        )
+        got = {
+            r["vec_id"]: (r["cell"], r["dup_of"], r["keep"])
+            for r in semdedup_incremental(
+                bdf, ndf, k_cells=K, tau=tau, dims=DIMS, train_iters=ITERS
+            ).collect()
+        }
+        assert got == mirror(base_rows, new_rows, tau), f"seed={seed}"

@@ -436,3 +436,23 @@ def test_semdedup_incremental_matches_pure_python_mirror(spark):
             ).collect()
         }
         assert got == mirror(base_rows, new_rows, tau), f"seed={seed}"
+
+
+def test_incremental_plan_is_cellwise_never_base_squared(spark):
+    """Same 100 TB contract for the incremental entry: frozen-codebook
+    assignment stays a literal-argmax projection on BOTH sides and the
+    kernel is reached through one cell-key exchange — no cartesian, no
+    nested-loop join anywhere in the executed plan."""
+    from data_engineer_development_spark.queries.similarity import (
+        q_semdedup_incremental,
+    )
+
+    plan = (
+        q_semdedup_incremental(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan  # the cell kernel, once

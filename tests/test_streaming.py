@@ -498,3 +498,36 @@ def test_stream_neardup_gate_banded_single_stateful_op(spark):
     plan = g._jdf.queryExecution().analyzed().toString()
     assert plan.count("FlatMapGroupsInPandasWithState") == 1
     assert plan.count("Generate stack") == 1
+
+
+def test_stream_neardup_gate_banded_with_ttl_e2e(spark):
+    """The two dials compose: a banded (tables=2) gate under a
+    ProcessingTimeTimeout TTL must run end-to-end and, within a single
+    drain (no timeout can fire), produce verdicts identical to the
+    un-TTL'd banded gate."""
+    from data_engineer_development_spark.streaming.stateful import (
+        combine_gate_tables,
+        stream_neardup_gate,
+    )
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    outs = {}
+    for tag, ttl in (("nottl", None), ("ttl", 600_000)):
+        g = stream_neardup_gate(
+            stream_table(spark, SF_SMOKE, "embeddings"),
+            tau=0.4, planes=2, dims=64, tables=2, ttl_ms=ttl,
+        )
+        name = f"t_ndgate_b_{tag}"
+        run_to_memory_sink(
+            g, name, output_mode="update", assert_single_batch=True,
+            state_partitions=4, no_data_batches=False,
+        )
+        outs[tag] = {
+            r["vec_id"]: (r["admitted"], r["dup_of"])
+            for r in combine_gate_tables(spark.table(name)).collect()
+        }
+    assert outs["ttl"] == outs["nottl"] and outs["ttl"]

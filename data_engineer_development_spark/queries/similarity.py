@@ -420,6 +420,76 @@ ORDER BY bk.vec_id
 
 
 # --------------------------------------------------------------------------
+# Gate recall eval — ROUND-11+ REGISTRATION CANDIDATE (see COVERAGE.md r10
+# note): the streaming near-dup gate is EXACT within a bucket, so its only
+# miss mode is a true near-dup pair split across sign-LSH buckets. This
+# entry makes the round-10 offline numpy audit DRIVER-CHECKABLE: fraction
+# of the exact quantized truth-set pairs that share a planes=_GATE_PLANES
+# bucket — the same measure-don't-guess harness shape as
+# lsh_candidate_recall (MinHash banding) and semdedup_recall_eval (cell
+# restriction). Pure batch (bucket assignment is a deterministic
+# projection — no stream needed to grade it); truth is the O(N²)
+# assertion-bounded baseline by definition. Audit values this pins:
+# 0.483 at sf0.01 / 0.378 at sf0.1 (BASELINE.md gate recall table).
+# --------------------------------------------------------------------------
+def q_gate_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    truth = S.quantized_neardup_pairs(vecs, _SD_TAU, dims=DIMS)
+    # the gate's participation filter EXACTLY (the oracle's `v` CTE):
+    # width pin + genuine quantized qn > 0 — not a cheaper stand-in
+    # predicate, so NaN-bearing vectors can never split membership
+    # between the engines
+    usable = S._with_quantized(vecs, "vec_id", "embedding").filter(
+        (F.size("embedding") == DIMS) & (F.col("qn") > 0)
+    )
+    bk = S.bucket_assign(usable, planes=_GATE_PLANES, dims=DIMS).select(
+        "vec_id", "bucket"
+    )
+    b1 = bk.select(F.col("vec_id").alias("id1"), F.col("bucket").alias("bk1"))
+    b2 = bk.select(F.col("vec_id").alias("id2"), F.col("bucket").alias("bk2"))
+    return (
+        truth.join(b1, "id1")
+        .join(b2, "id2")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.coalesce(
+                F.sum(F.when(F.col("bk1") == F.col("bk2"), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("n_same_bucket"),
+        )
+        .select(
+            "n_true",
+            "n_same_bucket",
+            (
+                F.col("n_same_bucket").cast("double")
+                / F.expr("nullif(n_true, 0)")
+            ).alias("recall"),
+        )
+    )
+
+
+_GATE_RECALL_SQL = f"""
+WITH {_QUANT_CTES},
+t AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE {_sd_qdot('a', 'b')}
+            / sqrt(CAST(a.qn * b.qn AS DOUBLE)) >= {_SD_TAU}),
+bk AS (SELECT v.vec_id,
+              CAST({_bucket_expr_sql(_GATE_PLANES)} AS BIGINT) AS bucket
+       FROM v JOIN embeddings e ON e.vec_id = v.vec_id),
+j AS (SELECT a.bucket AS bk1, b.bucket AS bk2
+      FROM t JOIN bk a ON t.id1 = a.vec_id
+             JOIN bk b ON t.id2 = b.vec_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COALESCE(SUM(CASE WHEN bk1 = bk2 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_same_bucket,
+       CAST(COALESCE(SUM(CASE WHEN bk1 = bk2 THEN 1 ELSE 0 END), 0)
+            AS DOUBLE) / NULLIF(COUNT(*), 0) AS recall
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
 # Incremental SemDeDup — ROUND-11+ REGISTRATION CANDIDATE (see COVERAGE.md
 # r10 note): dedup a NEW delta (md5-parity 1) against an already-compacted
 # BASE (parity 0) without ever scoring base×base — the compaction story at

@@ -456,3 +456,27 @@ def test_incremental_plan_is_cellwise_never_base_squared(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "FlatMapGroupsInPandas" in plan  # the cell kernel, once
+
+
+def test_gate_recall_eval_oracle_parity_and_pins_audit(spark):
+    """Round-11+ registration candidate: the gate recall eval must hold
+    hash-exact oracle parity at both fixture SFs AND reproduce the
+    round-10 offline numpy audit's planes=2 row exactly (n_true=58,
+    n_same_bucket=28 at sf0.01) — the audit is now driver-checkable."""
+    from data_engineer_development_spark.queries.similarity import (
+        _GATE_RECALL_SQL,
+        q_gate_recall_eval,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "gate_recall_eval",
+            q_gate_recall_eval, _GATE_RECALL_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    r = q_gate_recall_eval(spark, SF_CORRECT).collect()[0]
+    assert (r["n_true"], r["n_same_bucket"]) == (58, 28)
+    assert r["recall"] == 28 / 58

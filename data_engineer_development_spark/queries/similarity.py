@@ -180,9 +180,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     # dims pinned to the oracle's constant: both engines must agree on
     # WHICH vectors participate (codebook membership included), not just
-    # on the arithmetic — same discipline as bucket_assign(dims=DIMS)
+    # on the arithmetic — same discipline as bucket_assign(dims=DIMS).
+    # k_cells=None exercises the MEASURED auto-K policy (operators/
+    # similarity.auto_k_cells, r11): at every fixture SF (N = 500/500/
+    # 2000 ≤ 8·1024) it resolves to k_min = 8 == _SD_K, the literal the
+    # static oracle pins — asserted by tests/test_semdedup.py::
+    # test_auto_k_matches_oracle_constant_at_fixture_scale.
     return S.semdedup(
-        vecs, k_cells=_SD_K, tau=_SD_TAU, dims=DIMS, train_iters=_SD_ITERS
+        vecs, k_cells=None, tau=_SD_TAU, dims=DIMS, train_iters=_SD_ITERS
     ).orderBy("vec_id")
 
 
@@ -242,10 +247,12 @@ def _sd_ctes(iters: int, train_src: str = "v", extra_cte: str = "") -> str:
     can never diverge on assignment semantics. Mirrors
     ``operators/similarity.semdedup(train_iters=iters)`` exactly: seed =
     K lowest usable ids; each round reassigns then replaces each centroid
-    with the per-dimension ROUNDED INTEGER mean ``floor(sum/n + 0.5)``
-    (exact BIGINT sums; the one double division per dim is IEEE on
-    identical inputs in both engines); a cell that empties or rounds to
-    the zero vector keeps its previous centroid.
+    with the per-dimension ROUNDED INTEGER mean ``floor(sum/n + 0.5)``,
+    computed as the exact integer floor division ``(2s+n) fld (2n)`` on
+    exact BIGINT sums — no float division on either engine, so the
+    trained codebook agrees bit-for-bit unconditionally (no 2⁵³ sum
+    ceiling); a cell that empties or rounds to the zero vector keeps
+    its previous centroid.
 
     ``train_src``/``extra_cte`` generalize the chain for the INCREMENTAL
     entry: seed + Lloyd run over ``train_src`` (e.g. a base-side ``vb``
@@ -264,8 +271,14 @@ cb0 AS (SELECT vec_id AS cent_id, qv, qn FROM {train_src}
        FROM asg{i} a JOIN {train_src} ON {train_src}.vec_id = a.vec_id
        CROSS JOIN generate_series(1, {DIMS}) AS g(d)
        GROUP BY a.cell, g.d),
-nc{i} AS (SELECT cell, list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-                                        + 0.5) AS BIGINT) ORDER BY d) AS qv
+nc{i} AS (SELECT cell,
+              -- exact integer floor(s/n + 0.5) = (2s+n) fld (2n); DuckDB's
+              -- // truncates toward zero, so a negative numerator gets the
+              -- standard (x - (d-1)) pre-shift — no float division, no 2^53
+              -- ceiling on s (mirrors operators/similarity._lloyd_rounds)
+              list(CAST((2 * s + n
+                         - CASE WHEN 2 * s + n < 0 THEN 2 * n - 1 ELSE 0 END)
+                        // (2 * n) AS BIGINT) ORDER BY d) AS qv
        FROM ag{i} GROUP BY cell),
 nq{i} AS (SELECT cell, qv,
               list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -309,8 +322,8 @@ ORDER BY asg.vec_id
 def q_semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     truth = S.quantized_neardup_pairs(vecs, _SD_TAU, dims=DIMS)
-    asg = S.semdedup(
-        vecs, k_cells=_SD_K, tau=_SD_TAU, dims=DIMS, train_iters=_SD_ITERS
+    asg = S.semdedup(  # k_cells=None → auto-K (== _SD_K at fixture scale)
+        vecs, k_cells=None, tau=_SD_TAU, dims=DIMS, train_iters=_SD_ITERS
     ).select("vec_id", "cell")
     a1 = asg.select(F.col("vec_id").alias("id1"), F.col("cell").alias("cell1"))
     a2 = asg.select(F.col("vec_id").alias("id2"), F.col("cell").alias("cell2"))
@@ -512,7 +525,7 @@ def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup_incremental(
         vecs.filter(side == 0),
         vecs.filter(side == 1),
-        k_cells=_SD_K,
+        k_cells=None,  # auto-K from the base pool (== _SD_K at fixture scale)
         tau=_SD_TAU,
         dims=DIMS,
         train_iters=_SD_ITERS,

@@ -480,3 +480,56 @@ def test_gate_recall_eval_oracle_parity_and_pins_audit(spark):
     r = q_gate_recall_eval(spark, SF_CORRECT).collect()[0]
     assert (r["n_true"], r["n_same_bucket"]) == (58, 28)
     assert r["recall"] == 28 / 58
+
+
+def test_semdedup_incremental_rejects_overlapping_ids(spark):
+    """ADVICE r10: the base/new id-disjointness caller contract must fail
+    LOUDLY — an overlapping id would otherwise self-cover (cosine 1.0,
+    dup_of = its own id) and look like a plausible verdict. The guard
+    lives in the per-cell kernel (an overlapping id always lands in the
+    same cell twice), so it costs zero extra Spark jobs."""
+    import pytest
+
+    base = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (4, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    new = spark.createDataFrame(
+        [(4, [0.0, 1.0, 0.0, 0.0]), (5, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    from data_engineer_development_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+
+    with pytest.raises(Exception, match="disjoint"):
+        semdedup_incremental(
+            base, new, k_cells=2, tau=0.9, dims=4, train_iters=0
+        ).collect()
+
+
+def test_auto_k_matches_oracle_constant_at_fixture_scale():
+    """The registered entries pass k_cells=None (the measured auto-K
+    policy); the static oracles pin LIMIT _SD_K. Those agree iff the
+    policy resolves to _SD_K at every fixture pool size — embeddings are
+    500 / 500 / 2000 usable rows at sf0.001 / 0.01 / 0.1."""
+    from data_engineer_development_spark.operators.similarity import (
+        SEMDEDUP_MAX_K,
+        SEMDEDUP_TARGET_CELL,
+        auto_k_cells,
+    )
+    from data_engineer_development_spark.queries.similarity import _SD_K
+
+    for n in (500, 500, 2000):
+        assert auto_k_cells(n) == _SD_K
+
+    # the policy itself: ceil(N/target) once past k_min·target, clamped
+    assert auto_k_cells(8 * SEMDEDUP_TARGET_CELL) == 8
+    assert auto_k_cells(8 * SEMDEDUP_TARGET_CELL + 1) == 9
+    assert auto_k_cells(10**5) == -(-10**5 // SEMDEDUP_TARGET_CELL)  # 98
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert auto_k_cells(10**9) == SEMDEDUP_MAX_K  # clamped + warns
+        assert any("clamped" in str(x.message) for x in w)

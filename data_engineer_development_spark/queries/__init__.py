@@ -62,46 +62,42 @@ _MODULES = [
 # round). Every pair — all entries, regardless of order — stays verified
 # by tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
-    # net-new this round: multi-probe IVF (the standard recall/cost dial;
-    # measured recall@5 0.400 -> 0.533 at nprobe 1 -> 2, sf0.1), the
-    # streaming embedding near-dup gate (dedup-at-ingest: LSH-bucket keyed
-    # state, drop-if-any-earlier-neighbor at quantized cosine >= tau),
-    # hard-negative mining (per-anchor top-k cross-label neighbors,
-    # IVF-cell restricted), and the JL random-projection distortion eval
-    # (bounded-sample |cos_proj - cos_true| buckets). The last two displace
-    # exactly two r7-latest rotation slots (asof_last_purchase,
-    # daily_buckets) — both stay inside the freshness bar (nothing older
-    # than r7 after this round) per tools/suggest_front.py.
-    "sim_ivf_multiprobe", "stream_neardup_gate",
-    "hard_negative_mining", "emb_jl_distortion",
+    # net-new this round (the ≤2 budget, from COVERAGE.md's staged r10
+    # inventory): incremental SemDeDup (new-delta-vs-compacted-base
+    # embedding dedup — |base|·|new| + |new|² per cell, never |base|²;
+    # frozen base-trained codebook) and the gate recall eval (makes the
+    # r10 offline bucket-split audit driver-checkable — same harness
+    # shape as lsh_candidate_recall / semdedup_recall_eval).
+    "semdedup_incremental", "gate_recall_eval",
     # re-driven this round: entries whose code or oracle materially
-    # changed in r10 (semdedup family: Lloyd-trained codebook; IVF chain
-    # refactored for nprobe; inference oracles: NULL-safe vec_id-only
-    # join; streaming totals: loud overflow guard; cosine/IVF/contrastive
-    # family: zero-norm + mixed-width exclusion hardening —
-    # sim_cosine_topk / sim_neardup / sim_lsh_buckets, all r7-latest,
-    # enter the changed block displacing the three least-stale rotation
-    # tail entries (rollup_status_priority, agg_stats_per_nation,
-    # anti_join_dormant_customers — likewise r7-latest): freshness-
-    # neutral, and a changed plan needs driver re-validation more than an
-    # untouched stale one)
-    "sim_ivf_topk", "sim_cosine_topk", "sim_neardup", "sim_lsh_buckets",
-    "semantic_dedup", "semdedup_recall_eval", "quality_model_score",
-    "quality_stratified_sample", "stream_quality_gate", "streaming_running_totals",
-    # rotation (stalest driver evidence first): the 9 r6-latest entries,
-    # then the stalest r7 cohort in registry order (tools/suggest_front.py)
-    "product_type_profit", "nation_price_corr", "mad_value",
-    "quality_gopher_rules", "text_diversity", "mix_temperature",
-    "salted_skew_join", "dpp_partition_join", "ann_recall_eval",
-    "export_jsonl_roundtrip", "export_csv_roundtrip", "export_orc_roundtrip",
-    "compaction_plan", "skew_profile", "range_partition_plan",
-    "schema_evolution_read", "text_token_stats", "text_repetition",
-    "text_lang_id", "text_quality", "text_fingerprint",
-    "pricing_summary", "quality_typed_select", "dim_decode",
-    "identity_projection", "in_list_filter", "message_envelope",
-    "json_extract", "variant_json_stats", "regexp_clean",
-    "string_funcs", "null_handling", "math_funcs",
-    "join_star_broadcast", "left_join_order_counts", "semi_join_active_customers",
+    # changed in r11 — stream_neardup_gate's REGISTERED shape is now the
+    # banded tables=2 gate (measured recall 0.38–0.48 → 0.63–0.72, r10
+    # audit; new output schema + oracle), and the semdedup pair switched
+    # to the measured auto-K policy (k_cells=None) on top of the exact
+    # integer Lloyd mean (both-engine change, VERDICT r10 #3/#4).
+    "stream_neardup_gate", "semantic_dedup", "semdedup_recall_eval",
+    # rotation (stalest driver evidence first, tools/suggest_front.py):
+    # ALL 20 r7-latest entries, then the stalest 25 of the r8 cohort in
+    # registry order. The 5 r8 tail entries it computes (stream_stream_
+    # join, dedup_clusters, dedup_cleaned_corpus, contamination_check,
+    # emb_quantize) rotate in r12 — after this round nothing is older
+    # than r8, the VERDICT r10 #1 done-criterion.
+    "anti_join_dormant_customers", "agg_stats_per_nation",
+    "rollup_status_priority", "asof_last_purchase", "daily_buckets",
+    "dedup_exact", "dedup_jaccard", "dedup_minhash_sigs",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_incremental", "emb_centroid_by_label", "forecast_revenue",
+    "late_shipment_priority", "ntile_deciles", "winsorized_stats",
+    "null_safe_join", "cube_status_priority", "date_funcs",
+    "incremental_agg", "scd2_customer_merge", "rule_quarantine",
+    "price_histogram", "stateful_sessions", "manifest_source",
+    "kv_store_roundtrip", "multimodal_features", "multimodal_resize",
+    "multimodal_metadata", "column_prune_filter", "funnel_signup_purchase",
+    "retention_cohorts", "latest_event_per_user", "salted_agg_event_types",
+    "top_unshipped_orders", "local_supplier_volume", "window_topk_per_segment",
+    "window_running_total", "set_operations", "tumbling_hourly",
+    "sliding_hourly", "session_windows", "stream_dedup_users",
+    "stream_enrich_join",
 ]
 
 

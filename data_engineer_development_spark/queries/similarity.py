@@ -433,8 +433,7 @@ ORDER BY bk.vec_id
 
 
 # --------------------------------------------------------------------------
-# Gate recall eval — ROUND-11+ REGISTRATION CANDIDATE (see COVERAGE.md r10
-# note): the streaming near-dup gate is EXACT within a bucket, so its only
+# Gate recall eval — REGISTERED r11 (net-new; staged in COVERAGE.md r10): the streaming near-dup gate is EXACT within a bucket, so its only
 # miss mode is a true near-dup pair split across sign-LSH buckets. This
 # entry makes the round-10 offline numpy audit DRIVER-CHECKABLE: fraction
 # of the exact quantized truth-set pairs that share a planes=_GATE_PLANES
@@ -503,8 +502,7 @@ FROM j
 
 
 # --------------------------------------------------------------------------
-# Incremental SemDeDup — ROUND-11+ REGISTRATION CANDIDATE (see COVERAGE.md
-# r10 note): dedup a NEW delta (md5-parity 1) against an already-compacted
+# Incremental SemDeDup — REGISTERED r11 (net-new; staged in COVERAGE.md r10): dedup a NEW delta (md5-parity 1) against an already-compacted
 # BASE (parity 0) without ever scoring base×base — the compaction story at
 # 100 TB, embedding-space analogue of dedup_incremental. Codebook seeded +
 # Lloyd-trained on BASE ONLY, frozen for both sides (training on the union
@@ -560,8 +558,8 @@ ORDER BY u.vec_id
 
 
 # --------------------------------------------------------------------------
-# Banded (multi-table) gate — ROUND-11 REGISTRATION CANDIDATE (see
-# COVERAGE.md r10 note): the recall dial the r10 gate audit measured
+# Banded (multi-table) gate — REGISTERED r11 as stream_neardup_gate (the
+# default shape; VERDICT r10 #2): the recall dial the r10 gate audit measured
 # (single-table 0.38–0.48 → 0.63–0.72 at tables=2 for +12 % wall). Same
 # shape as q_stream_neardup_gate with tables=_GATE_TABLES; per-table
 # verdicts folded batch-side AFTER the sink (combine_gate_tables — min
@@ -624,13 +622,20 @@ ORDER BY bk.vec_id
 """
 
 
+# stream_neardup_gate's REGISTERED shape is the banded tables=2 gate as of
+# r11 (VERDICT r10 #2): the r10 audit measured recall 0.38–0.48 single-table
+# → 0.63–0.72 at tables=2, and gate_recall_eval pins the single-table miss
+# mode driver-checkably. The single-table variant stays available as
+# q_stream_neardup_gate (code + tests + _STREAM_NDGATE_SQL).
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_neardup": q_sim_neardup,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "semantic_dedup": q_semantic_dedup,
     "semdedup_recall_eval": q_semdedup_recall_eval,
-    "stream_neardup_gate": q_stream_neardup_gate,
+    "stream_neardup_gate": q_stream_neardup_gate_banded,
+    "semdedup_incremental": q_semdedup_incremental,
+    "gate_recall_eval": q_gate_recall_eval,
 }
 
 ORACLE = {
@@ -639,5 +644,7 @@ ORACLE = {
     "sim_lsh_buckets": _lsh_buckets_sql(),
     "semantic_dedup": _SEMDEDUP_SQL,
     "semdedup_recall_eval": _SEMDEDUP_RECALL_SQL,
-    "stream_neardup_gate": _STREAM_NDGATE_SQL,
+    "stream_neardup_gate": _STREAM_NDGATE_BANDED_SQL,
+    "semdedup_incremental": _SEMDEDUP_INCR_SQL,
+    "gate_recall_eval": _GATE_RECALL_SQL,
 }

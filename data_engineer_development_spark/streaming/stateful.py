@@ -462,6 +462,13 @@ def stream_neardup_gate(
     registry entry keeps the default None — exact within the run — so the
     oracle dual stays the batch greedy; production ingest sets a TTL and
     leans on the batch semdedup pass as the exactness backstop).
+    MEASURED TTL floor (BASELINE.md round-11 gate TTL audit,
+    tools/gate_ttl_audit.py): recall is untouched while ttl ≥ ~8× the
+    mean within-bucket inter-arrival time (8·2^planes/rate per table)
+    and degrades below the idle-gap tail (~B·ln(N)); an out-of-order
+    REPLAY loses up to 1.36× more than in-order ingest at small TTLs
+    because processing-time eviction is blind to event time — raise the
+    TTL (or lean on the batch backstop) when backfilling.
 
     ``tables`` is the RECALL dial (multi-table / banded LSH): table t
     re-buckets the same stream with the disjoint plane slice

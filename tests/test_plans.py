@@ -559,6 +559,8 @@ _ARROW_KERNEL_OK = {
     "semantic_dedup",  # per-cell pair matrix in numpy (applyInPandas) —
                        # pairs never materialize as rows (int64-exact)
     "semdedup_recall_eval",  # + block-NL quantized truth set (mapInPandas)
+    "semdedup_incremental",  # per-cell |base|·|new| kernel (applyInPandas)
+    "gate_recall_eval",  # block-NL quantized truth set (mapInPandas)
 }
 
 _PY_EVAL = re.compile(

@@ -439,6 +439,77 @@ def _codebook_argmax_expr(cents: list[tuple[int, list[int], int]]) -> F.Column:
     )
 
 
+#: Codebook size above which cell assignment switches from the literal
+#: array-of-structs projection to the broadcast-numpy scorer. The literal
+#: expression embeds K·dims integer literals into the plan — fine for tens
+#: of centroids, quadratic trouble for Catalyst (analysis + codegen) past
+#: a few hundred. The numpy path closes auto-K's former scale hole: the
+#: codebook rides to executors as a closure capture (K·dims int64 ≈ 0.5 MB
+#: per 1k centroids at 64 dims) and each Arrow batch scores via one exact
+#: int64 matmul.
+LITERAL_CODEBOOK_MAX = 64
+
+
+def _assign_cells(
+    df: DataFrame, cents: list[tuple[int, list[int], int]], dims: int,
+    via: str = "auto",
+) -> DataFrame:
+    """Add the ``cell`` column: argmax_c cosine(qv, c) with (s DESC,
+    cent_id ASC) tie-break, over a ``_with_quantized`` frame.
+
+    Two physical paths, BIT-IDENTICAL by construction (pinned by
+    tests/test_semdedup.py::test_numpy_assignment_equals_literal): the
+    dot is exact int64 in both (JVM ``zip_with``/``aggregate`` vs numpy
+    matmul — integer math, no accumulation-order concern), the cast to
+    double is exact, sqrt/divide are IEEE on identical inputs, so equal
+    scores are EXACTLY equal and the tie-break is the same lowest
+    cent_id (cents sorted ascending; ``np.argmax`` returns the first
+    maximum). ``via='literal'`` is a pure projection (zero shuffle,
+    whole-stage codegen); ``via='numpy'`` is a ``mapInPandas`` projection
+    (zero shuffle, Arrow-batched) whose plan cost is independent of K —
+    the 100 TB path for trained codebooks past ``LITERAL_CODEBOOK_MAX``.
+    """
+    if via == "auto":
+        via = "literal" if len(cents) <= LITERAL_CODEBOOK_MAX else "numpy"
+    if via == "literal":
+        a = _codebook_argmax_expr(cents)
+        return df.withColumn("cell", -a.getField("nc"))
+
+    cents = sorted(cents, key=lambda c: c[0])
+    cent_ids = np.array([c[0] for c in cents], dtype=np.int64)
+    C = np.vstack([np.array(c[1], dtype=np.int64) for c in cents])
+    cqn = np.array([c[2] for c in cents], dtype=np.int64)
+    in_cols = df.columns
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", cell long"
+
+    # bound the m×K score matrix per matmul (~32 MB of float64) so huge
+    # codebooks don't blow task memory — chunking rows keeps the matmul
+    # fully vectorized over K, which is the expensive axis
+    rows_per_chunk = max(1, 4_000_000 // max(1, len(cent_ids)))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf[in_cols].reset_index(drop=True)
+            cells = np.empty(len(pdf), dtype=np.int64)
+            for lo in range(0, len(pdf), rows_per_chunk):
+                chunk = pdf.iloc[lo : lo + rows_per_chunk]
+                M = np.vstack(chunk["qv"].to_numpy()).astype(np.int64)
+                qn = chunk["qn"].to_numpy(dtype=np.int64)
+                s = (M @ C.T).astype(np.float64) / np.sqrt(
+                    np.outer(qn, cqn).astype(np.float64)
+                )
+                cells[lo : lo + len(chunk)] = cent_ids[np.argmax(s, axis=1)]
+            pdf = pdf.copy()
+            pdf["cell"] = cells
+            yield pdf
+
+    return df.mapInPandas(score, out_schema)
+
+
 def _seed_codebook(
     q: DataFrame, k_cells: int, dims: int | None, id_col: str
 ) -> tuple[list[tuple[int, list[int], int]], int]:
@@ -488,9 +559,8 @@ def _lloyd_rounds(
     A cell that empties, or whose mean rounds to the zero vector, keeps
     its previous centroid."""
     for _ in range(train_iters):
-        a = _codebook_argmax_expr(cents)
         sums = (
-            usable.withColumn("cell", -a.getField("nc"))
+            _assign_cells(usable, cents, dims)
             .groupBy("cell")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
@@ -520,12 +590,16 @@ def _lloyd_rounds(
 #: an m-row cell costs an m×m int64 Gram + float64 cosine matrix
 #: (~16 bytes/pair), so avg cell 1024 → ~16 MB per cell task at the
 #: measured ~1.1× fixture skew, comfortably inside an executor core's
-#: budget with ~4× headroom for skewier corpora. k_max bounds the LITERAL
-#: codebook expression (K·dims integer literals per projection; past a
-#: few hundred centroids the assignment should move to a broadcast-join
-#: scorer — documented future path, loudly asserted here).
+#: budget with ~4× headroom for skewier corpora. k_max bounds the
+#: CODEBOOK, not the expression — past LITERAL_CODEBOOK_MAX the
+#: assignment runs the broadcast-numpy scorer (plan cost independent of
+#: K), so the binding constraints are the codebook's closure-capture
+#: size (K·dims int64 ≈ 34 MB per task at the clamp, 64 dims) and the
+#: K-row Lloyd aggregate. Past the clamp (N > 64 M rows/pass at
+#: target 1024) shard the corpus on a coarse key (language/domain/
+#: bucket) and semdedup each shard — the warning says so loudly.
 SEMDEDUP_TARGET_CELL = 1024
-SEMDEDUP_MAX_K = 512
+SEMDEDUP_MAX_K = 65536
 
 
 def auto_k_cells(
@@ -556,11 +630,10 @@ def auto_k_cells(
 
         warnings.warn(
             f"semdedup auto-K clamped at k_max={k_max}: N={n_rows} gives "
-            f"avg cell {n_rows // k_max} > target {target_cell}; the "
-            "per-cell kernel will exceed its memory budget — raise k_max "
-            "only with a broadcast-join assignment path (the literal-"
-            "codebook projection does not scale past a few hundred "
-            "centroids)",
+            f"avg cell {n_rows // k_max} > target {target_cell} and the "
+            "per-cell kernel will exceed its memory budget — shard the "
+            "corpus on a coarse key (language/domain/LSH bucket) and "
+            "semdedup each shard, or raise target_cell knowingly",
             stacklevel=2,
         )
     return k
@@ -588,11 +661,12 @@ def semdedup(
     2. **Assign to a cell**: the codebook seed is the K LOWEST usable ids
        (deterministic; ``train_iters`` Lloyd rounds — see below — move it
        toward genuine k-means centroids). The codebook is a bounded
-       driver-side collect (K rows) folded into a LITERAL array-of-struct
-       expression, so assignment is a pure projection over the scan —
-       ZERO corpus shuffle, no N×K intermediate, no window. At 100 TB
-       this is the codebook-broadcast pattern every IVF/k-means scorer
-       uses.
+       driver-side collect (K rows); assignment is a pure projection over
+       the scan — ZERO corpus shuffle, no N×K intermediate, no window —
+       via a LITERAL array-of-struct expression for small K, or the
+       bit-identical broadcast-numpy ``mapInPandas`` scorer past
+       ``LITERAL_CODEBOOK_MAX`` (see ``_assign_cells``). At 100 TB this
+       is the codebook-broadcast pattern every IVF/k-means scorer uses.
     3. **Per-cell pairs only, never as Spark rows**: one shuffle groups
        vectors by ``cell``; each cell's pair matrix is scored INSIDE numpy
        (``applyInPandas`` — int64 matmul, exact) and only the per-vector
@@ -655,8 +729,7 @@ def semdedup(
         usable = track_persist(usable)
 
     cents = _lloyd_rounds(usable, cents, dims, train_iters)
-    a = _codebook_argmax_expr(cents)
-    assigned = usable.withColumn("cell", -a.getField("nc")).select(
+    assigned = _assign_cells(usable, cents, dims).select(
         id_col, "qv", "qn", "cell"
     )
 
@@ -753,13 +826,13 @@ def semdedup_incremental(
         (F.size(vec_col) == dims) & (F.col("qn") > 0)
     ).select(id_col, "qv", "qn")
 
-    a = _codebook_argmax_expr(cents)
-    both = (
-        usable_b.withColumn("is_new", F.lit(0))
-        .unionByName(usable_n.withColumn("is_new", F.lit(1)))
-        .withColumn("cell", -a.getField("nc"))
-        .select(id_col, "qv", "qn", "cell", "is_new")
-    )
+    both = _assign_cells(
+        usable_b.withColumn("is_new", F.lit(0)).unionByName(
+            usable_n.withColumn("is_new", F.lit(1))
+        ),
+        cents,
+        dims,
+    ).select(id_col, "qv", "qn", "cell", "is_new")
 
     def dedup_cell_incr(pdf: pd.DataFrame) -> pd.DataFrame:
         nd = pdf[pdf["is_new"] == 1].sort_values(id_col)

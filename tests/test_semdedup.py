@@ -533,3 +533,69 @@ def test_auto_k_matches_oracle_constant_at_fixture_scale():
         warnings.simplefilter("always")
         assert auto_k_cells(10**9) == SEMDEDUP_MAX_K  # clamped + warns
         assert any("clamped" in str(x.message) for x in w)
+
+
+def test_numpy_assignment_equals_literal(spark):
+    """The broadcast-numpy cell scorer (the K > LITERAL_CODEBOOK_MAX
+    path that closes auto-K's scale hole) must be BIT-IDENTICAL to the
+    literal array-of-structs projection: exact int64 dots in both, exact
+    cast to double, IEEE sqrt/divide, and the same (s DESC, cent_id ASC)
+    tie-break (cents ascending + np.argmax first-max). Checked on the
+    fixture with both a raw seed and a Lloyd-trained codebook."""
+    from data_engineer_development_spark.operators.similarity import (
+        _assign_cells,
+        _lloyd_rounds,
+        _seed_codebook,
+        _with_quantized,
+    )
+    from data_engineer_development_spark.sources import load_table
+
+    vecs = load_table(spark, SF_CORRECT, "embeddings")
+    q = _with_quantized(vecs, "vec_id", "embedding")
+    cents, dims = _seed_codebook(q, 8, 64, "vec_id")
+    usable = q.filter(
+        (F.size("embedding") == dims) & (F.col("qn") > 0)
+    ).select("vec_id", "qv", "qn")
+
+    for cb in (cents, _lloyd_rounds(usable, cents, dims, 2)):
+        lit = {
+            r["vec_id"]: r["cell"]
+            for r in _assign_cells(usable, cb, dims, via="literal").collect()
+        }
+        npy = {
+            r["vec_id"]: r["cell"]
+            for r in _assign_cells(usable, cb, dims, via="numpy").collect()
+        }
+        assert lit == npy
+
+    # scale path stays a projection: no exchange between scan and scorer
+    plan = (
+        _assign_cells(usable, cents, dims, via="numpy")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_semdedup_end_to_end_identical_on_numpy_path(spark, monkeypatch):
+    """Forcing every assignment through the numpy scorer (threshold 0)
+    must leave semdedup's full verdict set — training rounds included —
+    unchanged from the literal default."""
+    import data_engineer_development_spark.operators.similarity as S_mod
+
+    from data_engineer_development_spark.sources import load_table
+
+    vecs = load_table(spark, SF_CORRECT, "embeddings")
+
+    def run():
+        return {
+            r["vec_id"]: (r["cell"], r["dup_of"], r["keep"])
+            for r in S_mod.semdedup(
+                vecs, k_cells=8, tau=0.4, dims=64, train_iters=2
+            ).collect()
+        }
+
+    base = run()
+    monkeypatch.setattr(S_mod, "LITERAL_CODEBOOK_MAX", 0)
+    assert run() == base

@@ -710,12 +710,14 @@ def semdedup(
     """
     q = _with_quantized(vectors, id_col, vec_col)
     if k_cells is None:
-        # auto-K (measured policy — see auto_k_cells): one bounded count
-        # over the usable pool; the width filter is applied post-seed when
-        # dims is None, so the count is the qn>0 pool either way — an
-        # upper bound is exactly what a cell-size budget wants
-        n = q.filter(F.col("qn") > 0).count()
-        k_cells = auto_k_cells(n)
+        # auto-K (measured policy — see auto_k_cells) from the RAW row
+        # count: Catalyst serves an unfiltered parquet count from footer
+        # metadata (no scan, no quantization pass — .explain shows a
+        # LocalTableScan over the aggregated statistics), and a raw count
+        # ≥ the usable pool, i.e. an upper bound — exactly what a
+        # cell-size BUDGET wants. Counting the qn>0 pool instead would
+        # burn a full quantization pass just to pick K.
+        k_cells = auto_k_cells(vectors.count())
     cents, dims = _seed_codebook(q, k_cells, dims, id_col)
 
     usable = q.filter((F.size(vec_col) == dims) & (F.col("qn") > 0)).select(
@@ -809,9 +811,10 @@ def semdedup_incremental(
     """
     qb = _with_quantized(base, id_col, vec_col)
     if k_cells is None:
-        # auto-K from the BASE pool (the frozen-codebook side — the same
-        # measured policy as the one-shot; see auto_k_cells)
-        k_cells = auto_k_cells(qb.filter(F.col("qn") > 0).count())
+        # auto-K from the BASE side's raw count (the frozen-codebook
+        # side) — metadata-served upper bound, same rationale as the
+        # one-shot's
+        k_cells = auto_k_cells(base.count())
     cents, dims = _seed_codebook(qb, k_cells, dims, id_col)
 
     usable_b = qb.filter(

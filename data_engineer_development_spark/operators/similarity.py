@@ -321,12 +321,15 @@ def neardup_pairs_cosine(
 # SemDeDup: embedding-space near-duplicate removal (Abbas et al. 2023,
 # arXiv:2303.09540) — cluster vectors, then drop within-cluster near-dups.
 # --------------------------------------------------------------------------
-def _with_quantized(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, vec, qv, qn): int8 max-abs quantization (`operators/inference.py`
-    grid) + integer self-dot — the shared front of the semantic-dedup
-    family. Pure projection, JVM-side."""
+def _with_quantized(
+    vectors: DataFrame, id_col: str, vec_col: str, *extra_cols: str
+) -> DataFrame:
+    """(id, vec[, extra...], qv, qn): int8 max-abs quantization
+    (`operators/inference.py` grid) + integer self-dot — the shared front
+    of the semantic-dedup family. Pure projection, JVM-side.
+    ``extra_cols`` ride along untouched (e.g. a shard key)."""
     return (
-        vectors.select(id_col, vec_col)
+        vectors.select(id_col, vec_col, *extra_cols)
         .withColumn("__sd_mx", F.expr(
             f"aggregate(transform({vec_col}, x -> abs(cast(x as double))),"
             " cast(0.0 as double), (a, x) -> greatest(a, x))"))
@@ -901,4 +904,155 @@ def semdedup_incremental(
 
     return both.groupBy("cell").applyInPandas(
         dedup_cell_incr, f"{id_col} long, cell long, dup_of long, keep int"
+    )
+
+
+#: Guard on the sharded seed collect: shard keys must be LOW-cardinality
+#: (language, domain, source) — n_shards·k_cells rows come to the driver.
+SHARDED_SEED_MAX_ROWS = 100_000
+
+
+def semdedup_sharded(
+    vectors: DataFrame,
+    shard_col: str = "label",
+    k_cells: int = 8,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """Sharded SemDeDup: (id, shard, cell, dup_of, keep) — independent
+    semantic dedup PER SHARD, the scale pattern ``auto_k_cells``'s clamp
+    warning prescribes for corpora past k_max·target_cell rows.
+
+    Shard on a coarse, semantically-closed key (language / domain /
+    source): cross-shard near-dups are rare by construction there, so
+    restricting coverage to within-shard loses little recall while
+    bounding EVERYTHING per shard — each shard gets its own K-lowest-id
+    codebook (seeded via one windowed rank, collected bounded at
+    n_shards·k_cells rows and guarded by ``SHARDED_SEED_MAX_ROWS``), the
+    assignment is one broadcast-numpy ``mapInPandas`` projection scoring
+    each row against ITS shard's codebook (zero corpus shuffle, same
+    exact int64/IEEE math as ``_assign_cells`` — bit-identical to a
+    per-shard literal argmax), and the pair kernel groups by
+    (shard, cell) so the Σ|cell|² work is per-shard. A duplicate pair
+    SPLIT ACROSS SHARDS is deliberately not detected — that is the
+    shard contract, identical to running ``semdedup`` per language.
+
+    NULL shard keys are excluded with the same loudness as unusable
+    vectors (documented, mirrored in the oracle's inner join + IS NOT
+    NULL). Codebooks here are id-seeded (train_iters=0 semantics);
+    per-shard Lloyd training composes exactly as the one-shot's and can
+    be added when a measured need shows — the dedup verdict rule,
+    quantization grid, and tie-breaks are byte-identical to
+    ``semdedup``'s.
+    """
+    q = _with_quantized(
+        vectors.filter(F.col(shard_col).isNotNull()), id_col, vec_col,
+        shard_col,
+    )
+    if dims is None:
+        # deterministic width pin: the lowest usable id overall (same
+        # rule as _seed_codebook's dims=None path)
+        first = (
+            q.filter(F.col("qn") > 0)
+            .orderBy(id_col)
+            .select(F.size(vec_col).alias("w"))
+            .limit(1)
+            .collect()
+        )
+        assert first, "semdedup_sharded: no usable vectors"
+        dims = int(first[0]["w"])
+    usable = q.filter((F.size(vec_col) == dims) & (F.col("qn") > 0)).select(
+        id_col, shard_col, "qv", "qn"
+    )
+
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy(shard_col).orderBy(F.col(id_col).asc())
+    )
+    seed_rows = (
+        usable.withColumn("__rk", rk)
+        .filter(F.col("__rk") <= k_cells)
+        .select(shard_col, id_col, "qv", "qn")
+        .limit(SHARDED_SEED_MAX_ROWS + 1)
+        .collect()  # bounded: ≤ n_shards·k_cells rows (guarded below)
+    )
+    assert len(seed_rows) <= SHARDED_SEED_MAX_ROWS, (
+        "semdedup_sharded: seed collect exceeded SHARDED_SEED_MAX_ROWS — "
+        f"shard key '{shard_col}' is too high-cardinality for per-shard "
+        "codebooks; shard on a coarser key"
+    )
+    cents_by_shard: dict = {}
+    for r in sorted(seed_rows, key=lambda r: (r[shard_col], r[id_col])):
+        cents_by_shard.setdefault(r[shard_col], []).append(
+            (int(r[id_col]), [int(x) for x in r["qv"]], int(r["qn"]))
+        )
+    cb = {
+        s: (
+            np.array([c[0] for c in cents], dtype=np.int64),
+            np.vstack([np.array(c[1], dtype=np.int64) for c in cents]),
+            np.array([c[2] for c in cents], dtype=np.int64),
+        )
+        for s, cents in cents_by_shard.items()
+    }
+
+    shard_t = usable.schema[shard_col].dataType.simpleString()
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            cells = np.empty(len(pdf), dtype=np.int64)
+            for s, idx in pdf.groupby(shard_col).groups.items():
+                cent_ids, C, cqn = cb[s]
+                sub = pdf.loc[idx]
+                M = np.vstack(sub["qv"].to_numpy()).astype(np.int64)
+                qn = sub["qn"].to_numpy(dtype=np.int64)
+                sc = (M @ C.T).astype(np.float64) / np.sqrt(
+                    np.outer(qn, cqn).astype(np.float64)
+                )
+                cells[np.asarray(idx, dtype=np.int64)] = cent_ids[
+                    np.argmax(sc, axis=1)
+                ]
+            pdf = pdf.copy()
+            pdf["cell"] = cells
+            yield pdf
+
+    assigned = usable.mapInPandas(
+        assign,
+        f"{id_col} long, {shard_col} {shard_t}, qv array<bigint>, "
+        "qn long, cell long",
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        M = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+        qn = pdf["qn"].to_numpy(dtype=np.int64)
+        cos = (M @ M.T).astype(np.float64) / np.sqrt(
+            np.outer(qn, qn).astype(np.float64)
+        )
+        covered = np.triu(cos >= tau, k=1)
+        has_dup = covered.any(axis=0)
+        first = covered.argmax(axis=0)
+        dup_of = pd.array(
+            [ids[first[j]] if has_dup[j] else None for j in range(len(ids))],
+            dtype="Int64",
+        )
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "shard": pdf[shard_col].to_numpy(),
+                "cell": pdf["cell"].to_numpy(dtype=np.int64),
+                "dup_of": dup_of,
+                "keep": (~has_dup).astype(np.int32),
+            }
+        )
+
+    return assigned.groupBy(shard_col, "cell").applyInPandas(
+        dedup_cell,
+        f"{id_col} long, shard {shard_t}, cell long, dup_of long, keep int",
     )

@@ -622,6 +622,59 @@ ORDER BY bk.vec_id
 """
 
 
+
+# --------------------------------------------------------------------------
+# Sharded SemDeDup — ROUND-12+ REGISTRATION CANDIDATE (staged; see
+# COVERAGE.md): independent semantic dedup PER SHARD (the embeddings
+# fixture's label column stands in for language/domain) — the exact scale
+# pattern auto_k_cells' clamp warning prescribes once a corpus outgrows
+# k_max·target_cell rows. Per-shard K-lowest-id codebooks (one windowed
+# rank, bounded collect), one broadcast-numpy assignment projection, pair
+# kernel grouped by (shard, cell): Σ|cell|² is bounded PER SHARD and a
+# cross-shard duplicate is deliberately out of contract. Verdict rule,
+# quantization grid, and tie-breaks byte-identical to semantic_dedup's.
+# --------------------------------------------------------------------------
+def q_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup_sharded(
+        vecs, shard_col="label", k_cells=_SD_K, tau=_SD_TAU, dims=DIMS
+    ).orderBy("vec_id")
+
+
+_SEMDEDUP_SHARDED_SQL = f"""
+WITH {_QUANT_CTES},
+vl AS (SELECT v.vec_id, v.qv, v.qn, e.label
+       FROM v JOIN embeddings e ON e.vec_id = v.vec_id
+       WHERE e.label IS NOT NULL),
+cb AS (SELECT label, vec_id AS cent_id, qv, qn FROM (
+           SELECT vl.*, row_number() OVER (PARTITION BY label
+                                           ORDER BY vec_id) AS rk
+           FROM vl) WHERE rk <= {_SD_K}),
+sc AS (SELECT vl.vec_id, vl.label, c.cent_id,
+              {_sd_qdot('vl', 'c')}
+              / sqrt(CAST(vl.qn * c.qn AS DOUBLE)) AS s
+       FROM vl JOIN cb c ON c.label = vl.label),
+asg AS (SELECT vec_id, label, cell FROM (
+            SELECT vec_id, label, cent_id AS cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cent_id) AS rk
+            FROM sc) WHERE rk = 1),
+p AS (SELECT bb.vec_id AS id2, MIN(aa.vec_id) AS dup_of
+      FROM asg aa JOIN asg bb
+        ON aa.label = bb.label AND aa.cell = bb.cell
+       AND aa.vec_id < bb.vec_id
+      JOIN vl va ON va.vec_id = aa.vec_id
+      JOIN vl vb ON vb.vec_id = bb.vec_id
+      WHERE {_sd_qdot('va', 'vb')}
+            / sqrt(CAST(va.qn * vb.qn AS DOUBLE)) >= {_SD_TAU}
+      GROUP BY bb.vec_id)
+SELECT asg.vec_id, asg.label AS shard, asg.cell, p.dup_of,
+       CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM asg LEFT JOIN p ON asg.vec_id = p.id2
+ORDER BY asg.vec_id
+"""
+
+
 # stream_neardup_gate's REGISTERED shape is the banded tables=2 gate as of
 # r11 (VERDICT r10 #2): the r10 audit measured recall 0.38–0.48 single-table
 # → 0.63–0.72 at tables=2, and gate_recall_eval pins the single-table miss

@@ -28,7 +28,7 @@ _ALLOWED = {
     "kv.py": (2, "eager KV facade — the reference's Datastore surface is "
                  "likewise eager (datastore.py:14); single-key/small scans"),
     "catalog.py": (1, "SHOW TBLPROPERTIES — metadata rows, never data"),
-    "operators/similarity.py": (4, "documented bounded brute-force path "
+    "operators/similarity.py": (6, "documented bounded brute-force path "
                                    "behind the LSH auto-switch cap; semdedup "
                                    "codebook seed collect (≤ k_cells rows, "
                                    "folded into a literal assignment "
@@ -37,7 +37,10 @@ _ALLOWED = {
                                    "cell, the distributed-k-means driver "
                                    "round-trip); quantized truth-set matrix "
                                    "collect (ceiling-guarded exactness "
-                                   "baseline)"),
+                                   "baseline); sharded dims probe (limit-1) "
+                                   "and per-shard seed collect (≤ n_shards·"
+                                   "k_cells rows, SHARDED_SEED_MAX_ROWS "
+                                   "guarded)"),
     "queries/contract_extras.py": (2, "5-row nation seed + 25-row dim seed "
                                       "— bounded control-plane landings"),
 }

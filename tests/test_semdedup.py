@@ -599,3 +599,63 @@ def test_semdedup_end_to_end_identical_on_numpy_path(spark, monkeypatch):
     base = run()
     monkeypatch.setattr(S_mod, "LITERAL_CODEBOOK_MAX", 0)
     assert run() == base
+
+
+def test_semdedup_sharded_isolates_shards(spark):
+    """The shard contract: an identical vector pair WITHIN a shard drops
+    toward the lowest id; the same pair SPLIT ACROSS shards is out of
+    contract (both keep); NULL shard keys leave the pool; each shard
+    seeds its own codebook."""
+    from data_engineer_development_spark.operators.similarity import (
+        semdedup_sharded,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 10),
+        (1, [2.0, 0.0, 0.0, 0.0], 10),   # copy of 0, same shard → drop
+        (2, [3.0, 0.0, 0.0, 0.0], 20),   # copy of 0, OTHER shard → keep
+        (3, [0.0, 1.0, 0.0, 0.0], 20),
+        (4, [0.0, 4.0, 0.0, 0.0], 20),   # copy of 3, same shard → drop
+        (5, [1.0, 0.0, 0.0, 0.0], None),  # NULL shard → excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semdedup_sharded(
+            df, shard_col="label", k_cells=2, tau=0.9, dims=4
+        ).collect()
+    }
+    assert 5 not in out
+    assert out[0]["keep"] == 1 and out[0]["shard"] == 10
+    assert out[1]["dup_of"] == 0 and out[1]["keep"] == 0
+    assert out[2]["keep"] == 1 and out[2]["shard"] == 20
+    assert out[3]["keep"] == 1
+    assert out[4]["dup_of"] == 3 and out[4]["keep"] == 0
+
+
+def test_semdedup_sharded_oracle_parity(spark):
+    """Round-12+ registration candidate (staged): hash-exact oracle
+    parity at both fixture SFs, with a non-trivial per-shard verdict
+    split and the plan free of cartesians."""
+    from data_engineer_development_spark.queries.similarity import (
+        _SEMDEDUP_SHARDED_SQL,
+        q_semdedup_sharded,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "semdedup_sharded",
+            q_semdedup_sharded, _SEMDEDUP_SHARDED_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    out = q_semdedup_sharded(spark, SF_CORRECT)
+    assert out.filter("keep = 0").count() > 0
+    assert out.select("shard").distinct().count() == 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

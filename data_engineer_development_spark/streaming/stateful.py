@@ -327,6 +327,17 @@ GATE_STATE_SCHEMA = StructType(
     ]
 )
 
+#: event-time TTL variant: state additionally carries the max event time
+#: (epoch ms) this bucket has seen, so re-arming the timeout never
+#: regresses under out-of-order arrivals within the watermark delay.
+GATE_EVENT_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("flat", ArrayType(LongType())),
+        StructField("max_ets", LongType()),
+    ]
+)
+
 GATE_OUTPUT_SCHEMA = StructType(
     [
         StructField("vec_id", LongType()),
@@ -350,7 +361,11 @@ BANDED_GATE_OUTPUT_SCHEMA = StructType(
 
 
 def make_neardup_gate_update(
-    dims: int, tau: float, ttl_ms: int | None = None, banded: bool = False
+    dims: int,
+    tau: float,
+    ttl_ms: int | None = None,
+    banded: bool = False,
+    event_ttl_ms: int | None = None,
 ):
     """Kernel factory (dims/tau/ttl are plan-time constants, closed over).
 
@@ -362,6 +377,17 @@ def make_neardup_gate_update(
     dedup_cleaned_corpus pass remains the exactness backstop (the same
     compaction story as every TTL'd streaming dedup).
 
+    ``event_ttl_ms`` is the REPLAY-SAFE variant of the same dial
+    (mutually exclusive with ``ttl_ms``): eviction fires when the
+    stream's EVENT-TIME WATERMARK passes the bucket's max seen event
+    time + TTL, so neighbors close in event time stay co-resident in
+    state no matter how processing order scrambles them — closing the
+    measured replay weakness of processing-time eviction (BASELINE.md
+    round-11 gate TTL audit: replay loss up to 1.36× the in-order loss).
+    Rows must carry an ``ets`` epoch-ms column and the query must use
+    ``GATE_EVENT_STATE_SCHEMA`` + EventTimeTimeout (a watermark is
+    mandatory — Spark rejects EventTimeTimeout without one).
+
     ``banded`` switches the key shape to (tbl, bucket) for the
     multi-table gate: the per-group greedy is UNCHANGED (a table is just
     an independent bucketing of the same stream), the verdict row gains
@@ -370,18 +396,39 @@ def make_neardup_gate_update(
     """
     import numpy as np
 
+    assert not (ttl_ms is not None and event_ttl_ms is not None), (
+        "ttl_ms and event_ttl_ms are mutually exclusive dials"
+    )
+
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if ttl_ms is not None and state.hasTimedOut:
+        if (ttl_ms is not None or event_ttl_ms is not None) and state.hasTimedOut:
             # timeout invocation: no new rows for this bucket — drop the
             # state and emit nothing (eviction, not output)
             state.remove()
             return
+        max_ets = None
         if state.exists:
-            sids, flat = state.get
+            if event_ttl_ms is not None:
+                sids, flat, max_ets = state.get
+                # SELF-EXPIRY on data arrival: Spark only invokes the
+                # timeout branch for groups WITHOUT new data in a batch,
+                # so a bucket receiving data would otherwise consult
+                # expired-but-unremoved state. Checking the watermark
+                # here makes eviction deterministic in EVENT time — a
+                # bucket idle past the TTL is gone no matter how arrivals
+                # interleave with the expiry.
+                if int(state.getCurrentWatermarkMs()) > int(max_ets) + event_ttl_ms:
+                    sids, flat, max_ets = [], [], None
+            else:
+                sids, flat = state.get
             seen_ids = np.array(sids, dtype=np.int64)
-            seen = np.array(flat, dtype=np.int64).reshape(-1, dims)
+            seen = (
+                np.array(flat, dtype=np.int64).reshape(-1, dims)
+                if len(flat)
+                else np.empty((0, dims), dtype=np.int64)
+            )
         else:
             seen_ids = np.empty(0, dtype=np.int64)
             seen = np.empty((0, dims), dtype=np.int64)
@@ -429,16 +476,39 @@ def make_neardup_gate_update(
             out = pd.DataFrame(cols)
             seen_ids = np.concatenate([seen_ids, ids])
             seen = np.vstack([seen, B])
-            state.update(
-                (
-                    [int(x) for x in seen_ids],
-                    [int(x) for x in seen.reshape(-1)],
+            if event_ttl_ms is not None:
+                # max over state + batch: out-of-order arrivals must
+                # never move the eviction horizon BACKWARD. ets arrives
+                # as the watermarked TIMESTAMP column (see the gate's
+                # projection note) — normalize to epoch ms whatever the
+                # Arrow-side datetime64 unit; plain longs pass through
+                # (the FakeGroupState kernel tests feed ints).
+                ets = pdf["ets"]
+                if ets.dtype.kind == "M":
+                    ets = ets.astype("datetime64[ms]").astype("int64")
+                batch_max = int(ets.max())
+                max_ets = (
+                    batch_max if max_ets is None else max(int(max_ets), batch_max)
                 )
-            )
-            if ttl_ms is not None:
-                # re-arm on every arrival: idle-bucket eviction, not a
-                # hard cap on bucket lifetime
-                state.setTimeoutDuration(ttl_ms)
+                state.update(
+                    (
+                        [int(x) for x in seen_ids],
+                        [int(x) for x in seen.reshape(-1)],
+                        max_ets,
+                    )
+                )
+                state.setTimeoutTimestamp(max_ets + event_ttl_ms)
+            else:
+                state.update(
+                    (
+                        [int(x) for x in seen_ids],
+                        [int(x) for x in seen.reshape(-1)],
+                    )
+                )
+                if ttl_ms is not None:
+                    # re-arm on every arrival: idle-bucket eviction, not
+                    # a hard cap on bucket lifetime
+                    state.setTimeoutDuration(ttl_ms)
             yield out
 
     return _update
@@ -453,6 +523,9 @@ def stream_neardup_gate(
     vec_col: str = "embedding",
     ttl_ms: int | None = None,
     tables: int = 1,
+    event_time_col: str | None = None,
+    event_ttl_ms: int | None = None,
+    watermark_delay: str = "10 seconds",
 ) -> DataFrame:
     """(vec_id, bucket, dup_of, admitted) per arriving vector — see the
     block comment above for semantics and the 100 TB state story.
@@ -468,7 +541,13 @@ def stream_neardup_gate(
     and degrades below the idle-gap tail (~B·ln(N)); an out-of-order
     REPLAY loses up to 1.36× more than in-order ingest at small TTLs
     because processing-time eviction is blind to event time — raise the
-    TTL (or lean on the batch backstop) when backfilling.
+    TTL (or lean on the batch backstop) when backfilling, or use
+    ``event_ttl_ms`` + ``event_time_col``: the EVENT-TIME TTL evicts a
+    bucket only when the stream's watermark passes its max seen event
+    time + TTL, so event-time neighbors stay co-resident no matter how
+    a replay scrambles processing order (the replay-safe dial; requires
+    a watermarkable timestamp column, applied here with
+    ``watermark_delay``).
 
     ``tables`` is the RECALL dial (multi-table / banded LSH): table t
     re-buckets the same stream with the disjoint plane slice
@@ -486,6 +565,41 @@ def stream_neardup_gate(
         _with_quantized,
         bucket_assign,
     )
+
+    if event_ttl_ms is not None:
+        assert event_time_col, "event_ttl_ms requires event_time_col"
+        assert ttl_ms is None, "ttl_ms and event_ttl_ms are mutually exclusive"
+        assert tables == 1, (
+            "event-time TTL currently composes with the single-table gate; "
+            "banding is mechanical (same kernel) but unexercised — extend "
+            "with a test when needed"
+        )
+        # watermark BEFORE the projections (it must bind to the raw
+        # event-time column); EventTimeTimeout without a watermark is a
+        # query-start error, so failure is loud, not silent
+        vectors = vectors.withWatermark(event_time_col, watermark_delay)
+        q = _with_quantized(vectors, id_col, vec_col, event_time_col)
+        usable = q.filter((F.size(vec_col) == dims) & (F.col("qn") > 0))
+        bucketed = bucket_assign(
+            usable, planes=planes, dims=dims, vec_col=vec_col
+        )
+        return (
+            # the WATERMARKED timestamp column itself must reach the
+            # stateful op (a derived unix_millis long loses the watermark
+            # tag and EventTimeTimeout then fails analysis); the kernel
+            # converts to epoch ms. alias keeps the attribute metadata.
+            bucketed.select(
+                id_col, "qv", "bucket", F.col(event_time_col).alias("ets")
+            )
+            .groupBy("bucket")
+            .applyInPandasWithState(
+                make_neardup_gate_update(dims, tau, event_ttl_ms=event_ttl_ms),
+                outputStructType=GATE_OUTPUT_SCHEMA,
+                stateStructType=GATE_EVENT_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
 
     q = _with_quantized(vectors, id_col, vec_col)
     usable = q.filter((F.size(vec_col) == dims) & (F.col("qn") > 0))

@@ -201,6 +201,12 @@ class _FakeGroupState:
     def setTimeoutDuration(self, ms):
         self.timeout_set_ms = ms
 
+    def setTimeoutTimestamp(self, epoch_ms):
+        self.timeout_set_ts = epoch_ms
+
+    def getCurrentWatermarkMs(self):
+        return getattr(self, "watermark_ms", 0)
+
 
 def test_stream_neardup_gate_kernel_multi_batch_state():
     """The cross-batch branch (`state.exists`) is the part the e2e
@@ -531,3 +537,160 @@ def test_stream_neardup_gate_banded_with_ttl_e2e(spark):
             for r in combine_gate_tables(spark.table(name)).collect()
         }
     assert outs["ttl"] == outs["nottl"] and outs["ttl"]
+
+
+def test_event_ttl_kernel_arms_watermark_timeout_monotonically():
+    """Event-time TTL kernel contract: the timeout timestamp is max seen
+    event time + TTL, state carries max_ets forward, and an OUT-OF-ORDER
+    later batch (older event times) must never move the horizon backward
+    — the exact property that makes the dial replay-safe."""
+    import pandas as pd
+
+    from data_engineer_development_spark.streaming.stateful import (
+        make_neardup_gate_update,
+    )
+
+    kernel = make_neardup_gate_update(dims=4, tau=0.9, event_ttl_ms=1_000)
+    state = _FakeGroupState()
+    b1 = pd.DataFrame({
+        "vec_id": [10, 11],
+        "qv": [[127, 0, 0, 0], [0, 127, 0, 0]],
+        "ets": [5_000, 7_000],
+    })
+    (out,) = list(kernel((3,), iter([b1]), state))
+    assert state.timeout_set_ts == 8_000  # max(5000, 7000) + 1000
+    assert state.get[2] == 7_000
+    assert {r.vec_id: r.admitted for r in out.itertuples()} == {10: 1, 11: 1}
+
+    # replayed batch with OLDER event times: horizon must not regress,
+    # coverage against resident state still applies
+    b2 = pd.DataFrame({
+        "vec_id": [12],
+        "qv": [[127, 1, 0, 0]],  # near-dup of 10
+        "ets": [2_000],
+    })
+    (out2,) = list(kernel((3,), iter([b2]), state))
+    assert state.timeout_set_ts == 8_000  # unchanged — monotone horizon
+    assert state.get[2] == 7_000
+    r = next(out2.itertuples())
+    assert r.admitted == 0 and r.dup_of == 10
+
+    # timeout invocation: evict, emit nothing
+    state.hasTimedOut = True
+    assert list(kernel((3,), iter([]), state)) == []
+    assert not state.exists
+
+
+def test_event_ttl_kernel_self_expires_on_watermark():
+    """Resident state older than watermark − TTL must be dropped even
+    when the bucket RECEIVES data (Spark's timeout branch only fires for
+    data-less groups — self-expiry is what makes event-time eviction
+    deterministic), and a fresh near-dup then re-admits."""
+    import pandas as pd
+
+    from data_engineer_development_spark.streaming.stateful import (
+        make_neardup_gate_update,
+    )
+
+    kernel = make_neardup_gate_update(dims=4, tau=0.9, event_ttl_ms=1_000)
+    state = _FakeGroupState()
+    b1 = pd.DataFrame({
+        "vec_id": [10],
+        "qv": [[127, 0, 0, 0]],
+        "ets": [5_000],
+    })
+    list(kernel((3,), iter([b1]), state))
+    assert state.timeout_set_ts == 6_000 and state.get[2] == 5_000
+
+    # watermark passes the horizon → resident 10 is expired; the arriving
+    # near-dup 20 must be ADMITTED and become the new state
+    state.watermark_ms = 7_000
+    b2 = pd.DataFrame({
+        "vec_id": [20],
+        "qv": [[127, 1, 0, 0]],
+        "ets": [8_000],
+    })
+    (out,) = list(kernel((3,), iter([b2]), state))
+    r = next(out.itertuples())
+    assert r.admitted == 1 and pd.isna(r.dup_of)
+    assert list(state.get[0]) == [20] and state.get[2] == 8_000
+    assert state.timeout_set_ts == 9_000
+
+
+def test_event_ttl_gate_e2e_evicts_by_watermark(spark, tmp_path):
+    """Three-micro-batch run (maxFilesPerTrigger=1, AvailableNow): batch
+    1 admits vector 0; batch 2's far-future event time advances the
+    watermark past vector 0's horizon; batch 3's near-copy of vector 0
+    is then RE-ADMITTED (the documented TTL trade) while batch 3's own
+    in-window duplicate still drops against it — event-time eviction
+    end-to-end under a real watermark, not just the kernel."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from data_engineer_development_spark.streaming.stateful import (
+        stream_neardup_gate,
+    )
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    batches = [
+        # batch 1: the original (bucket of [1,0,0,0])
+        [(0, [1.0, 0.0, 0.0, 0.0], t0)],
+        # batch 2: unrelated vector one hour later in a DIFFERENT bucket
+        # ([0,0,0,1] → bucket 0; bucket 1's horizon must stay at t0 +
+        # ttl) — advances the watermark far past that horizon
+        [(50, [0.0, 0.0, 0.0, 1.0], t0 + pd.Timedelta(hours=1))],
+        # batch 3: near-copies of 0 — 100 re-admits (state evicted),
+        # 101 drops against 100 (same batch, in-window)
+        [
+            (100, [2.0, 0.0, 0.0, 0.0], t0 + pd.Timedelta(hours=1, seconds=1)),
+            (101, [3.0, 0.0, 0.0, 0.0], t0 + pd.Timedelta(hours=1, seconds=2)),
+        ],
+    ]
+    src = str(tmp_path / "evecs")
+    os.makedirs(src)
+    base = _time.time()
+    seen_files: set = set()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": [r[1] for r in rows],
+                "ts": [r[2] for r in rows],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        # the parquet file source orders files by modification time —
+        # pin arrival order to batch order by touching ONLY this write's
+        # new part files
+        new = {
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        } - seen_files
+        for f in new:
+            os.utime(os.path.join(src, f), (base + i, base + i))
+        seen_files |= new
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    gated = stream_neardup_gate(
+        stream, tau=0.9, planes=2, dims=4,
+        event_time_col="ts", event_ttl_ms=600_000,
+        watermark_delay="1 second",
+    )
+    run_to_memory_sink(
+        gated, "t_ndgate_ettl", output_mode="update",
+        state_partitions=2, no_data_batches=True,
+    )
+    got = {r["vec_id"]: r for r in spark.table("t_ndgate_ettl").collect()}
+    assert set(got) == {0, 50, 100, 101}
+    assert got[0]["admitted"] == 1
+    assert got[100]["admitted"] == 1 and got[100]["dup_of"] is None  # evicted!
+    assert got[101]["admitted"] == 0 and got[101]["dup_of"] == 100

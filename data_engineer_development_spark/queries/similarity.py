@@ -675,6 +675,85 @@ ORDER BY asg.vec_id
 """
 
 
+
+# --------------------------------------------------------------------------
+# Dedup modality overlap — ROUND-12+ REGISTRATION CANDIDATE (staged): how
+# much of the near-dup mass each MODALITY catches — lexical (n-gram
+# Jaccard ≥ tau on documents.text, the dedup_jaccard machinery verbatim)
+# vs semantic (quantized cosine ≥ tau on the aligned embeddings, the
+# semdedup truth kernel verbatim) — and how much only ONE sees. This is
+# the number a pipeline owner reads before deciding whether to run one
+# pass or both: lex-only pairs are boilerplate/near-verbatim text with
+# drifted embeddings, sem-only pairs are paraphrases the shingle join
+# can never meet. Eval-class (the semantic side is the assertion-bounded
+# exact truth block, like every *_recall_eval); counts are exact BIGINTs.
+# --------------------------------------------------------------------------
+def q_dedup_modality_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators import dedup as D
+    from data_engineer_development_spark.queries.dedup import (
+        JACCARD_TAU,
+        _docs_with_shingles,
+    )
+
+    docs = _docs_with_shingles(spark, sf_dir)
+    lex = (
+        D.jaccard_pairs(docs, "doc_id", "sh", JACCARD_TAU)
+        .select("id1", "id2")
+        .withColumn("is_lex", F.lit(1))
+    )
+    vecs = load_table(spark, sf_dir, "embeddings")
+    sem = (
+        S.quantized_neardup_pairs(vecs, _SD_TAU, dims=DIMS)
+        .select("id1", "id2")
+        .withColumn("is_sem", F.lit(1))
+    )
+    both = lex.join(sem, ["id1", "id2"], "full")
+    z = F.lit(0)
+    return both.agg(
+        F.coalesce(F.sum("is_lex"), z).cast("long").alias("n_lex"),
+        F.coalesce(F.sum("is_sem"), z).cast("long").alias("n_sem"),
+        F.coalesce(
+            F.sum(F.col("is_lex").isNotNull().cast("int")
+                  * F.col("is_sem").isNotNull().cast("int")), z
+        ).cast("long").alias("n_both"),
+        F.coalesce(
+            F.sum((F.col("is_sem").isNull()).cast("int")), z
+        ).cast("long").alias("n_lex_only"),
+        F.coalesce(
+            F.sum((F.col("is_lex").isNull()).cast("int")), z
+        ).cast("long").alias("n_sem_only"),
+    )
+
+
+def _modality_overlap_sql() -> str:
+    from data_engineer_development_spark.queries.dedup import (
+        duck_jaccard_pairs_cte,
+    )
+
+    return f"""
+WITH {duck_jaccard_pairs_cte()},
+{_QUANT_CTES},
+sem AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE {_sd_qdot('a', 'b')}
+              / sqrt(CAST(a.qn * b.qn AS DOUBLE)) >= {_SD_TAU}),
+u AS (SELECT COALESCE(l.id1, sm.id1) AS id1,
+             (l.id1 IS NOT NULL) AS is_lex,
+             (sm.id1 IS NOT NULL) AS is_sem
+      FROM vp l FULL JOIN sem sm
+        ON l.id1 = sm.id1 AND l.id2 = sm.id2)
+SELECT CAST(COALESCE(SUM(CASE WHEN is_lex THEN 1 END), 0) AS BIGINT) AS n_lex,
+       CAST(COALESCE(SUM(CASE WHEN is_sem THEN 1 END), 0) AS BIGINT) AS n_sem,
+       CAST(COALESCE(SUM(CASE WHEN is_lex AND is_sem THEN 1 END), 0)
+            AS BIGINT) AS n_both,
+       CAST(COALESCE(SUM(CASE WHEN is_lex AND NOT is_sem THEN 1 END), 0)
+            AS BIGINT) AS n_lex_only,
+       CAST(COALESCE(SUM(CASE WHEN is_sem AND NOT is_lex THEN 1 END), 0)
+            AS BIGINT) AS n_sem_only
+FROM u
+"""
+
+
 # stream_neardup_gate's REGISTERED shape is the banded tables=2 gate as of
 # r11 (VERDICT r10 #2): the r10 audit measured recall 0.38–0.48 single-table
 # → 0.63–0.72 at tables=2, and gate_recall_eval pins the single-table miss

@@ -659,3 +659,55 @@ def test_semdedup_sharded_oracle_parity(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semdedup_sharded_equals_per_shard_one_shot(spark):
+    """Composition invariant: semdedup_sharded(df) must equal the union
+    of semdedup(df.filter(shard == s)) over shards — same codebooks, same
+    cells, same verdicts. Checked on the fixture (10 label shards)."""
+    from data_engineer_development_spark.operators.similarity import (
+        semdedup,
+        semdedup_sharded,
+    )
+    from data_engineer_development_spark.sources import load_table
+
+    vecs = load_table(spark, SF_CORRECT, "embeddings")
+    got = {
+        r["vec_id"]: (r["shard"], r["cell"], r["dup_of"], r["keep"])
+        for r in semdedup_sharded(
+            vecs, shard_col="label", k_cells=8, tau=0.4, dims=64
+        ).collect()
+    }
+    exp = {}
+    for s in range(10):
+        for r in semdedup(
+            vecs.filter(F.col("label") == s), k_cells=8, tau=0.4, dims=64
+        ).collect():
+            exp[r["vec_id"]] = (s, r["cell"], r["dup_of"], r["keep"])
+    assert got == exp
+
+
+def test_dedup_modality_overlap_oracle_parity(spark):
+    """Round-12+ registration candidate (staged): hash-exact parity at
+    both fixture SFs, counts internally consistent, and the result
+    non-degenerate in BOTH directions (some pairs only one modality
+    sees — the fact the entry exists to measure)."""
+    from data_engineer_development_spark.queries.similarity import (
+        _modality_overlap_sql,
+        q_dedup_modality_overlap,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    sql = _modality_overlap_sql()
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "dedup_modality_overlap",
+            q_dedup_modality_overlap, sql,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    r = q_dedup_modality_overlap(spark, SF_CORRECT).collect()[0]
+    assert r["n_lex"] == r["n_both"] + r["n_lex_only"]
+    assert r["n_sem"] == r["n_both"] + r["n_sem_only"]
+    assert r["n_lex_only"] > 0 and r["n_sem_only"] > 0, r

@@ -1,0 +1,133 @@
+"""Distributed BPE-merge training (byte-pair-encoding vocabulary learning).
+
+The missing piece of the tokenizer family (``token_count_bpe`` counts with
+a fixed pre-tokenizer, ``tokenizer_fertility`` prices languages,
+``vocab_coverage`` audits a vocabulary): LEARNING the merge table itself,
+distributed. Classic BPE (Sennrich et al. 2016, public algorithm):
+
+1. Word frequencies: one corpus pass with the family's parity-proven
+   pre-tokenizer (``regexp_extract_all(lower(text), ...)``) → a
+   ``(word, freq)`` table. Everything after runs on DISTINCT WORDS —
+   corpus size stops mattering after this single scan+shuffle, the reason
+   BPE training scales to 100 TB at all.
+2. Per merge round: count adjacent symbol pairs weighted by word freq
+   (ALL adjacent occurrences, the classic counting rule), pick the
+   argmax under the total order (count DESC, left ASC, right ASC) — a
+   bounded ONE-ROW collect, same control-plane shape as Lloyd's
+   centroid round-trip — then apply the merge to every word's
+   segmentation as a pure projection.
+3. Merge application is greedy left-to-right non-overlapping. For a
+   pair (a, b) with a ≠ b occurrences cannot overlap; for a = b the
+   run-parity rule (merge the 1st, 3rd, … pair start of each maximal
+   run) IS the left-to-right greedy, expressed positionally so both
+   engines compute it identically — the whole trainer is integer and
+   string arithmetic, no IEEE anywhere, so the learned merge table is
+   exact across engines by construction.
+
+Oracle portability: every expression here has a byte-equivalent DuckDB
+form (see ``queries/extras._bpe_ctes``) — transform/filter/sequence ↔
+list_transform/list_filter/generate_series, try_element_at ↔ NULL-safe
+list indexing, the same guarded ``greatest(i-1, 1)`` empty-range idiom
+(Spark's ``sequence(1, 0)`` DESCENDS where DuckDB's is empty — the guard
+plus ``j < i`` makes both empty).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.cache import track_persist
+
+#: the family's parity-proven pre-tokenizer (queries/extras.py)
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _merged_mask_sql(pa: str, pb: str) -> str:
+    """``ms`` boolean array: position i starts a merged pair (1-based;
+    run-parity for pa = pb). ``pa``/``pb`` are SQL string literals."""
+    return f"""transform(sequence(1, size(syms)), i ->
+      i < size(syms) AND element_at(syms, i) = {pa}
+      AND try_element_at(syms, i + 1) = {pb}
+      AND ({pa} <> {pb} OR
+        (i - (coalesce(try_element_at(
+                filter(sequence(1, greatest(i - 1, 1)),
+                       j -> j < i AND element_at(syms, j) <> {pa}),
+                -1), 0) + 1)) % 2 = 0))"""
+
+
+def _apply_merge_sql(pa: str, pb: str) -> str:
+    """New ``syms`` given the mask column ``__ms``."""
+    return f"""filter(transform(sequence(1, size(syms)), i ->
+      CASE WHEN i > 1 AND element_at(__ms, i - 1) THEN CAST(NULL AS STRING)
+           WHEN element_at(__ms, i) THEN {pa} || {pb}
+           ELSE element_at(syms, i) END),
+      x -> x IS NOT NULL)"""
+
+
+_PAIRS_SQL = """filter(transform(sequence(1, size(syms)), i ->
+      IF(i < size(syms),
+         struct(element_at(syms, i) AS a, try_element_at(syms, i + 1) AS b),
+         CAST(NULL AS STRUCT<a: STRING, b: STRING>))),
+      x -> x IS NOT NULL)"""
+
+
+def bpe_train(
+    docs: DataFrame,
+    k_merges: int = 8,
+    text_col: str = "text",
+    token_re: str = BPE_TOKEN_RE,
+) -> DataFrame:
+    """Learn the top ``k_merges`` BPE merges: (rank, lhs, rhs, pair_count).
+
+    Deterministic and engine-exact (see module docstring). The per-round
+    driver round-trip is ONE row (the argmax pair); segmentations evolve
+    as a chain of projections over the persisted word table. Raises if
+    the corpus runs out of pairs before ``k_merges`` (that is a caller
+    error at any real scale, not a case to silently truncate).
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{token_re}', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    segs = track_persist(
+        words.select(
+            "f",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+        )
+    )
+
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(k_merges):
+        top = (
+            segs.select("f", F.explode(F.expr(_PAIRS_SQL)).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("f").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # bounded: ONE row per round (argmax pair)
+        )
+        assert top, f"bpe_train: corpus exhausted after {r} merges"
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((r + 1, a, b, c))
+        pa, pb = _sql_quote(a), _sql_quote(b)
+        segs = segs.withColumn("__ms", F.expr(_merged_mask_sql(pa, pb)))
+        segs = segs.select(
+            "f", F.expr(_apply_merge_sql(pa, pb)).alias("syms")
+        )
+
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_count long"
+    )

@@ -582,3 +582,60 @@ ORACLE = {
     "sim_ivf_multiprobe": _IVF_MULTI_SQL,
     "ann_recall_eval": _ANN_RECALL_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# BPE-merge training — ROUND-12+ REGISTRATION CANDIDATE (staged): learn the
+# top-K byte-pair merges from the documents corpus, distributed
+# (operators/bpe.py — one corpus scan to word frequencies, then K bounded
+# argmax rounds over distinct words). The oracle unrolls the SAME K rounds
+# relationally: identical pre-tokenizer, identical all-adjacent pair
+# counting, identical (count DESC, lhs, rhs) argmax total order, identical
+# positional run-parity merge application. All integer/string arithmetic —
+# no IEEE anywhere — so the learned merge table is exact across engines.
+# --------------------------------------------------------------------------
+_BPE_MERGES = 8
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, k_merges=_BPE_MERGES).orderBy("rank")
+
+
+def _bpe_ctes(k: int) -> str:
+    parts = [f"""w AS (SELECT t.w, COUNT(*) AS f FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '{_BPE_RE}')) AS w
+          FROM documents) t GROUP BY t.w),
+s0 AS (SELECT f, list_transform(generate_series(1, length(w)),
+                                i -> substring(w, i, 1)) AS syms FROM w)"""]
+    for r in range(k):
+        parts.append(f"""p{r} AS (SELECT f, syms[i] AS a, syms[i + 1] AS b
+       FROM s{r}, unnest(generate_series(1, len(syms) - 1)) AS t(i)),
+m{r} AS (SELECT a, b, CAST(SUM(f) AS BIGINT) AS c
+       FROM p{r} GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1),
+x{r} AS (SELECT f, syms, m.a AS ma, m.b AS mb,
+              list_transform(generate_series(1, len(syms)), i ->
+                i < len(syms) AND syms[i] = m.a AND syms[i + 1] = m.b
+                AND (m.a <> m.b OR
+                  (i - (COALESCE(list_filter(generate_series(1, greatest(i - 1, 1)),
+                                             j -> j < i AND syms[j] <> m.a)[-1],
+                                 0) + 1)) % 2 = 0)) AS ms
+       FROM s{r} CROSS JOIN m{r} m),
+s{r + 1} AS (SELECT f,
+              list_filter(list_transform(generate_series(1, len(syms)), i ->
+                CASE WHEN i > 1 AND ms[i - 1] THEN NULL
+                     WHEN ms[i] THEN ma || mb
+                     ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+       FROM x{r})""")
+    return ",\n".join(parts)
+
+
+def _bpe_train_sql(k: int = _BPE_MERGES) -> str:
+    ranks = "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS INT) AS rank, a AS lhs, b AS rhs, "
+        f"c AS pair_count FROM m{r}"
+        for r in range(k)
+    )
+    return f"WITH {_bpe_ctes(k)}\n{ranks}\nORDER BY rank"

@@ -27,6 +27,10 @@ _PAT = re.compile(r"\.collect\(\)|\.toPandas\(\)|\.toLocalIterator\(\)")
 _ALLOWED = {
     "kv.py": (2, "eager KV facade — the reference's Datastore surface is "
                  "likewise eager (datastore.py:14); single-key/small scans"),
+    "operators/bpe.py": (1, "BPE argmax round-trip — ONE row per merge "
+                            "round (the winning pair), the same bounded "
+                            "control-plane shape as Lloyd's centroid "
+                            "collect"),
     "catalog.py": (1, "SHOW TBLPROPERTIES — metadata rows, never data"),
     "operators/similarity.py": (6, "documented bounded brute-force path "
                                    "behind the LSH auto-switch cap; semdedup "

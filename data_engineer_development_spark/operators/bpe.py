@@ -81,7 +81,8 @@ def bpe_train(
     k_merges: int = 8,
     text_col: str = "text",
     token_re: str = BPE_TOKEN_RE,
-) -> DataFrame:
+    return_segments: bool = False,
+):
     """Learn the top ``k_merges`` BPE merges: (rank, lhs, rhs, pair_count).
 
     Deterministic and engine-exact (see module docstring). The per-round
@@ -102,6 +103,7 @@ def bpe_train(
     )
     segs = track_persist(
         words.select(
+            "w",
             "f",
             F.expr(
                 "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
@@ -125,9 +127,49 @@ def bpe_train(
         pa, pb = _sql_quote(a), _sql_quote(b)
         segs = segs.withColumn("__ms", F.expr(_merged_mask_sql(pa, pb)))
         segs = segs.select(
-            "f", F.expr(_apply_merge_sql(pa, pb)).alias("syms")
+            "w", "f", F.expr(_apply_merge_sql(pa, pb)).alias("syms")
         )
 
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, pair_count long"
+    )
+    return (merges_df, segs) if return_segments else merges_df
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    k_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_re: str = BPE_TOKEN_RE,
+) -> DataFrame:
+    """Train-then-APPLY: per-document token statistics under the learned
+    merge table — (id, n_words, n_chars_tok, n_tokens_bpe). The encode
+    side is one equi-join: each document's tokens meet the distinct-word
+    segmentation table the trainer already produced (per word: final
+    symbol count = its BPE token count), so encoding N documents costs a
+    token explode + a join against |vocab| rows — no per-document merge
+    replay. ``n_chars_tok / n_tokens_bpe`` is the compression the K
+    merges actually buy; a tokenizer owner reads it next to
+    ``tokenizer_fertility`` before spending more merges. Exact BIGINT
+    counts throughout.
+    """
+    _, segs = bpe_train(
+        docs, k_merges, text_col=text_col, token_re=token_re,
+        return_segments=True,
+    )
+    toks = docs.select(
+        id_col,
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{token_re}', 0)")
+        ).alias("w"),
+    )
+    return (
+        toks.join(segs.select("w", F.size("syms").alias("n_syms")), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars_tok"),
+            F.sum("n_syms").cast("long").alias("n_tokens_bpe"),
+        )
     )

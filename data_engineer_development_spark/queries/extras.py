@@ -608,14 +608,14 @@ def _bpe_ctes(k: int) -> str:
     parts = [f"""w AS (SELECT t.w, COUNT(*) AS f FROM (
           SELECT unnest(regexp_extract_all(lower(text), '{_BPE_RE}')) AS w
           FROM documents) t GROUP BY t.w),
-s0 AS (SELECT f, list_transform(generate_series(1, length(w)),
+s0 AS (SELECT w, f, list_transform(generate_series(1, length(w)),
                                 i -> substring(w, i, 1)) AS syms FROM w)"""]
     for r in range(k):
         parts.append(f"""p{r} AS (SELECT f, syms[i] AS a, syms[i + 1] AS b
        FROM s{r}, unnest(generate_series(1, len(syms) - 1)) AS t(i)),
 m{r} AS (SELECT a, b, CAST(SUM(f) AS BIGINT) AS c
        FROM p{r} GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1),
-x{r} AS (SELECT f, syms, m.a AS ma, m.b AS mb,
+x{r} AS (SELECT w, f, syms, m.a AS ma, m.b AS mb,
               list_transform(generate_series(1, len(syms)), i ->
                 i < len(syms) AND syms[i] = m.a AND syms[i + 1] = m.b
                 AND (m.a <> m.b OR
@@ -623,7 +623,7 @@ x{r} AS (SELECT f, syms, m.a AS ma, m.b AS mb,
                                              j -> j < i AND syms[j] <> m.a)[-1],
                                  0) + 1)) % 2 = 0)) AS ms
        FROM s{r} CROSS JOIN m{r} m),
-s{r + 1} AS (SELECT f,
+s{r + 1} AS (SELECT w, f,
               list_filter(list_transform(generate_series(1, len(syms)), i ->
                 CASE WHEN i > 1 AND ms[i - 1] THEN NULL
                      WHEN ms[i] THEN ma || mb
@@ -639,3 +639,30 @@ def _bpe_train_sql(k: int = _BPE_MERGES) -> str:
         for r in range(k)
     )
     return f"WITH {_bpe_ctes(k)}\n{ranks}\nORDER BY rank"
+
+
+# --------------------------------------------------------------------------
+# BPE encode stats — ROUND-12+ REGISTRATION CANDIDATE (staged): apply the
+# learned merge table back to the corpus — per-document word/char/BPE-token
+# counts (operators/bpe.bpe_encode_stats). Encoding is ONE equi-join of the
+# corpus tokens against the trainer's distinct-word segmentation table; the
+# compression the K merges buy is n_chars_tok / n_tokens_bpe. All-integer.
+# --------------------------------------------------------------------------
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators.bpe import bpe_encode_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_stats(docs, k_merges=_BPE_MERGES).orderBy("doc_id")
+
+
+def _bpe_encode_sql(k: int = _BPE_MERGES) -> str:
+    return f"""WITH {_bpe_ctes(k)},
+tok AS (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '{_BPE_RE}')) AS w
+        FROM documents)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(t.w)) AS BIGINT) AS n_chars_tok,
+       CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens_bpe
+FROM tok t JOIN s{k} s ON s.w = t.w
+GROUP BY t.doc_id ORDER BY t.doc_id"""

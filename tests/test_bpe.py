@@ -142,3 +142,27 @@ def test_bpe_oracle_matches_python_reference_randomized():
         assert got == exp, (texts, k, got, exp)
 
     run()
+
+
+def test_bpe_encode_stats_oracle_parity_and_consistency(spark):
+    """Round-12+ registration candidate (staged): hash-exact parity at
+    both fixture SFs; per-doc invariants — BPE tokens never exceed the
+    char baseline, never undercut the word count, and 8 merges buy REAL
+    compression somewhere (strict inequality on the corpus total)."""
+    from data_engineer_development_spark.queries.extras import (
+        _bpe_encode_sql,
+        q_bpe_encode_stats,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    sql = _bpe_encode_sql()
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "bpe_encode_stats", q_bpe_encode_stats, sql
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    rows = q_bpe_encode_stats(spark, SF_CORRECT).collect()
+    assert all(r["n_words"] <= r["n_tokens_bpe"] <= r["n_chars_tok"] for r in rows)
+    assert sum(r["n_tokens_bpe"] for r in rows) < sum(r["n_chars_tok"] for r in rows)

@@ -159,3 +159,50 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def detected_pairs_event_ttl(order, bk, qvs, tau, ttl, tables, delay):
+    """Event-time TTL mirror (BASELINE.md round-11 event-TTL table):
+    event time = vec_id; the watermark is max event time SEEN so far −
+    delay (Spark's global watermark, advancing after each arrival); a
+    bucket is evicted at data arrival when the watermark has passed its
+    max seen event time + ttl — exactly the kernel's self-expiry rule
+    (streaming/stateful.make_neardup_gate_update(event_ttl_ms=...)).
+    With delay ≥ the stream's event-time disorder this is DETERMINISTIC:
+    identical detection sets for any processing order."""
+    import math
+
+    state: dict = {}
+    det = set()
+    wm = -(10**9)
+    for vid in order:
+        for t in range(tables):
+            key = (t, bk[vid][t])
+            max_ets, members = state.get(key, (None, []))
+            if max_ets is not None and wm > max_ets + ttl:
+                members, max_ets = [], None
+            for m in members:
+                a, b = qvs[m], qvs[vid]
+                cos = float(a @ b) / math.sqrt(float(a @ a) * float(b @ b))
+                if cos >= tau:
+                    det.add((min(m, vid), max(m, vid)))
+            members = members + [vid]
+            max_ets = vid if max_ets is None else max(max_ets, vid)
+            state[key] = (max_ets, members)
+        wm = max(wm, vid - delay)
+    return det
+
+
+def window_shuffle(ids, w):
+    """Deterministic replay with event-time disorder bounded by ``w``:
+    md5-shuffle within consecutive windows of w ids."""
+    import hashlib
+
+    out = []
+    for lo in range(0, len(ids), w):
+        blk = sorted(
+            ids[lo : lo + w],
+            key=lambda v: hashlib.md5(str(v).encode()).hexdigest(),
+        )
+        out.extend(blk)
+    return out

@@ -569,36 +569,59 @@ def stream_neardup_gate(
     if event_ttl_ms is not None:
         assert event_time_col, "event_ttl_ms requires event_time_col"
         assert ttl_ms is None, "ttl_ms and event_ttl_ms are mutually exclusive"
-        assert tables == 1, (
-            "event-time TTL currently composes with the single-table gate; "
-            "banding is mechanical (same kernel) but unexercised — extend "
-            "with a test when needed"
-        )
         # watermark BEFORE the projections (it must bind to the raw
         # event-time column); EventTimeTimeout without a watermark is a
         # query-start error, so failure is loud, not silent
         vectors = vectors.withWatermark(event_time_col, watermark_delay)
         q = _with_quantized(vectors, id_col, vec_col, event_time_col)
         usable = q.filter((F.size(vec_col) == dims) & (F.col("qn") > 0))
-        bucketed = bucket_assign(
-            usable, planes=planes, dims=dims, vec_col=vec_col
+        if tables == 1:
+            bucketed = bucket_assign(
+                usable, planes=planes, dims=dims, vec_col=vec_col
+            )
+            return (
+                # the WATERMARKED timestamp column itself must reach the
+                # stateful op (a derived unix_millis long loses the
+                # watermark tag and EventTimeTimeout then fails analysis);
+                # the kernel converts to epoch ms. alias keeps the
+                # attribute metadata.
+                bucketed.select(
+                    id_col, "qv", "bucket", F.col(event_time_col).alias("ets")
+                )
+                .groupBy("bucket")
+                .applyInPandasWithState(
+                    make_neardup_gate_update(
+                        dims, tau, event_ttl_ms=event_ttl_ms
+                    ),
+                    outputStructType=GATE_OUTPUT_SCHEMA,
+                    stateStructType=GATE_EVENT_STATE_SCHEMA,
+                    outputMode="update",
+                    timeoutConf=GroupStateTimeout.EventTimeTimeout,
+                )
+            )
+        # banded + event TTL: same per-table unpivot as the plain banded
+        # gate, the watermarked timestamp riding along into every
+        # (tbl, bucket) group; each table's state expires independently
+        # on the same global watermark
+        b = usable
+        for t in range(tables):
+            b = bucket_assign(
+                b, planes=planes, dims=dims, vec_col=vec_col,
+                plane_offset=t * planes, out_col=f"__b{t}",
+            )
+        stack = ", ".join(f"cast({t} as int), __b{t}" for t in range(tables))
+        exploded = b.selectExpr(
+            id_col, "qv", f"{event_time_col} as ets",
+            f"stack({tables}, {stack}) as (tbl, bucket)",
         )
-        return (
-            # the WATERMARKED timestamp column itself must reach the
-            # stateful op (a derived unix_millis long loses the watermark
-            # tag and EventTimeTimeout then fails analysis); the kernel
-            # converts to epoch ms. alias keeps the attribute metadata.
-            bucketed.select(
-                id_col, "qv", "bucket", F.col(event_time_col).alias("ets")
-            )
-            .groupBy("bucket")
-            .applyInPandasWithState(
-                make_neardup_gate_update(dims, tau, event_ttl_ms=event_ttl_ms),
-                outputStructType=GATE_OUTPUT_SCHEMA,
-                stateStructType=GATE_EVENT_STATE_SCHEMA,
-                outputMode="update",
-                timeoutConf=GroupStateTimeout.EventTimeTimeout,
-            )
+        return exploded.groupBy("tbl", "bucket").applyInPandasWithState(
+            make_neardup_gate_update(
+                dims, tau, banded=True, event_ttl_ms=event_ttl_ms
+            ),
+            outputStructType=BANDED_GATE_OUTPUT_SCHEMA,
+            stateStructType=GATE_EVENT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
 
     q = _with_quantized(vectors, id_col, vec_col)

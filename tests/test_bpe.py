@@ -166,3 +166,28 @@ def test_bpe_encode_stats_oracle_parity_and_consistency(spark):
     rows = q_bpe_encode_stats(spark, SF_CORRECT).collect()
     assert all(r["n_words"] <= r["n_tokens_bpe"] <= r["n_chars_tok"] for r in rows)
     assert sum(r["n_tokens_bpe"] for r in rows) < sum(r["n_chars_tok"] for r in rows)
+
+
+def test_bpe_oracle_multibyte_chars_match_reference():
+    """Unicode stance, pinned: the pre-tokenizer emits every non-ASCII
+    char as its own single-char word ([^a-z0-9 ] is a one-char class),
+    so multibyte text never reaches the char-split/merge path as a
+    multi-symbol word — and the engines agree on the counts regardless
+    (DuckDB/py both count CHARACTERS, not bytes)."""
+    import duckdb
+
+    from data_engineer_development_spark.queries.extras import _bpe_train_sql
+
+    texts = ["héé 中中中 aé ❤❤ héé", "é中 héé ❤❤ zzz"]
+    exp = _py_bpe_reference(texts, 3, "[a-z]+|[0-9]+|[^a-z0-9 ]")
+    assert exp[0][1] == "z"  # merges can only form inside ASCII words
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    got = [
+        (int(r[0]), r[1], r[2], int(r[3]))
+        for r in con.execute(_bpe_train_sql(3)).fetchall()
+    ]
+    con.close()
+    assert got == exp

@@ -694,3 +694,75 @@ def test_event_ttl_gate_e2e_evicts_by_watermark(spark, tmp_path):
     assert got[0]["admitted"] == 1
     assert got[100]["admitted"] == 1 and got[100]["dup_of"] is None  # evicted!
     assert got[101]["admitted"] == 0 and got[101]["dup_of"] == 100
+
+
+def test_event_ttl_banded_gate_e2e(spark, tmp_path):
+    """Banded (tables=2) + event-time TTL compose: same 3-batch eviction
+    scenario as the single-table e2e, folded with combine_gate_tables —
+    the re-copy re-admits after the watermark passes bucket horizons in
+    EVERY table, and the in-window duplicate still drops."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from data_engineer_development_spark.streaming.stateful import (
+        combine_gate_tables,
+        stream_neardup_gate,
+    )
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    batches = [
+        [(0, [1.0, 0.0, 0.0, 0.0], t0)],
+        [(50, [0.0, 0.0, 0.0, 1.0], t0 + pd.Timedelta(hours=1))],
+        [
+            (100, [2.0, 0.0, 0.0, 0.0], t0 + pd.Timedelta(hours=1, seconds=1)),
+            (101, [3.0, 0.0, 0.0, 0.0], t0 + pd.Timedelta(hours=1, seconds=2)),
+        ],
+    ]
+    src = str(tmp_path / "bevecs")
+    os.makedirs(src)
+    base = _time.time()
+    seen_files: set = set()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": [r[1] for r in rows],
+                "ts": [r[2] for r in rows],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        new = {
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        } - seen_files
+        for f in new:
+            os.utime(os.path.join(src, f), (base + i, base + i))
+        seen_files |= new
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    gated = stream_neardup_gate(
+        stream, tau=0.9, planes=2, dims=4, tables=2,
+        event_time_col="ts", event_ttl_ms=600_000,
+        watermark_delay="1 second",
+    )
+    run_to_memory_sink(
+        gated, "t_ndgate_bettl", output_mode="update",
+        state_partitions=2, no_data_batches=True,
+    )
+    got = {
+        r["vec_id"]: r
+        for r in combine_gate_tables(spark.table("t_ndgate_bettl")).collect()
+    }
+    assert set(got) == {0, 50, 100, 101}
+    assert got[0]["admitted"] == 1
+    assert got[100]["admitted"] == 1 and got[100]["dup_of"] is None
+    assert got[101]["admitted"] == 0 and got[101]["dup_of"] == 100

@@ -42,9 +42,25 @@ from data_engineer_development_spark.cache import track_persist
 #: the family's parity-proven pre-tokenizer (queries/extras.py)
 BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+#: re-persist the evolving segmentation every N merge rounds. Without it
+#: round r's argmax re-evaluates all r prior mask/merge projections over
+#: the word table (O(k²) recompute) and Catalyst analyzes a k-deep nested
+#: lambda chain — fine at k=8, quadratic pain at real vocabulary sizes.
+#: Each checkpoint is one vocab-sized materialization; the previous
+#: cached generation is dropped once the new one is live.
+BPE_PERSIST_EVERY = 8
+
 
 def _sql_quote(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+    """Spark SQL string literal. Spark's parser treats backslash as a
+    C-style escape inside literals (unlike standard SQL / DuckDB), so
+    backslashes must be doubled or the literal is mangled/unterminated.
+    Under the DEFAULT pre-tokenizer backslash/quote chars are single-char
+    words (no pairs → never a merge symbol), but a CUSTOM ``token_re``
+    that admits them inside words routes them straight into the merge
+    literals — and ``token_re`` itself is interpolated through this same
+    quoting (regexes are made of backslashes)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _merged_mask_sql(pa: str, pb: str) -> str:
@@ -95,7 +111,10 @@ def bpe_train(
     words = (
         docs.select(
             F.explode(
-                F.expr(f"regexp_extract_all(lower({text_col}), '{token_re}', 0)")
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), "
+                    f"{_sql_quote(token_re)}, 0)"
+                )
             ).alias("w")
         )
         .groupBy("w")
@@ -110,6 +129,7 @@ def bpe_train(
             ).alias("syms"),
         )
     )
+    persisted = segs
 
     merges: list[tuple[int, str, str, int]] = []
     for r in range(k_merges):
@@ -129,6 +149,11 @@ def bpe_train(
         segs = segs.select(
             "w", "f", F.expr(_apply_merge_sql(pa, pb)).alias("syms")
         )
+        if (r + 1) % BPE_PERSIST_EVERY == 0 and r + 1 < k_merges:
+            segs = track_persist(segs)
+            segs.count()  # materialize before dropping the parent cache
+            persisted.unpersist()
+            persisted = segs
 
     merges_df = spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, pair_count long"
@@ -161,7 +186,10 @@ def bpe_encode_stats(
     toks = docs.select(
         id_col,
         F.explode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '{token_re}', 0)")
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), "
+                f"{_sql_quote(token_re)}, 0)"
+            )
         ).alias("w"),
     )
     return (

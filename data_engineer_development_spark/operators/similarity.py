@@ -790,12 +790,16 @@ def semdedup_incremental(
     lowest covering base id) or, failing that, by a LOWER-ID new vector.
     Base verdicts are never re-opened; base/new ids must be disjoint
     (caller contract — the registry entry splits on md5 parity). The
-    contract is ENFORCED, not just documented: an id on both sides is
-    always assigned to the same cell (identical vector → identical
-    quantization → identical argmax), so the per-cell kernel sees every
-    violation and raises ``ValueError`` instead of silently emitting the
-    plausible-looking self-coverage verdict (cosine 1.0, dup_of = own id)
-    an unchecked overlap would produce.
+    per-cell kernel GUARDS the common violation: an id carried on both
+    sides with the SAME payload lands in the same cell twice (identical
+    vector → identical quantization → identical argmax) and raises
+    ``ValueError`` instead of silently emitting the plausible-looking
+    self-coverage verdict (cosine 1.0, dup_of = own id). The guard is
+    deliberately zero-extra-jobs and therefore NOT exhaustive: an
+    overlapping id whose vector CHANGED between sides (a re-embedded
+    record) can land in different cells and passes unseen — a caller who
+    can't guarantee disjointness must anti-join ids up front; re-embeds
+    are a delete + insert, not an incremental delta.
 
     The scale win is what the kernel does NOT compute: per cell the Gram
     work is |base|·|new| + |new|² — never |base|² (on a daily delta
@@ -814,9 +818,13 @@ def semdedup_incremental(
     """
     qb = _with_quantized(base, id_col, vec_col)
     if k_cells is None:
-        # auto-K from the BASE side's raw count (the frozen-codebook
-        # side) — metadata-served upper bound, same rationale as the
-        # one-shot's
+        # auto-K from the BASE side's row count (the frozen-codebook
+        # side). Metadata-served only when base is an unfiltered scan —
+        # a filtered base pays a thin count pass (filter + count, no
+        # quantization); callers on the incremental hot path should pass
+        # k_cells explicitly (the compacted base's K is already known
+        # from the pass that built it — re-deriving it per delta is
+        # wasted work AND risks moving cell boundaries).
         k_cells = auto_k_cells(base.count())
     cents, dims = _seed_codebook(qb, k_cells, dims, id_col)
 

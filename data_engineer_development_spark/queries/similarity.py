@@ -176,18 +176,40 @@ _SD_TAU = 0.4
 _SD_ITERS = 2
 
 
+
+def _auto_k_pinned(vecs: DataFrame) -> int:
+    """Resolve the measured auto-K policy for a registered entry and FAIL
+    LOUDLY if it diverges from the static oracles' LIMIT {_SD_K} — a
+    bigger fixture would otherwise hash-mismatch three entries with
+    nothing pointing at the cause (review r11). The count is the same
+    metadata-served upper bound the operator's k_cells=None path uses."""
+    from data_engineer_development_spark.operators.similarity import (
+        auto_k_cells,
+    )
+
+    k = auto_k_cells(vecs.count())
+    assert k == _SD_K, (
+        f"auto_k_cells resolved to {k} but the registered semdedup oracles "
+        f"pin LIMIT {_SD_K}: regenerate the oracle SQL with the new K (the "
+        "fixture outgrew k_min*target_cell) instead of shipping a silent "
+        "hash mismatch"
+    )
+    return k
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     # dims pinned to the oracle's constant: both engines must agree on
     # WHICH vectors participate (codebook membership included), not just
     # on the arithmetic — same discipline as bucket_assign(dims=DIMS).
-    # k_cells=None exercises the MEASURED auto-K policy (operators/
-    # similarity.auto_k_cells, r11): at every fixture SF (N = 500/500/
-    # 2000 ≤ 8·1024) it resolves to k_min = 8 == _SD_K, the literal the
-    # static oracle pins — asserted by tests/test_semdedup.py::
-    # test_auto_k_matches_oracle_constant_at_fixture_scale.
+    # the MEASURED auto-K policy (operators/similarity.auto_k_cells,
+    # r11) resolves K at runtime; _auto_k_pinned asserts it still equals
+    # the static oracles' LIMIT constant so a grown fixture fails loudly
+    # instead of hash-mismatching (also pinned at fixture sizes by
+    # tests/test_semdedup.py::test_auto_k_matches_oracle_constant...).
     return S.semdedup(
-        vecs, k_cells=None, tau=_SD_TAU, dims=DIMS, train_iters=_SD_ITERS
+        vecs, k_cells=_auto_k_pinned(vecs), tau=_SD_TAU, dims=DIMS,
+        train_iters=_SD_ITERS,
     ).orderBy("vec_id")
 
 
@@ -322,8 +344,9 @@ ORDER BY asg.vec_id
 def q_semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     truth = S.quantized_neardup_pairs(vecs, _SD_TAU, dims=DIMS)
-    asg = S.semdedup(  # k_cells=None → auto-K (== _SD_K at fixture scale)
-        vecs, k_cells=None, tau=_SD_TAU, dims=DIMS, train_iters=_SD_ITERS
+    asg = S.semdedup(  # auto-K, loudly pinned to the oracle constant
+        vecs, k_cells=_auto_k_pinned(vecs), tau=_SD_TAU, dims=DIMS,
+        train_iters=_SD_ITERS,
     ).select("vec_id", "cell")
     a1 = asg.select(F.col("vec_id").alias("id1"), F.col("cell").alias("cell1"))
     a2 = asg.select(F.col("vec_id").alias("id2"), F.col("cell").alias("cell2"))
@@ -520,10 +543,11 @@ def _sd_split_duck(col: str = "vec_id") -> str:
 def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     side = F.expr(_SD_SPLIT_SPARK)
+    base = vecs.filter(side == 0)
     return S.semdedup_incremental(
-        vecs.filter(side == 0),
+        base,
         vecs.filter(side == 1),
-        k_cells=None,  # auto-K from the base pool (== _SD_K at fixture scale)
+        k_cells=_auto_k_pinned(base),  # auto-K, loudly pinned to the oracle
         tau=_SD_TAU,
         dims=DIMS,
         train_iters=_SD_ITERS,

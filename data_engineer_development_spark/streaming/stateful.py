@@ -478,15 +478,17 @@ def make_neardup_gate_update(
             seen = np.vstack([seen, B])
             if event_ttl_ms is not None:
                 # max over state + batch: out-of-order arrivals must
-                # never move the eviction horizon BACKWARD. ets arrives
-                # as the watermarked TIMESTAMP column (see the gate's
-                # projection note) — normalize to epoch ms whatever the
-                # Arrow-side datetime64 unit; plain longs pass through
-                # (the FakeGroupState kernel tests feed ints).
-                ets = pdf["ets"]
-                if ets.dtype.kind == "M":
-                    ets = ets.astype("datetime64[ms]").astype("int64")
-                batch_max = int(ets.max())
+                # never move the eviction horizon BACKWARD. ets is the
+                # UTC epoch-ms LONG the gate projects with unix_millis
+                # (NOT the watermarked timestamp column itself:
+                # applyInPandasWithState renders timestamps to pandas in
+                # the SESSION timezone tz-naive, so converting here would
+                # shift by the UTC offset and break the comparison
+                # against getCurrentWatermarkMs/setTimeoutTimestamp,
+                # which are true UTC epoch ms — a non-UTC session would
+                # evict live state on every batch or arm an
+                # already-expired timeout).
+                batch_max = int(pdf["ets"].max())
                 max_ets = (
                     batch_max if max_ets is None else max(int(max_ets), batch_max)
                 )
@@ -566,6 +568,14 @@ def stream_neardup_gate(
         bucket_assign,
     )
 
+    # the kernel and the fixed output/state schemas name the id column
+    # vec_id; an arbitrary id_col would KeyError inside the stateful op
+    # mid-query — fail at plan time instead. Rename upstream:
+    # df.withColumnRenamed("doc_id", "vec_id").
+    assert id_col == "vec_id", (
+        f"stream_neardup_gate: id_col={id_col!r} unsupported — the state "
+        "kernel and GATE_*_SCHEMA pin 'vec_id'; rename the column upstream"
+    )
     if event_ttl_ms is not None:
         assert event_time_col, "event_ttl_ms requires event_time_col"
         assert ttl_ms is None, "ttl_ms and event_ttl_ms are mutually exclusive"
@@ -581,12 +591,20 @@ def stream_neardup_gate(
             )
             return (
                 # the WATERMARKED timestamp column itself must reach the
-                # stateful op (a derived unix_millis long loses the
-                # watermark tag and EventTimeTimeout then fails analysis);
-                # the kernel converts to epoch ms. alias keeps the
-                # attribute metadata.
+                # stateful op (a derived long alone loses the watermark
+                # tag and EventTimeTimeout then fails analysis) — it
+                # rides along as __wm_ts, UNUSED by the kernel, while
+                # the kernel reads ets = unix_millis(ts): a session-
+                # timezone-independent UTC epoch-ms long, matching the
+                # UTC-epoch GroupState watermark/timeout APIs (pandas
+                # renders timestamps session-local tz-naive, so deriving
+                # ms kernel-side would shift by the UTC offset).
                 bucketed.select(
-                    id_col, "qv", "bucket", F.col(event_time_col).alias("ets")
+                    id_col,
+                    "qv",
+                    "bucket",
+                    F.col(event_time_col).alias("__wm_ts"),
+                    F.expr(f"unix_millis({event_time_col})").alias("ets"),
                 )
                 .groupBy("bucket")
                 .applyInPandasWithState(
@@ -611,7 +629,8 @@ def stream_neardup_gate(
             )
         stack = ", ".join(f"cast({t} as int), __b{t}" for t in range(tables))
         exploded = b.selectExpr(
-            id_col, "qv", f"{event_time_col} as ets",
+            id_col, "qv", f"{event_time_col} as __wm_ts",
+            f"unix_millis({event_time_col}) as ets",
             f"stack({tables}, {stack}) as (tbl, bucket)",
         )
         return exploded.groupBy("tbl", "bucket").applyInPandasWithState(

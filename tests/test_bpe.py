@@ -191,3 +191,58 @@ def test_bpe_oracle_multibyte_chars_match_reference():
     ]
     con.close()
     assert got == exp
+
+
+def test_bpe_train_handles_backslash_and_quote_tokens(spark):
+    """Spark SQL literals are C-style-escaped (unlike DuckDB): a corpus
+    whose winning pair involves backslash or quote single-char tokens
+    must train without parse errors and match the python reference —
+    the _sql_quote regression (review r11)."""
+    from data_engineer_development_spark.operators.bpe import (
+        BPE_TOKEN_RE,
+        bpe_train,
+    )
+
+    # the DEFAULT tokenizer emits backslash/quote as single-char words
+    # (no pairs possible), so the quoting path only triggers through a
+    # CUSTOM token_re that admits them inside words — exactly the custom
+    # regex the review flagged as silently mangled before the fix
+    token_re = r"[a-z\\']+|[0-9]+|[^a-z0-9 ]"
+    texts = [r"a\b a\b a\b c'd c'd"] * 2
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(docs, k_merges=3, token_re=token_re)
+        .orderBy("rank")
+        .collect()
+    ]
+    exp = _py_bpe_reference(texts, 3, token_re)
+    assert got == exp
+    assert any("\\" in (a + b) for _, a, b, _c in got)
+    assert any("'" in (a + b) for _, a, b, _c in got)
+
+
+def test_bpe_train_across_persist_checkpoint(spark):
+    """k_merges > BPE_PERSIST_EVERY exercises the periodic re-persist
+    (the O(k²) recompute bound): results must be identical to the
+    reference across the checkpoint boundary."""
+    from conftest import SF_SMOKE
+
+    from data_engineer_development_spark.operators.bpe import (
+        BPE_PERSIST_EVERY,
+        BPE_TOKEN_RE,
+        bpe_train,
+    )
+    from data_engineer_development_spark.sources import load_table
+
+    k = BPE_PERSIST_EVERY + 2
+    docs = load_table(spark, SF_SMOKE, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    exp = _py_bpe_reference(texts, k, BPE_TOKEN_RE)
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(docs, k_merges=k).orderBy("rank").collect()
+    ]
+    assert got == exp

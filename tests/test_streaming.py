@@ -617,13 +617,8 @@ def test_event_ttl_kernel_self_expires_on_watermark():
     assert state.timeout_set_ts == 9_000
 
 
-def test_event_ttl_gate_e2e_evicts_by_watermark(spark, tmp_path):
-    """Three-micro-batch run (maxFilesPerTrigger=1, AvailableNow): batch
-    1 admits vector 0; batch 2's far-future event time advances the
-    watermark past vector 0's horizon; batch 3's near-copy of vector 0
-    is then RE-ADMITTED (the documented TTL trade) while batch 3's own
-    in-window duplicate still drops against it — event-time eviction
-    end-to-end under a real watermark, not just the kernel."""
+def _run_event_ttl_scenario(spark, tmp_path, name):
+    """Shared 3-batch eviction scenario (see the test docstrings)."""
     import os
     import time as _time
 
@@ -651,7 +646,7 @@ def test_event_ttl_gate_e2e_evicts_by_watermark(spark, tmp_path):
             (101, [3.0, 0.0, 0.0, 0.0], t0 + pd.Timedelta(hours=1, seconds=2)),
         ],
     ]
-    src = str(tmp_path / "evecs")
+    src = str(tmp_path / ("evecs_" + name))
     os.makedirs(src)
     base = _time.time()
     seen_files: set = set()
@@ -686,14 +681,46 @@ def test_event_ttl_gate_e2e_evicts_by_watermark(spark, tmp_path):
         watermark_delay="1 second",
     )
     run_to_memory_sink(
-        gated, "t_ndgate_ettl", output_mode="update",
+        gated, "t_ndgate_" + name, output_mode="update",
         state_partitions=2, no_data_batches=True,
     )
-    got = {r["vec_id"]: r for r in spark.table("t_ndgate_ettl").collect()}
+    return {
+        r["vec_id"]: r for r in spark.table("t_ndgate_" + name).collect()
+    }
+
+
+def _assert_event_ttl_verdicts(got):
     assert set(got) == {0, 50, 100, 101}
     assert got[0]["admitted"] == 1
     assert got[100]["admitted"] == 1 and got[100]["dup_of"] is None  # evicted!
     assert got[101]["admitted"] == 0 and got[101]["dup_of"] == 100
+
+
+def test_event_ttl_gate_e2e_evicts_by_watermark(spark, tmp_path):
+    """Three-micro-batch run (maxFilesPerTrigger=1, AvailableNow): batch
+    1 admits vector 0; batch 2's far-future event time advances the
+    watermark past vector 0's horizon; batch 3's near-copy of vector 0
+    is then RE-ADMITTED (the documented TTL trade) while batch 3's own
+    in-window duplicate still drops against it — event-time eviction
+    end-to-end under a real watermark, not just the kernel."""
+    _assert_event_ttl_verdicts(_run_event_ttl_scenario(spark, tmp_path, "ettl"))
+
+
+def test_event_ttl_gate_is_session_timezone_independent(spark, tmp_path):
+    """The kernel compares UTC epoch ms against UTC watermark APIs; the
+    ets column is projected with unix_millis (session-TZ-independent)
+    rather than derived from the pandas-rendered SESSION-LOCAL
+    timestamps. Under a -8h session TZ a local-derived ets would sit
+    8 h below the watermark and wipe live state every batch (or arm an
+    already-expired timeout and crash) — this pins identical verdicts
+    under a non-UTC session."""
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        got = _run_event_ttl_scenario(spark, tmp_path, "ettl_tz")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+    _assert_event_ttl_verdicts(got)
 
 
 def test_event_ttl_banded_gate_e2e(spark, tmp_path):

@@ -117,50 +117,6 @@ def detected_pairs(order, bk, qvs, tau, ttl, tables):
     return det
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="0.01")
-    ap.add_argument("--planes", type=int, default=2)
-    ap.add_argument("--tables", default="1,2")
-    ap.add_argument("--tau", type=float, default=0.4)
-    ap.add_argument("--dims", type=int, default=64)
-    args = ap.parse_args()
-
-    rows = load_rows(args.sf)
-    qvs = quantize(rows, args.dims)
-    raw_by_id = {vid: v for vid, v in rows if vid in qvs}
-    truth = truth_pairs(qvs, args.tau)
-    n = len(qvs)
-    print(f"sf{args.sf}: {n} usable vectors, {len(truth)} truth pairs")
-
-    in_order = sorted(qvs)
-    replay = sorted(  # deterministic md5 shuffle = out-of-order replay
-        qvs, key=lambda v: hashlib.md5(str(v).encode()).hexdigest()
-    )
-    ttls = [None, n, n // 2, n // 4, n // 8, n // 16, n // 32]
-    for tables in [int(x) for x in args.tables.split(",")]:
-        bk = {
-            vid: buckets_for(raw_by_id, vid, args.planes, tables, args.dims)
-            for vid in qvs
-        }
-        n_buckets = tables * (1 << args.planes)
-        print(f"\nplanes={args.planes} tables={tables} "
-              f"(~{n / (1 << args.planes):.0f} arrivals/bucket-gap unit)")
-        print("ttl_ticks | recall in-order | recall replay")
-        for ttl in ttls:
-            r_in = len(detected_pairs(in_order, bk, qvs, args.tau, ttl, tables))
-            r_rp = len(detected_pairs(replay, bk, qvs, args.tau, ttl, tables))
-            label = "none" if ttl is None else str(ttl)
-            print(f"{label:>9} | {r_in / len(truth):.4f} | "
-                  f"{r_rp / len(truth):.4f}")
-        _ = n_buckets
-    return 0
-
-
-if __name__ == "__main__":
-    raise SystemExit(main())
-
-
 def detected_pairs_event_ttl(order, bk, qvs, tau, ttl, tables, delay):
     """Event-time TTL mirror (BASELINE.md round-11 event-TTL table):
     event time = vec_id; the watermark is max event time SEEN so far −
@@ -206,3 +162,63 @@ def window_shuffle(ids, w):
         )
         out.extend(blk)
     return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="0.01")
+    ap.add_argument("--planes", type=int, default=2)
+    ap.add_argument("--tables", default="1,2")
+    ap.add_argument("--tau", type=float, default=0.4)
+    ap.add_argument("--dims", type=int, default=64)
+    ap.add_argument("--event", action="store_true",
+                    help="also print the event-TTL table (disorder-bounded "
+                         "window shuffle, delay = disorder bound W)")
+    ap.add_argument("--disorder", type=int, default=50)
+    args = ap.parse_args()
+
+    rows = load_rows(args.sf)
+    qvs = quantize(rows, args.dims)
+    raw_by_id = {vid: v for vid, v in rows if vid in qvs}
+    truth = truth_pairs(qvs, args.tau)
+    n = len(qvs)
+    print(f"sf{args.sf}: {n} usable vectors, {len(truth)} truth pairs")
+
+    in_order = sorted(qvs)
+    replay = sorted(  # deterministic md5 shuffle = out-of-order replay
+        qvs, key=lambda v: hashlib.md5(str(v).encode()).hexdigest()
+    )
+    ttls = [None, n, n // 2, n // 4, n // 8, n // 16, n // 32]
+    for tables in [int(x) for x in args.tables.split(",")]:
+        bk = {
+            vid: buckets_for(raw_by_id, vid, args.planes, tables, args.dims)
+            for vid in qvs
+        }
+        n_buckets = tables * (1 << args.planes)
+        print(f"\nplanes={args.planes} tables={tables} "
+              f"(~{n / (1 << args.planes):.0f} arrivals/bucket-gap unit)")
+        print("ttl_ticks | recall in-order | recall replay")
+        for ttl in ttls:
+            r_in = len(detected_pairs(in_order, bk, qvs, args.tau, ttl, tables))
+            r_rp = len(detected_pairs(replay, bk, qvs, args.tau, ttl, tables))
+            label = "none" if ttl is None else str(ttl)
+            print(f"{label:>9} | {r_in / len(truth):.4f} | "
+                  f"{r_rp / len(truth):.4f}")
+        _ = n_buckets
+        if args.event:
+            W = args.disorder
+            rp_w = window_shuffle(in_order, W)
+            print(f"event-TTL (disorder<=W={W}, delay=W):")
+            print("ttl_ticks | recall in-order | recall replay")
+            for ttl in [t for t in ttls if t is not None]:
+                e_in = len(detected_pairs_event_ttl(
+                    in_order, bk, qvs, args.tau, ttl, tables, W))
+                e_rp = len(detected_pairs_event_ttl(
+                    rp_w, bk, qvs, args.tau, ttl, tables, W))
+                print(f"{ttl:>9} | {e_in / len(truth):.4f} | "
+                      f"{e_rp / len(truth):.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

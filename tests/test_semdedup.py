@@ -226,11 +226,11 @@ def test_lloyd_trainer_matches_pure_python_mirror(spark):
                 members = [usable[v] for v, cell in a.items() if cell == cid]
                 if members:
                     s = np.sum(np.stack(members), axis=0)
+                    n = len(members)
+                    # exact integer floor(s/n + 0.5) — the r11 spec both
+                    # engines implement ((2s+n) fld (2n); no 2^53 ceiling)
                     nqv = np.array(
-                        [
-                            int(math.floor(int(sd) / len(members) + 0.5))
-                            for sd in s
-                        ],
+                        [(2 * int(sd) + n) // (2 * n) for sd in s],
                         dtype=np.int64,
                     )
                     if int(nqv @ nqv) > 0:
@@ -711,3 +711,85 @@ def test_dedup_modality_overlap_oracle_parity(spark):
     assert r["n_lex"] == r["n_both"] + r["n_lex_only"]
     assert r["n_sem"] == r["n_both"] + r["n_sem_only"]
     assert r["n_lex_only"] > 0 and r["n_sem_only"] > 0, r
+
+
+def test_semdedup_sharded_matches_pure_python_mirror(spark):
+    """Randomized sharded corpora (sparse ids, NULL shards, zero vectors,
+    off-width vectors) against a per-shard python mirror of the spec:
+    per-shard K-lowest-id seed → argmax (s DESC, cent_id ASC) → greedy
+    per (shard, cell). Exact equality — identical IEEE op chain."""
+    import math
+
+    import numpy as np
+
+    DIMS, K, TAU = 4, 2, 0.6
+
+    def quant(vec):
+        v = np.array([float(np.float32(x)) for x in vec], dtype=np.float64)
+        mx = float(np.abs(v).max()) if len(v) else 0.0
+        if mx == 0.0:
+            return np.zeros(len(v), dtype=np.int64)
+        return np.floor(v * 127.0 / mx + 0.5).astype(np.int64)
+
+    def score(qa, qb):
+        return float(int(qa @ qb)) / math.sqrt(
+            float(int(qa @ qa) * int(qb @ qb))
+        )
+
+    def mirror(rows):
+        usable = {}
+        for vid, vec, shard in rows:
+            if shard is None or len(vec) != DIMS:
+                continue
+            qv = quant(vec)
+            if int(qv @ qv) > 0:
+                usable[vid] = (shard, qv)
+        out = {}
+        for shard in sorted({s for s, _ in usable.values()}):
+            ids = sorted(v for v, (s, _) in usable.items() if s == shard)
+            cb = [(v, usable[v][1]) for v in ids[:K]]
+            a = {
+                v: max(cb, key=lambda c: (score(usable[v][1], c[1]), -c[0]))[0]
+                for v in ids
+            }
+            for v in ids:
+                dup = None
+                for o in ids:
+                    if o >= v or a[o] != a[v]:
+                        continue
+                    if score(usable[o][1], usable[v][1]) >= TAU:
+                        dup = o
+                        break
+                out[v] = (shard, a[v], dup, 0 if dup is not None else 1)
+        return out
+
+    from data_engineer_development_spark.operators.similarity import (
+        semdedup_sharded,
+    )
+
+    for seed in (11, 12, 13):
+        rng = np.random.RandomState(seed)
+        rows = []
+        for i in range(40):
+            vid = int(rng.randint(10_000, 1_000_000))
+            shard = (
+                None if rng.rand() < 0.1 else int(rng.randint(0, 3) * 7)
+            )
+            if rng.rand() < 0.08:
+                vec = [0.0] * DIMS
+            elif rng.rand() < 0.08:
+                vec = [float(x) for x in rng.randn(DIMS + 1)]
+            else:
+                vec = [float(np.float32(x)) for x in rng.randn(DIMS)]
+            rows.append((vid, vec, shard))
+        rows = list({r[0]: r for r in rows}.values())  # unique ids
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = {
+            r["vec_id"]: (r["shard"], r["cell"], r["dup_of"], r["keep"])
+            for r in semdedup_sharded(
+                df, shard_col="label", k_cells=K, tau=TAU, dims=DIMS
+            ).collect()
+        }
+        assert got == mirror(rows), f"seed {seed}"

@@ -920,6 +920,100 @@ def semdedup_incremental(
 SHARDED_SEED_MAX_ROWS = 100_000
 
 
+def _assign_cells_sharded(
+    df: DataFrame, cents_by_shard: dict, shard_col: str
+) -> DataFrame:
+    """Per-shard cell assignment: the broadcast-numpy scorer of
+    ``_assign_cells(via='numpy')`` with one codebook PER SHARD (rows
+    grouped by the shard key inside each Arrow batch, each group scored
+    against its own codebook — same exact int64/IEEE math and
+    (s DESC, cent_id ASC) tie-break, bit-identical to a per-shard
+    literal argmax). Zero corpus shuffle."""
+    cb = {
+        s: (
+            np.array([c[0] for c in cents], dtype=np.int64),
+            np.vstack([np.array(c[1], dtype=np.int64) for c in cents]),
+            np.array([c[2] for c in cents], dtype=np.int64),
+        )
+        for s, cents in cents_by_shard.items()
+    }
+    in_cols = df.columns
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", cell long"
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf[in_cols].reset_index(drop=True)
+            cells = np.empty(len(pdf), dtype=np.int64)
+            for s, idx in pdf.groupby(shard_col).groups.items():
+                cent_ids, C, cqn = cb[s]
+                sub = pdf.loc[idx]
+                M = np.vstack(sub["qv"].to_numpy()).astype(np.int64)
+                qn = sub["qn"].to_numpy(dtype=np.int64)
+                sc = (M @ C.T).astype(np.float64) / np.sqrt(
+                    np.outer(qn, cqn).astype(np.float64)
+                )
+                cells[np.asarray(idx, dtype=np.int64)] = cent_ids[
+                    np.argmax(sc, axis=1)
+                ]
+            pdf = pdf.copy()
+            pdf["cell"] = cells
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
+
+
+def _lloyd_rounds_sharded(
+    usable: DataFrame,
+    cents_by_shard: dict,
+    dims: int,
+    train_iters: int,
+    shard_col: str,
+    id_col: str,
+) -> dict:
+    """Per-shard Lloyd rounds — the one-shot ``_lloyd_rounds`` with the
+    shard key added to the aggregate: assign by the current per-shard
+    codebooks (projection), per-(shard, cell) elementwise BIGINT sums
+    (ONE grouped shuffle, ≤ n_shards·K rows collected), new centroid =
+    the exact integer floor division ``(2·s + n) fld (2·n)`` per
+    dimension. A cell that empties or rounds to zero keeps its previous
+    centroid — shard by shard, exactly the one-shot rule, so training a
+    shard here equals training ``semdedup`` on that shard alone."""
+    for _ in range(train_iters):
+        sums = (
+            _assign_cells_sharded(usable, cents_by_shard, shard_col)
+            .groupBy(shard_col, "cell")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at("qv", d + 1)).alias(f"__s{d}")
+                    for d in range(dims)
+                ],
+            )
+            .collect()  # bounded: ≤ n_shards·k_cells rows
+        )
+        updated: dict = {}
+        for r in sums:
+            n = int(r["__n"])
+            nqv = [(2 * int(r[f"__s{d}"]) + n) // (2 * n) for d in range(dims)]
+            nqn = sum(x * x for x in nqv)
+            if nqn > 0:
+                updated[(r[shard_col], int(r["cell"]))] = (nqv, nqn)
+        cents_by_shard = {
+            s: [
+                (cid, *updated[(s, cid)])
+                if (s, cid) in updated
+                else (cid, cqv, cqn)
+                for cid, cqv, cqn in cents
+            ]
+            for s, cents in cents_by_shard.items()
+        }
+    return cents_by_shard
+
+
 def semdedup_sharded(
     vectors: DataFrame,
     shard_col: str = "label",
@@ -928,6 +1022,7 @@ def semdedup_sharded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Sharded SemDeDup: (id, shard, cell, dup_of, keep) — independent
     semantic dedup PER SHARD, the scale pattern ``auto_k_cells``'s clamp
@@ -949,11 +1044,13 @@ def semdedup_sharded(
 
     NULL shard keys are excluded with the same loudness as unusable
     vectors (documented, mirrored in the oracle's inner join + IS NOT
-    NULL). Codebooks here are id-seeded (train_iters=0 semantics);
-    per-shard Lloyd training composes exactly as the one-shot's and can
-    be added when a measured need shows — the dedup verdict rule,
-    quantization grid, and tie-breaks are byte-identical to
-    ``semdedup``'s.
+    NULL). ``train_iters`` runs per-shard Lloyd rounds
+    (``_lloyd_rounds_sharded`` — the one-shot trainer with the shard key
+    in the aggregate, exact integer means); training a shard here equals
+    training ``semdedup`` on that shard alone, pinned by the composition
+    test. The staged registry entry keeps train_iters=0 (its oracle pins
+    the id-seeded codebook); the dedup verdict rule, quantization grid,
+    and tie-breaks are byte-identical to ``semdedup``'s either way.
     """
     q = _with_quantized(
         vectors.filter(F.col(shard_col).isNotNull()), id_col, vec_col,
@@ -1007,43 +1104,14 @@ def semdedup_sharded(
         cents_by_shard.setdefault(r[shard_col], []).append(
             (int(r[id_col]), [int(x) for x in r["qv"]], int(r["qn"]))
         )
-    cb = {
-        s: (
-            np.array([c[0] for c in cents], dtype=np.int64),
-            np.vstack([np.array(c[1], dtype=np.int64) for c in cents]),
-            np.array([c[2] for c in cents], dtype=np.int64),
+
+    if train_iters > 0:
+        usable = track_persist(usable)
+        cents_by_shard = _lloyd_rounds_sharded(
+            usable, cents_by_shard, dims, train_iters, shard_col, id_col
         )
-        for s, cents in cents_by_shard.items()
-    }
-
+    assigned = _assign_cells_sharded(usable, cents_by_shard, shard_col)
     shard_t = usable.schema[shard_col].dataType.simpleString()
-
-    def assign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            pdf = pdf.reset_index(drop=True)
-            cells = np.empty(len(pdf), dtype=np.int64)
-            for s, idx in pdf.groupby(shard_col).groups.items():
-                cent_ids, C, cqn = cb[s]
-                sub = pdf.loc[idx]
-                M = np.vstack(sub["qv"].to_numpy()).astype(np.int64)
-                qn = sub["qn"].to_numpy(dtype=np.int64)
-                sc = (M @ C.T).astype(np.float64) / np.sqrt(
-                    np.outer(qn, cqn).astype(np.float64)
-                )
-                cells[np.asarray(idx, dtype=np.int64)] = cent_ids[
-                    np.argmax(sc, axis=1)
-                ]
-            pdf = pdf.copy()
-            pdf["cell"] = cells
-            yield pdf
-
-    assigned = usable.mapInPandas(
-        assign,
-        f"{id_col} long, {shard_col} {shard_t}, qv array<bigint>, "
-        "qn long, cell long",
-    )
 
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)

@@ -32,7 +32,7 @@ _ALLOWED = {
                             "control-plane shape as Lloyd's centroid "
                             "collect"),
     "catalog.py": (1, "SHOW TBLPROPERTIES — metadata rows, never data"),
-    "operators/similarity.py": (6, "documented bounded brute-force path "
+    "operators/similarity.py": (7, "documented bounded brute-force path "
                                    "behind the LSH auto-switch cap; semdedup "
                                    "codebook seed collect (≤ k_cells rows, "
                                    "folded into a literal assignment "
@@ -41,10 +41,12 @@ _ALLOWED = {
                                    "cell, the distributed-k-means driver "
                                    "round-trip); quantized truth-set matrix "
                                    "collect (ceiling-guarded exactness "
-                                   "baseline); sharded dims probe (limit-1) "
-                                   "and per-shard seed collect (≤ n_shards·"
+                                   "baseline); sharded dims probe (limit-1), "
+                                   "per-shard seed collect (≤ n_shards·"
                                    "k_cells rows, SHARDED_SEED_MAX_ROWS "
-                                   "guarded)"),
+                                   "guarded), and the sharded Lloyd "
+                                   "per-round sums collect (≤ n_shards·"
+                                   "k_cells rows — one per (shard, cell))"),
     "queries/contract_extras.py": (2, "5-row nation seed + 25-row dim seed "
                                       "— bounded control-plane landings"),
 }

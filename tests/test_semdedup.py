@@ -664,7 +664,9 @@ def test_semdedup_sharded_oracle_parity(spark):
 def test_semdedup_sharded_equals_per_shard_one_shot(spark):
     """Composition invariant: semdedup_sharded(df) must equal the union
     of semdedup(df.filter(shard == s)) over shards — same codebooks, same
-    cells, same verdicts. Checked on the fixture (10 label shards)."""
+    cells, same verdicts — at train_iters=0 AND with per-shard Lloyd
+    training (training a shard in the sharded op equals training the
+    one-shot on that shard alone). Checked on the fixture (10 shards)."""
     from data_engineer_development_spark.operators.similarity import (
         semdedup,
         semdedup_sharded,
@@ -672,19 +674,22 @@ def test_semdedup_sharded_equals_per_shard_one_shot(spark):
     from data_engineer_development_spark.sources import load_table
 
     vecs = load_table(spark, SF_CORRECT, "embeddings")
-    got = {
-        r["vec_id"]: (r["shard"], r["cell"], r["dup_of"], r["keep"])
-        for r in semdedup_sharded(
-            vecs, shard_col="label", k_cells=8, tau=0.4, dims=64
-        ).collect()
-    }
-    exp = {}
-    for s in range(10):
-        for r in semdedup(
-            vecs.filter(F.col("label") == s), k_cells=8, tau=0.4, dims=64
-        ).collect():
-            exp[r["vec_id"]] = (s, r["cell"], r["dup_of"], r["keep"])
-    assert got == exp
+    for iters in (0, 2):
+        got = {
+            r["vec_id"]: (r["shard"], r["cell"], r["dup_of"], r["keep"])
+            for r in semdedup_sharded(
+                vecs, shard_col="label", k_cells=8, tau=0.4, dims=64,
+                train_iters=iters,
+            ).collect()
+        }
+        exp = {}
+        for s in range(10):
+            for r in semdedup(
+                vecs.filter(F.col("label") == s), k_cells=8, tau=0.4,
+                dims=64, train_iters=iters,
+            ).collect():
+                exp[r["vec_id"]] = (s, r["cell"], r["dup_of"], r["keep"])
+        assert got == exp, f"train_iters={iters}"
 
 
 def test_dedup_modality_overlap_oracle_parity(spark):

@@ -42,13 +42,29 @@ from data_engineer_development_spark.cache import track_persist
 #: the family's parity-proven pre-tokenizer (queries/extras.py)
 BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
-#: re-persist the evolving segmentation every N merge rounds. Without it
+#: checkpoint the evolving segmentation every N merge rounds. Without it
 #: round r's argmax re-evaluates all r prior mask/merge projections over
 #: the word table (O(k²) recompute) and Catalyst analyzes a k-deep nested
 #: lambda chain — fine at k=8, quadratic pain at real vocabulary sizes.
-#: Each checkpoint is one vocab-sized materialization; the previous
-#: cached generation is dropped once the new one is live.
+#: The checkpoint must TRUNCATE THE LOGICAL PLAN, not just cache data:
+#: persist() alone leaves every prior round's projection in the plan, so
+#: analysis/optimization still reprocesses O(k) nodes per round —
+#: MEASURED on a 50k-word vocabulary (BASELINE.md r12 K-scaling):
+#: persist-only read 2.0 s/round at k=8 but 7.4 s/round at k=128
+#: (superlinear, driver-side), while localCheckpoint (eager, lineage-
+#: truncating) holds ~1.3-2.0 s/round flat through k=128. Each checkpoint
+#: is one vocab-sized materialization to executor storage; a cluster
+#: deployment that must survive executor loss swaps in reliable
+#: checkpoint() to durable storage — same plan shape.
 BPE_PERSIST_EVERY = 8
+
+#: contractual round-count ceiling (VERDICT r11 #3): each merge round is
+#: one sequential Spark job, so k_merges IS the trainer's scale term —
+#: measured ~0.17–0.19 s/round flat through k=128 (BASELINE.md K-scaling
+#: table), i.e. ~6 min at this ceiling. Production vocabularies (30k+)
+#: need batched top-M merging (an approximation — see bpe_train's
+#: docstring), deliberately not this exact-parity trainer.
+BPE_MAX_MERGES = 2048
 
 
 def _sql_quote(s: str) -> str:
@@ -106,7 +122,36 @@ def bpe_train(
     as a chain of projections over the persisted word table. Raises if
     the corpus runs out of pairs before ``k_merges`` (that is a caller
     error at any real scale, not a case to silently truncate).
+
+    SCALE CONTRACT — ``k_merges`` is the scale term, not the corpus
+    (VERDICT r11 #3): corpus size stops mattering after the single
+    word-frequency scan, but every merge round is one sequential Spark
+    job (pair-count + one-row argmax collect over distinct words), so
+    the trainer launches exactly ``k_merges`` jobs end to end. MEASURED
+    per-round cost is flat in k (BASELINE.md bpe_train K-scaling table:
+    ~0.19 s/round at k=8 through k=32 and ~0.17 s/round at k=128 on the
+    sf0.01 fixture — the ``BPE_PERSIST_EVERY`` checkpoint keeps the
+    lineage and the per-round plan constant-depth), so wall time is
+    ~linear: k·(job constant + vocab-sized pair count). That bounds the
+    SENSIBLE k here to the low thousands (minutes); a production 30k–
+    100k-merge vocabulary wants the standard distributed-BPE batching
+    trick — accept the top-M NON-CONFLICTING pairs per round (pairs
+    sharing no symbol can merge in one pass without changing the greedy
+    result ONLY when their counts dominate the interaction terms, which
+    is an approximation of classic BPE, not an exact reformulation —
+    the reason it is not silently swapped in here: this trainer's
+    contract is byte-exact parity with the sequential greedy the oracle
+    unrolls). Callers needing >~2k merges should batch at the call site
+    or accept the job-count wall; the guard below makes the contract
+    loud instead of letting a 50k-merge call schedule 50k jobs.
     """
+    if k_merges > BPE_MAX_MERGES:
+        raise ValueError(
+            f"bpe_train: k_merges={k_merges} exceeds BPE_MAX_MERGES="
+            f"{BPE_MAX_MERGES} — each merge is one sequential Spark job "
+            "(see docstring); raise the bound deliberately or batch "
+            "merges at the call site"
+        )
     spark = docs.sparkSession
     words = (
         docs.select(
@@ -141,7 +186,11 @@ def bpe_train(
             .limit(1)
             .collect()  # bounded: ONE row per round (argmax pair)
         )
-        assert top, f"bpe_train: corpus exhausted after {r} merges"
+        if not top:
+            # caller-facing contract (ADVICE r11): a real error, not an
+            # assert — under `python -O` the assert strips and the next
+            # line becomes an IndexError far from the cause
+            raise ValueError(f"bpe_train: corpus exhausted after {r} merges")
         a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
         merges.append((r + 1, a, b, c))
         pa, pb = _sql_quote(a), _sql_quote(b)
@@ -150,10 +199,13 @@ def bpe_train(
             "w", "f", F.expr(_apply_merge_sql(pa, pb)).alias("syms")
         )
         if (r + 1) % BPE_PERSIST_EVERY == 0 and r + 1 < k_merges:
-            segs = track_persist(segs)
-            segs.count()  # materialize before dropping the parent cache
-            persisted.unpersist()
-            persisted = segs
+            # eager + lineage-truncating: the NEXT round's plan starts
+            # from a LogicalRDD, not a (k-deep) projection chain — see
+            # the BPE_PERSIST_EVERY comment for the measured difference
+            segs = segs.localCheckpoint(eager=True)
+            if persisted is not None:
+                persisted.unpersist()
+                persisted = None
 
     merges_df = spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, pair_count long"

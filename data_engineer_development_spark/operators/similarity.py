@@ -778,6 +778,7 @@ def semdedup_incremental(
     vec_col: str = "embedding",
     dims: int | None = None,
     train_iters: int = 0,
+    strict: bool = False,
 ) -> DataFrame:
     """Incremental SemDeDup: verdicts for a NEW delta against an
     already-compacted BASE — the 100 TB compaction story (you never
@@ -797,9 +798,14 @@ def semdedup_incremental(
     self-coverage verdict (cosine 1.0, dup_of = own id). The guard is
     deliberately zero-extra-jobs and therefore NOT exhaustive: an
     overlapping id whose vector CHANGED between sides (a re-embedded
-    record) can land in different cells and passes unseen — a caller who
-    can't guarantee disjointness must anti-join ids up front; re-embeds
-    are a delete + insert, not an incremental delta.
+    record) can land in different cells and passes unseen. A caller who
+    can't guarantee disjointness passes ``strict=True`` (VERDICT r11
+    #5): ONE extra semi-join count up front that raises on ANY id
+    overlap — including the changed-vector case the free kernel guard
+    can't see — at the cost of one job before any dedup work; the
+    default stays False to keep the incremental hot path zero-extra-jobs
+    (the registry entry's md5-parity split is disjoint by construction).
+    Re-embeds are a delete + insert, not an incremental delta.
 
     The scale win is what the kernel does NOT compute: per cell the Gram
     work is |base|·|new| + |new|² — never |base|² (on a daily delta
@@ -816,6 +822,24 @@ def semdedup_incremental(
     one-shot lets a dropped earlier vector cover a later one and trains
     on the union, so it can drop (or re-cell) a vector this pass keeps.
     """
+    if strict:
+        # opt-in exhaustive disjointness check: catches a re-embedded id
+        # (different vector → possibly different cell) the zero-cost
+        # kernel guard below cannot. One bounded job: semi-join on id,
+        # fetch at most 10 offenders for the message.
+        overlap = (
+            new.select(id_col)
+            .join(base.select(id_col), id_col, "left_semi")
+            .limit(10)
+            .collect()
+        )
+        if overlap:
+            raise ValueError(
+                "semdedup_incremental(strict=True): base/new ids must be "
+                f"disjoint; overlapping ids (first 10): "
+                f"{sorted(int(r[id_col]) for r in overlap)} — re-embeds "
+                "are a delete + insert, not an incremental delta"
+            )
     qb = _with_quantized(base, id_col, vec_col)
     if k_cells is None:
         # auto-K from the BASE side's row count (the frozen-codebook
@@ -1066,7 +1090,11 @@ def semdedup_sharded(
             .limit(1)
             .collect()
         )
-        assert first, "semdedup_sharded: no usable vectors"
+        if not first:
+            # caller-facing contract (ADVICE r11): raise a real error —
+            # plain assert strips under `python -O` and the failure would
+            # then surface as an opaque KeyError far from the cause
+            raise ValueError("semdedup_sharded: no usable vectors")
         dims = int(first[0]["w"])
     usable = q.filter((F.size(vec_col) == dims) & (F.col("qn") > 0)).select(
         id_col, shard_col, "qv", "qn"
@@ -1086,19 +1114,29 @@ def semdedup_sharded(
         usable.select(shard_col, id_col)
         .withColumn("__rk", rk)
         .filter(F.col("__rk") <= k_cells)
-        .select(id_col)
+        .select(shard_col, id_col)
     )
+    # fetch on (shard, id) — not id alone (ADVICE r11): ids are expected
+    # globally unique, but if a seed id ALSO exists in another shard an
+    # id-only join would inject a non-K-lowest centroid into that shard's
+    # codebook and silently diverge from the documented rule/oracle. The
+    # composite key makes the fetch correct even then; true duplicates
+    # WITHIN a shard still trip the cardinality guard below.
     seed_rows = (
-        usable.join(F.broadcast(seed_ids), id_col)
+        usable.join(F.broadcast(seed_ids), [shard_col, id_col])
         .select(shard_col, id_col, "qv", "qn")
         .limit(SHARDED_SEED_MAX_ROWS + 1)
         .collect()  # bounded: ≤ n_shards·k_cells rows (guarded below)
     )
-    assert len(seed_rows) <= SHARDED_SEED_MAX_ROWS, (
-        "semdedup_sharded: seed collect exceeded SHARDED_SEED_MAX_ROWS — "
-        f"shard key '{shard_col}' is too high-cardinality for per-shard "
-        "codebooks; shard on a coarser key"
-    )
+    if len(seed_rows) > SHARDED_SEED_MAX_ROWS:
+        # caller-facing contract (ADVICE r11): must survive `python -O` —
+        # the limit above is already applied, so an assert-stripped run
+        # would silently truncate the codebook and KeyError downstream
+        raise ValueError(
+            "semdedup_sharded: seed collect exceeded SHARDED_SEED_MAX_ROWS"
+            f" — shard key '{shard_col}' is too high-cardinality for "
+            "per-shard codebooks; shard on a coarser key"
+        )
     cents_by_shard: dict = {}
     for r in sorted(seed_rows, key=lambda r: (r[shard_col], r[id_col])):
         cents_by_shard.setdefault(r[shard_col], []).append(

@@ -62,42 +62,38 @@ _MODULES = [
 # round). Every pair — all entries, regardless of order — stays verified
 # by tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
-    # net-new this round (the ≤2 budget, from COVERAGE.md's staged r10
-    # inventory): incremental SemDeDup (new-delta-vs-compacted-base
-    # embedding dedup — |base|·|new| + |new|² per cell, never |base|²;
-    # frozen base-trained codebook) and the gate recall eval (makes the
-    # r10 offline bucket-split audit driver-checkable — same harness
-    # shape as lsh_candidate_recall / semdedup_recall_eval).
-    "semdedup_incremental", "gate_recall_eval",
-    # re-driven this round: entries whose code or oracle materially
-    # changed in r11 — stream_neardup_gate's REGISTERED shape is now the
-    # banded tables=2 gate (measured recall 0.38–0.48 → 0.63–0.72, r10
-    # audit; new output schema + oracle), and the semdedup pair switched
-    # to the measured auto-K policy (k_cells=None) on top of the exact
-    # integer Lloyd mean (both-engine change, VERDICT r10 #3/#4).
-    "stream_neardup_gate", "semantic_dedup", "semdedup_recall_eval",
+    # net-new this round (VERDICT r11 #1 + #4, from COVERAGE.md's staged
+    # inventory): the distributed BPE trainer (the tokenizer family's
+    # LEARNING operator — contractual k_merges job-count bound per
+    # VERDICT r11 #3), sharded SemDeDup (auto_k_cells' prescribed
+    # past-64M-row scale path — per-shard codebooks, per-shard Σ|cell|²),
+    # and the event-time-TTL gate (the replay-safe bounded-state dial's
+    # first driver row: setTimeoutTimestamp armed per bucket, self-expiry
+    # fired in the trailing no-data batch; single-data-batch run keeps
+    # the batch-greedy oracle exact).
+    "bpe_train", "semdedup_sharded", "stream_neardup_gate_event_ttl",
     # rotation (stalest driver evidence first, tools/suggest_front.py):
-    # ALL 20 r7-latest entries, then the stalest 25 of the r8 cohort in
-    # registry order. The 5 r8 tail entries it computes (stream_stream_
-    # join, dedup_clusters, dedup_cleaned_corpus, contamination_check,
-    # emb_quantize) rotate in r12 — after this round nothing is older
-    # than r8, the VERDICT r10 #1 done-criterion.
-    "anti_join_dormant_customers", "agg_stats_per_nation",
-    "rollup_status_priority", "asof_last_purchase", "daily_buckets",
-    "dedup_exact", "dedup_jaccard", "dedup_minhash_sigs",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_incremental", "emb_centroid_by_label", "forecast_revenue",
-    "late_shipment_priority", "ntile_deciles", "winsorized_stats",
-    "null_safe_join", "cube_status_priority", "date_funcs",
-    "incremental_agg", "scd2_customer_merge", "rule_quarantine",
-    "price_histogram", "stateful_sessions", "manifest_source",
-    "kv_store_roundtrip", "multimodal_features", "multimodal_resize",
-    "multimodal_metadata", "column_prune_filter", "funnel_signup_purchase",
-    "retention_cohorts", "latest_event_per_user", "salted_agg_event_types",
-    "top_unshipped_orders", "local_supplier_volume", "window_topk_per_segment",
-    "window_running_total", "set_operations", "tumbling_hourly",
-    "sliding_hourly", "session_windows", "stream_dedup_users",
-    "stream_enrich_join",
+    # ALL 22 r8-latest entries, then the stalest 25 of the r9 cohort in
+    # registry order. The 3 r9 tail entries (lsh_candidate_recall,
+    # volume_shipping, promo_revenue) rotate in r13 — after this round
+    # nothing is older than r9, the VERDICT r11 #2 done-criterion.
+    "stream_stream_join", "dedup_clusters", "dedup_cleaned_corpus",
+    "contamination_check", "emb_quantize", "distinct_kmv", "kmv_merge",
+    "tfidf_top_terms", "pii_mask", "exists_high_quantity",
+    "scalar_subquery_pricey_parts", "grouping_sets_lineitem",
+    "window_navigation", "quantiles_quantity", "big_orders",
+    "moving_7d_orders", "cheapest_part_per_brand", "filtered_agg",
+    "unpivot_part_metrics", "returned_item_revenue", "pivot_status",
+    "array_agg_orders",
+    "civil_pipeline_e2e", "substring_dedup", "phrase_search",
+    "heavy_hitters", "vocab_coverage", "bpe_pair_counts",
+    "dictionary_encode", "event_anomaly", "snapshot_diff", "fk_integrity",
+    "er_candidate_pairs", "temporal_dim_join", "stream_foreachbatch_upsert",
+    "multimodal_frame_sample", "multimodal_audio_features",
+    "multimodal_image_ahash", "text_normalize", "text_familiarity",
+    "text_length_trim", "supplier_pagerank", "click_attribution",
+    "gapfill_daily", "stream_dedup_within_watermark",
+    "rolling_median_value", "dedup_containment",
 ]
 
 

@@ -583,10 +583,15 @@ ORACLE = {
     "ann_recall_eval": _ANN_RECALL_SQL,
 }
 
+# bpe_train REGISTERED r12 (net-new; staged since r11 — VERDICT r11 #1):
+# the dict updates live below its definition because _bpe_train_sql()
+# needs the function defined first.
+
 
 # --------------------------------------------------------------------------
-# BPE-merge training — ROUND-12+ REGISTRATION CANDIDATE (staged): learn the
-# top-K byte-pair merges from the documents corpus, distributed
+# BPE-merge training — REGISTERED r12 (net-new; staged in COVERAGE.md
+# r11): learn the top-K byte-pair merges from the documents corpus,
+# distributed
 # (operators/bpe.py — one corpus scan to word frequencies, then K bounded
 # argmax rounds over distinct words). The oracle unrolls the SAME K rounds
 # relationally: identical pre-tokenizer, identical all-adjacent pair
@@ -666,3 +671,9 @@ SELECT t.doc_id,
        CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens_bpe
 FROM tok t JOIN s{k} s ON s.w = t.w
 GROUP BY t.doc_id ORDER BY t.doc_id"""
+
+
+# registration lives below the definitions it needs (_bpe_train_sql);
+# bpe_encode_stats stays staged for r13 (COVERAGE.md inventory).
+QUERIES["bpe_train"] = q_bpe_train
+ORACLE["bpe_train"] = _bpe_train_sql()

@@ -177,23 +177,37 @@ _SD_ITERS = 2
 
 
 
-def _auto_k_pinned(vecs: DataFrame) -> int:
+#: memo for _auto_k_pinned, keyed by (sf_dir, side-tag): the resolved K
+#: is a fixture property, so paying the vecs.count() Spark action once
+#: per fixture per process is enough — without it every BUILD of the
+#: three registered semdedup entries re-ran the count job, inflating
+#: their benchmark timings for a value pinned constant anyway (ADVICE
+#: r11). The pin itself still fires on the first resolution.
+_AUTO_K_MEMO: dict = {}
+
+
+def _auto_k_pinned(vecs: DataFrame, cache_key: tuple) -> int:
     """Resolve the measured auto-K policy for a registered entry and FAIL
     LOUDLY if it diverges from the static oracles' LIMIT {_SD_K} — a
     bigger fixture would otherwise hash-mismatch three entries with
     nothing pointing at the cause (review r11). The count is the same
-    metadata-served upper bound the operator's k_cells=None path uses."""
+    metadata-served upper bound the operator's k_cells=None path uses;
+    memoized per (sf_dir, side) so repeat builds don't re-pay the job."""
+    if cache_key in _AUTO_K_MEMO:
+        return _AUTO_K_MEMO[cache_key]
     from data_engineer_development_spark.operators.similarity import (
         auto_k_cells,
     )
 
     k = auto_k_cells(vecs.count())
-    assert k == _SD_K, (
-        f"auto_k_cells resolved to {k} but the registered semdedup oracles "
-        f"pin LIMIT {_SD_K}: regenerate the oracle SQL with the new K (the "
-        "fixture outgrew k_min*target_cell) instead of shipping a silent "
-        "hash mismatch"
-    )
+    if k != _SD_K:
+        raise ValueError(
+            f"auto_k_cells resolved to {k} but the registered semdedup "
+            f"oracles pin LIMIT {_SD_K}: regenerate the oracle SQL with "
+            "the new K (the fixture outgrew k_min*target_cell) instead "
+            "of shipping a silent hash mismatch"
+        )
+    _AUTO_K_MEMO[cache_key] = k
     return k
 
 
@@ -208,8 +222,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of hash-mismatching (also pinned at fixture sizes by
     # tests/test_semdedup.py::test_auto_k_matches_oracle_constant...).
     return S.semdedup(
-        vecs, k_cells=_auto_k_pinned(vecs), tau=_SD_TAU, dims=DIMS,
-        train_iters=_SD_ITERS,
+        vecs, k_cells=_auto_k_pinned(vecs, (sf_dir, "full")), tau=_SD_TAU,
+        dims=DIMS, train_iters=_SD_ITERS,
     ).orderBy("vec_id")
 
 
@@ -345,8 +359,8 @@ def q_semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     truth = S.quantized_neardup_pairs(vecs, _SD_TAU, dims=DIMS)
     asg = S.semdedup(  # auto-K, loudly pinned to the oracle constant
-        vecs, k_cells=_auto_k_pinned(vecs), tau=_SD_TAU, dims=DIMS,
-        train_iters=_SD_ITERS,
+        vecs, k_cells=_auto_k_pinned(vecs, (sf_dir, "full")), tau=_SD_TAU,
+        dims=DIMS, train_iters=_SD_ITERS,
     ).select("vec_id", "cell")
     a1 = asg.select(F.col("vec_id").alias("id1"), F.col("cell").alias("cell1"))
     a2 = asg.select(F.col("vec_id").alias("id2"), F.col("cell").alias("cell2"))
@@ -547,7 +561,9 @@ def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup_incremental(
         base,
         vecs.filter(side == 1),
-        k_cells=_auto_k_pinned(base),  # auto-K, loudly pinned to the oracle
+        # auto-K, loudly pinned to the oracle (memo key: the base split's
+        # count differs from the full fixture's)
+        k_cells=_auto_k_pinned(base, (sf_dir, "base")),
         tau=_SD_TAU,
         dims=DIMS,
         train_iters=_SD_ITERS,
@@ -646,10 +662,77 @@ ORDER BY bk.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# Event-time-TTL gate — REGISTERED r12 (VERDICT r11 #4): the replay-safe
+# bounded-state dial gets DRIVER contact. Same single-table gate as
+# q_stream_neardup_gate, but with ``event_ttl_ms`` ARMED over a synthetic
+# event-time column (ts = epoch + vec_id seconds, one far-future outlier
+# at the lowest usable id to push the final watermark past every other
+# bucket's horizon). The run is single-data-batch (asserted), so during
+# the data batch the watermark is still 0 and NO state can expire before
+# a verdict is emitted — the output is therefore EXACTLY the batch greedy
+# and the single-table oracle (_STREAM_NDGATE_SQL) pairs it hash-exactly.
+# What the TTL arming buys is real driver-harness execution of the
+# event-TTL kernel: withWatermark → EventTimeTimeout plan,
+# setTimeoutTimestamp armed per bucket on every arrival
+# (streaming/stateful.py), and in the trailing no-data micro-batch
+# (no_data_batches=True — load-bearing here) the watermark advances to
+# outlier−delay and every bucket EXCEPT the outlier's deterministically
+# fires hasTimedOut self-expiry (state.remove(), zero rows). Mid-run
+# output-visible eviction (re-admission after expiry) needs multi-batch
+# ingest and stays pinned by tests/test_streaming.py's 3-batch e2e pair —
+# the tick model there depends on file-arrival order, which the driver
+# harness can't see deterministically.
+# --------------------------------------------------------------------------
+_GATE_EVENT_TTL_MS = 10_000
+#: epoch ms of 2026-01-01 00:00:00 UTC (fixture-independent constant)
+_GATE_TS_BASE_MS = 1_767_225_600_000
+
+
+def q_stream_neardup_gate_event_ttl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import uuid as _uuid
+
+    from data_engineer_development_spark.streaming.stateful import (
+        stream_neardup_gate,
+    )
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_table,
+    )
+
+    src = stream_table(spark, sf_dir, "embeddings").withColumn(
+        "ts",
+        F.expr(
+            # vec_id 0 (the fixtures' lowest id) is the outlier (+30
+            # days): the final watermark lands at outlier−1s, far past
+            # (max_id seconds + TTL), so every other bucket's timer
+            # fires in the no-data batch
+            f"timestamp_millis({_GATE_TS_BASE_MS} + CASE WHEN vec_id = 0 "
+            f"THEN 2592000000 ELSE vec_id * 1000 END)"
+        ),
+    )
+    gated = stream_neardup_gate(
+        src,
+        tau=_SD_TAU,
+        planes=_GATE_PLANES,
+        dims=DIMS,
+        event_time_col="ts",
+        event_ttl_ms=_GATE_EVENT_TTL_MS,
+        watermark_delay="1 second",
+    )
+    name = f"q_ndgate_ettl_{_uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(
+        gated, name, output_mode="update", assert_single_batch=True,
+        state_partitions=4, no_data_batches=True,
+    )
+    return spark.table(name).orderBy("vec_id")
+
 
 # --------------------------------------------------------------------------
-# Sharded SemDeDup — ROUND-12+ REGISTRATION CANDIDATE (staged; see
-# COVERAGE.md): independent semantic dedup PER SHARD (the embeddings
+# Sharded SemDeDup — REGISTERED r12 (net-new; staged in COVERAGE.md r11):
+# independent semantic dedup PER SHARD (the embeddings
 # fixture's label column stands in for language/domain) — the exact scale
 # pattern auto_k_cells' clamp warning prescribes once a corpus outgrows
 # k_max·target_cell rows. Per-shard K-lowest-id codebooks (one windowed
@@ -790,7 +873,9 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "semdedup_recall_eval": q_semdedup_recall_eval,
     "stream_neardup_gate": q_stream_neardup_gate_banded,
+    "stream_neardup_gate_event_ttl": q_stream_neardup_gate_event_ttl,
     "semdedup_incremental": q_semdedup_incremental,
+    "semdedup_sharded": q_semdedup_sharded,
     "gate_recall_eval": q_gate_recall_eval,
 }
 
@@ -801,6 +886,10 @@ ORACLE = {
     "semantic_dedup": _SEMDEDUP_SQL,
     "semdedup_recall_eval": _SEMDEDUP_RECALL_SQL,
     "stream_neardup_gate": _STREAM_NDGATE_BANDED_SQL,
+    # single-table batch greedy: exact for the event-TTL entry because
+    # its run is single-data-batch (see the builder's block comment)
+    "stream_neardup_gate_event_ttl": _STREAM_NDGATE_SQL,
     "semdedup_incremental": _SEMDEDUP_INCR_SQL,
+    "semdedup_sharded": _SEMDEDUP_SHARDED_SQL,
     "gate_recall_eval": _GATE_RECALL_SQL,
 }

@@ -396,9 +396,8 @@ def make_neardup_gate_update(
     """
     import numpy as np
 
-    assert not (ttl_ms is not None and event_ttl_ms is not None), (
-        "ttl_ms and event_ttl_ms are mutually exclusive dials"
-    )
+    if ttl_ms is not None and event_ttl_ms is not None:
+        raise ValueError("ttl_ms and event_ttl_ms are mutually exclusive dials")
 
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -572,13 +571,22 @@ def stream_neardup_gate(
     # vec_id; an arbitrary id_col would KeyError inside the stateful op
     # mid-query — fail at plan time instead. Rename upstream:
     # df.withColumnRenamed("doc_id", "vec_id").
-    assert id_col == "vec_id", (
-        f"stream_neardup_gate: id_col={id_col!r} unsupported — the state "
-        "kernel and GATE_*_SCHEMA pin 'vec_id'; rename the column upstream"
-    )
+    # caller-facing contract guards (ADVICE r11): real errors, not
+    # asserts — `python -O` strips asserts and the failure would then be
+    # a KeyError inside the stateful op mid-query
+    if id_col != "vec_id":
+        raise ValueError(
+            f"stream_neardup_gate: id_col={id_col!r} unsupported — the "
+            "state kernel and GATE_*_SCHEMA pin 'vec_id'; rename the "
+            "column upstream"
+        )
     if event_ttl_ms is not None:
-        assert event_time_col, "event_ttl_ms requires event_time_col"
-        assert ttl_ms is None, "ttl_ms and event_ttl_ms are mutually exclusive"
+        if not event_time_col:
+            raise ValueError("event_ttl_ms requires event_time_col")
+        if ttl_ms is not None:
+            raise ValueError(
+                "ttl_ms and event_ttl_ms are mutually exclusive"
+            )
         # watermark BEFORE the projections (it must bind to the raw
         # event-time column); EventTimeTimeout without a watermark is a
         # query-start error, so failure is loud, not silent

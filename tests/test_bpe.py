@@ -246,3 +246,20 @@ def test_bpe_train_across_persist_checkpoint(spark):
         for r in bpe_train(docs, k_merges=k).orderBy("rank").collect()
     ]
     assert got == exp
+
+
+def test_bpe_train_k_merges_contract_bound(spark):
+    """VERDICT r11 #3: k_merges is the trainer's job-count scale term —
+    a 50k-merge call must fail at the contract, not schedule 50k
+    sequential Spark jobs. The bound is a plan-time ValueError (survives
+    `python -O`, unlike an assert)."""
+    import pytest
+
+    from data_engineer_development_spark.operators.bpe import (
+        BPE_MAX_MERGES,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="BPE_MAX_MERGES"):
+        bpe_train(docs, k_merges=BPE_MAX_MERGES + 1)

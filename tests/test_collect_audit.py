@@ -32,7 +32,7 @@ _ALLOWED = {
                             "control-plane shape as Lloyd's centroid "
                             "collect"),
     "catalog.py": (1, "SHOW TBLPROPERTIES — metadata rows, never data"),
-    "operators/similarity.py": (7, "documented bounded brute-force path "
+    "operators/similarity.py": (8, "documented bounded brute-force path "
                                    "behind the LSH auto-switch cap; semdedup "
                                    "codebook seed collect (≤ k_cells rows, "
                                    "folded into a literal assignment "
@@ -44,9 +44,12 @@ _ALLOWED = {
                                    "baseline); sharded dims probe (limit-1), "
                                    "per-shard seed collect (≤ n_shards·"
                                    "k_cells rows, SHARDED_SEED_MAX_ROWS "
-                                   "guarded), and the sharded Lloyd "
+                                   "guarded), the sharded Lloyd "
                                    "per-round sums collect (≤ n_shards·"
-                                   "k_cells rows — one per (shard, cell))"),
+                                   "k_cells rows — one per (shard, cell)), "
+                                   "and semdedup_incremental's OPT-IN "
+                                   "strict-mode overlap probe (limit-10 "
+                                   "semi-join, off the default hot path)"),
     "queries/contract_extras.py": (2, "5-row nation seed + 25-row dim seed "
                                       "— bounded control-plane landings"),
 }

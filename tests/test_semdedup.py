@@ -798,3 +798,102 @@ def test_semdedup_sharded_matches_pure_python_mirror(spark):
             ).collect()
         }
         assert got == mirror(rows), f"seed {seed}"
+
+
+def test_semdedup_incremental_strict_catches_reembedded_overlap(spark):
+    """VERDICT r11 #5: the zero-cost kernel guard only sees an overlap
+    whose vector is byte-identical (same cell twice); a RE-EMBEDDED
+    overlapping id (vector changed → different cell) passes it unseen.
+    strict=True anti-joins the id sets up front and must fail loudly on
+    exactly that crafted case."""
+    import pytest
+
+    from data_engineer_development_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+
+    base = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (4, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # id 4 re-embedded on the new side: orthogonal to its base vector,
+    # so it seeds/lands in a different cell — the kernel guard is blind
+    new = spark.createDataFrame(
+        [(4, [0.0, 0.0, 1.0, 0.0]), (5, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="strict.*disjoint|disjoint"):
+        semdedup_incremental(
+            base, new, k_cells=2, tau=0.9, dims=4, strict=True
+        )
+    # the documented gap, pinned: the default path emits verdicts for
+    # this same input without noticing (id 4 keeps — different cells)
+    got = {
+        r["vec_id"]: r["keep"]
+        for r in semdedup_incremental(
+            base, new, k_cells=2, tau=0.9, dims=4
+        ).collect()
+    }
+    assert set(got) == {4, 5}
+
+
+def test_semdedup_incremental_strict_passes_on_disjoint_sides(spark):
+    """strict=True on genuinely disjoint sides costs one extra job and
+    changes nothing: verdicts equal the default path's."""
+    from data_engineer_development_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+
+    base = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    new = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0, 0.0]), (5, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    kw = dict(k_cells=2, tau=0.9, dims=4, train_iters=0)
+    want = {
+        r["vec_id"]: (r["dup_of"], r["keep"])
+        for r in semdedup_incremental(base, new, **kw).collect()
+    }
+    got = {
+        r["vec_id"]: (r["dup_of"], r["keep"])
+        for r in semdedup_incremental(base, new, strict=True, **kw).collect()
+    }
+    assert got == want == {1: (0, 0), 5: (None, 1)}
+
+
+def test_semdedup_sharded_seed_fetch_keys_on_shard_and_id(spark):
+    """ADVICE r11: the seed-row fetch joins on (shard, id), not id alone —
+    an id that exists in TWO shards (globally-duplicate ids) must not
+    inject the other shard's row as an extra centroid. Shard 20's seed
+    set here is its own K-lowest (ids 2, 3); id 2 also living in shard
+    10 (beyond shard 10's K=1 seed rank) must neither join shard 10's
+    codebook nor duplicate inside shard 20's."""
+    from data_engineer_development_spark.operators.similarity import (
+        semdedup_sharded,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 10),
+        (2, [0.0, 1.0, 0.0, 0.0], 10),   # same id as a shard-20 row
+        (2, [0.0, 0.0, 1.0, 0.0], 20),
+        (3, [0.0, 0.0, 0.0, 1.0], 20),
+        (9, [0.0, 0.0, 2.0, 0.0], 20),   # copy of shard-20's id 2 → drop
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = semdedup_sharded(
+        df, shard_col="label", k_cells=2, tau=0.9, dims=4
+    ).collect()
+    got = {(r["shard"], r["vec_id"]): (r["dup_of"], r["keep"]) for r in out}
+    # every row verdicts independently per shard; shard 20's id 9 drops
+    # against ITS shard's id 2 (the [0,0,1,0] one), proving the fetched
+    # seed vector was shard 20's own row, not shard 10's same-id row
+    assert got[(10, 0)] == (None, 1)
+    assert got[(10, 2)] == (None, 1)
+    assert got[(20, 2)] == (None, 1)
+    assert got[(20, 3)] == (None, 1)
+    assert got[(20, 9)] == (2, 0)

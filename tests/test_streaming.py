@@ -793,3 +793,30 @@ def test_event_ttl_banded_gate_e2e(spark, tmp_path):
     assert got[0]["admitted"] == 1
     assert got[100]["admitted"] == 1 and got[100]["dup_of"] is None
     assert got[101]["admitted"] == 0 and got[101]["dup_of"] == 100
+
+
+def test_registered_event_ttl_gate_equals_batch_greedy(spark):
+    """The REGISTERED event-TTL gate entry (r12, VERDICT r11 #4) drains
+    in one data batch, so arming the event-time TTL must not change a
+    single verdict vs the plain single-table gate — its oracle IS the
+    batch greedy. What the entry adds is driver contact with the
+    EventTimeTimeout plan: watermark binding, per-bucket
+    setTimeoutTimestamp arming, and (in the trailing no-data batch)
+    hasTimedOut self-expiry for every bucket except the far-future
+    outlier's. Equality here pins the oracle-exactness argument."""
+    from conftest import SF_SMOKE
+
+    from data_engineer_development_spark.queries.similarity import (
+        q_stream_neardup_gate,
+        q_stream_neardup_gate_event_ttl,
+    )
+
+    plain = {
+        r["vec_id"]: (r["bucket"], r["dup_of"], r["admitted"])
+        for r in q_stream_neardup_gate(spark, SF_SMOKE).collect()
+    }
+    ttl = {
+        r["vec_id"]: (r["bucket"], r["dup_of"], r["admitted"])
+        for r in q_stream_neardup_gate_event_ttl(spark, SF_SMOKE).collect()
+    }
+    assert ttl == plain and ttl

@@ -29,6 +29,59 @@ from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
 
+#: JVM RDD handles holding localCheckpoint block sets (see
+#: local_checkpoint_tracked) — released alongside _TRACKED.
+_TRACKED_RDDS: list = []
+
+
+def local_checkpoint_tracked(df: DataFrame, free: list | None = None):
+    """``df.localCheckpoint(eager=True)`` plus registration of the new
+    checkpoint's RDD blocks for scoped release — returns
+    ``(checkpointed_df, handles)``.
+
+    ``localCheckpoint`` truncates the logical plan (the point — see
+    ``operators/bpe.py``'s measured O(k²) Catalyst term) but parks its
+    blocks as a PERSISTENT RDD that neither ``DataFrame.unpersist`` nor
+    ``spark.catalog.clearCache`` frees (both talk to the SQL cache
+    manager; the checkpoint lives at the RDD layer). Untracked, every
+    checkpoint generation would leak until JVM GC — tests/test_cache.py
+    sweeps ``getPersistentRDDs`` to zero between entries precisely to
+    catch that class. The new blocks are found by snapshot-diffing
+    ``getPersistentRDDs`` around the eager checkpoint (single-driver
+    engine: no concurrent persists to confuse the diff) and freed by
+    :func:`release_tracked` AFTER the consuming action — freeing earlier
+    would destroy the only copy (lineage is truncated; a post-free
+    action fails, verified empirically).
+
+    ``free``: handles of a SUPERSEDED earlier generation to release
+    immediately — once the new checkpoint has materialized (eager), the
+    previous generation's blocks are dead, and long trainings must not
+    stack k/BPE_PERSIST_EVERY vocab-sized copies.
+    """
+    jsc = df.sparkSession.sparkContext._jsc.sc()
+
+    def _rdds() -> dict:
+        m = jsc.getPersistentRDDs()
+        it = m.iterator()
+        out = {}
+        while it.hasNext():
+            t = it.next()
+            out[t._1()] = t._2()
+        return out
+
+    before = set(_rdds())
+    out = df.localCheckpoint(eager=True)
+    handles = [r for i, r in _rdds().items() if i not in before]
+    _TRACKED_RDDS.extend(handles)
+    for h in free or []:
+        try:
+            h.unpersist(True)
+        except Exception:  # noqa: BLE001 — already freed / dead session
+            pass
+        if h in _TRACKED_RDDS:
+            _TRACKED_RDDS.remove(h)
+    return out, handles
+
 
 def track_persist(df: DataFrame) -> DataFrame:
     """``df.persist()`` plus registration for scoped release.
@@ -56,6 +109,15 @@ def release_tracked() -> int:
         df = _TRACKED.pop()
         try:
             df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — a dead session can't hold cache
+            pass
+    while _TRACKED_RDDS:
+        h = _TRACKED_RDDS.pop()
+        try:
+            # blocking: the test-visible contract is "zero persistent
+            # RDDs after release" — async would race the sweep's count
+            h.unpersist(True)
             n += 1
         except Exception:  # noqa: BLE001 — a dead session can't hold cache
             pass

@@ -37,7 +37,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_engineer_development_spark.cache import track_persist
+from data_engineer_development_spark.cache import (
+    local_checkpoint_tracked,
+    track_persist,
+)
 
 #: the family's parity-proven pre-tokenizer (queries/extras.py)
 BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -128,9 +131,10 @@ def bpe_train(
     word-frequency scan, but every merge round is one sequential Spark
     job (pair-count + one-row argmax collect over distinct words), so
     the trainer launches exactly ``k_merges`` jobs end to end. MEASURED
-    per-round cost is flat in k (BASELINE.md bpe_train K-scaling table:
-    ~0.19 s/round at k=8 through k=32 and ~0.17 s/round at k=128 on the
-    sf0.01 fixture — the ``BPE_PERSIST_EVERY`` checkpoint keeps the
+    per-round cost is flat-to-declining in k (BASELINE.md r12 K-scaling
+    table: 0.43/0.26/0.24 s/round at k=8/64/89 on the sf0.1 fixture and
+    1.49/1.40/0.77 s/round at k=8/32/128 on a 50k-word stress
+    vocabulary — the ``BPE_PERSIST_EVERY`` ``localCheckpoint`` keeps the
     lineage and the per-round plan constant-depth), so wall time is
     ~linear: k·(job constant + vocab-sized pair count). That bounds the
     SENSIBLE k here to the low thousands (minutes); a production 30k–
@@ -141,9 +145,10 @@ def bpe_train(
     is an approximation of classic BPE, not an exact reformulation —
     the reason it is not silently swapped in here: this trainer's
     contract is byte-exact parity with the sequential greedy the oracle
-    unrolls). Callers needing >~2k merges should batch at the call site
-    or accept the job-count wall; the guard below makes the contract
-    loud instead of letting a 50k-merge call schedule 50k jobs.
+    unrolls). That batched variant exists as ``bpe_train_batched``
+    below (its own deterministic spec, mirror-tested; batch_m=1 reduces
+    to this trainer exactly); the guard below makes THIS trainer's
+    contract loud instead of letting a 50k-merge call schedule 50k jobs.
     """
     if k_merges > BPE_MAX_MERGES:
         raise ValueError(
@@ -175,6 +180,7 @@ def bpe_train(
         )
     )
     persisted = segs
+    ckpt_handles: list = []
 
     merges: list[tuple[int, str, str, int]] = []
     for r in range(k_merges):
@@ -201,8 +207,152 @@ def bpe_train(
         if (r + 1) % BPE_PERSIST_EVERY == 0 and r + 1 < k_merges:
             # eager + lineage-truncating: the NEXT round's plan starts
             # from a LogicalRDD, not a (k-deep) projection chain — see
-            # the BPE_PERSIST_EVERY comment for the measured difference
-            segs = segs.localCheckpoint(eager=True)
+            # the BPE_PERSIST_EVERY comment for the measured difference.
+            # Tracked (cache.py): the blocks are freed by release_tracked
+            # after the consumer drains; the superseded generation frees
+            # immediately so long trainings hold ONE vocab copy, not k/8.
+            segs, ckpt_handles = local_checkpoint_tracked(
+                segs, free=ckpt_handles
+            )
+            if persisted is not None:
+                persisted.unpersist()
+                persisted = None
+
+    merges_df = spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_count long"
+    )
+    return (merges_df, segs) if return_segments else merges_df
+
+
+def select_noninteracting(
+    cands: list[tuple[str, str, int]], batch_m: int
+) -> list[tuple[str, str, int]]:
+    """Greedy non-interacting subset of candidate pairs (already in
+    (count DESC, lhs, rhs) order): accept a pair iff none of its lhs,
+    rhs, or concatenation collides with any symbol or concatenation of
+    an already-accepted pair. Non-interaction makes the round's merges
+    ORDER-INDEPENDENT — sequential application in any order equals
+    simultaneous application — which is what licenses applying them all
+    between two pair-count snapshots. (Symbol-disjointness alone is NOT
+    enough: accepted ('a','b') and ('ab','c') share no symbol, but the
+    first MANUFACTURES 'ab' tokens the second would then consume, so
+    order would matter — the concatenation checks close that hole.)
+    Driver-side pure function over a bounded candidate list."""
+    used: set[str] = set()
+    prod: set[str] = set()
+    out: list[tuple[str, str, int]] = []
+    for a, b, c in cands:
+        if len(out) >= batch_m:
+            break
+        ab = a + b
+        if a in used or b in used or ab in used:
+            continue
+        if a in prod or b in prod or ab in prod:
+            continue
+        out.append((a, b, c))
+        used.update((a, b))
+        prod.add(ab)
+    return out
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    k_merges: int = 64,
+    batch_m: int = 8,
+    text_col: str = "text",
+    token_re: str = BPE_TOKEN_RE,
+    candidate_factor: int = 4,
+    return_segments: bool = False,
+):
+    """Batched BPE training — the production-vocabulary scale path the
+    exact trainer's docstring prescribes: per ROUND, one bounded job
+    collects the top ``batch_m · candidate_factor`` pairs by (count
+    DESC, lhs, rhs), a driver-side greedy (``select_noninteracting``)
+    accepts up to ``batch_m`` NON-INTERACTING pairs, and all accepted
+    merges apply between two pair-count snapshots. Job count is
+    ~``k_merges / batch_m`` instead of ``k_merges`` — a 50k-merge
+    vocabulary at batch_m=64 is ~780 sequential jobs, minutes not hours.
+
+    APPROXIMATION CONTRACT (deliberately a separate function, VERDICT
+    r11 #3): within a round every accepted pair is scored on the SAME
+    count snapshot, so ranks 2..batch_m ignore the count updates rank 1
+    would have caused — classic sequential BPE (``bpe_train``) can
+    diverge from this from the second accepted pair of any round
+    onward. The output is still fully DETERMINISTIC (same corpus →
+    same merge table: candidate order is a total order, the greedy is a
+    pure function, non-interaction makes within-round application
+    order-free), and ``batch_m=1`` reduces EXACTLY to ``bpe_train``
+    (one accepted argmax per snapshot — pinned by test). ``pair_count``
+    in the output is the round-snapshot count (the number the pair was
+    selected on). Raises like ``bpe_train`` if the corpus exhausts
+    early; rounds that accept fewer than ``batch_m`` pairs (conflicts)
+    still progress, so termination is guaranteed: every round with a
+    nonempty candidate list accepts at least its first pair.
+    """
+    if k_merges > BPE_MAX_MERGES * batch_m:
+        raise ValueError(
+            f"bpe_train_batched: k_merges={k_merges} exceeds "
+            f"BPE_MAX_MERGES*batch_m={BPE_MAX_MERGES * batch_m} "
+            "sequential-job-equivalents; raise batch_m"
+        )
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), "
+                    f"{_sql_quote(token_re)}, 0)"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    segs = track_persist(
+        words.select(
+            "w",
+            "f",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+        )
+    )
+    persisted = segs
+    ckpt_handles: list = []
+
+    merges: list[tuple[int, str, str, int]] = []
+    since_ckpt = 0
+    while len(merges) < k_merges:
+        want = min(batch_m, k_merges - len(merges))
+        top = (
+            segs.select("f", F.explode(F.expr(_PAIRS_SQL)).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("f").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(want * candidate_factor)
+            .collect()  # bounded: ≤ batch_m·candidate_factor rows/round
+        )
+        if not top:
+            raise ValueError(
+                f"bpe_train_batched: corpus exhausted after {len(merges)} "
+                "merges"
+            )
+        accepted = select_noninteracting(
+            [(r["a"], r["b"], int(r["c"])) for r in top], want
+        )
+        for a, b, c in accepted:
+            merges.append((len(merges) + 1, a, b, c))
+            pa, pb = _sql_quote(a), _sql_quote(b)
+            segs = segs.withColumn("__ms", F.expr(_merged_mask_sql(pa, pb)))
+            segs = segs.select(
+                "w", "f", F.expr(_apply_merge_sql(pa, pb)).alias("syms")
+            )
+        since_ckpt += len(accepted)
+        if since_ckpt >= BPE_PERSIST_EVERY and len(merges) < k_merges:
+            segs, ckpt_handles = local_checkpoint_tracked(
+                segs, free=ckpt_handles
+            )
+            since_ckpt = 0
             if persisted is not None:
                 persisted.unpersist()
                 persisted = None

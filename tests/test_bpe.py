@@ -263,3 +263,152 @@ def test_bpe_train_k_merges_contract_bound(spark):
     docs = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
     with pytest.raises(ValueError, match="BPE_MAX_MERGES"):
         bpe_train(docs, k_merges=BPE_MAX_MERGES + 1)
+
+
+def _py_bpe_batched_mirror(texts, k, batch_m, token_re, candidate_factor=4):
+    """Pure-python mirror of bpe_train_batched's SPEC (not its code): per
+    round, snapshot all adjacent-pair counts, truncate to the same
+    top-(want·candidate_factor) candidate window under (count DESC, lhs,
+    rhs), run the REAL select_noninteracting (shared pure function), and
+    apply accepted merges greedily left-to-right per pair."""
+    from collections import Counter
+
+    from data_engineer_development_spark.operators.bpe import (
+        select_noninteracting,
+    )
+
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(token_re, t.lower()))
+    segs = {w: list(w) for w in words}
+
+    def apply_one(a, b):
+        for w in segs:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+
+    merges = []
+    while len(merges) < k:
+        want = min(batch_m, k - len(merges))
+        pc: dict = Counter()
+        for w, f in words.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            raise ValueError("exhausted")
+        cands = sorted(
+            ((a, b, c) for (a, b), c in pc.items()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )[: want * candidate_factor]
+        for a, b, c in select_noninteracting(cands, want):
+            merges.append((len(merges) + 1, a, b, c))
+            apply_one(a, b)
+    return merges
+
+
+def test_bpe_batched_matches_mirror_on_fixture(spark):
+    """The distributed batched trainer must reproduce its own spec's
+    pure-python mirror on the real corpus (k=12, batch_m=4 → candidate
+    conflicts actually occur on the 31-word fixture vocabulary)."""
+    from data_engineer_development_spark.operators.bpe import (
+        BPE_TOKEN_RE,
+        bpe_train_batched,
+    )
+    from data_engineer_development_spark.sources import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    exp = _py_bpe_batched_mirror(texts, 12, 4, BPE_TOKEN_RE)
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train_batched(docs, k_merges=12, batch_m=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == exp
+
+
+def test_bpe_batched_m1_equals_sequential(spark):
+    """batch_m=1 is the exact sequential greedy: one accepted argmax per
+    count snapshot — the reduction that anchors the approximation spec
+    to the oracle-paired trainer."""
+    from data_engineer_development_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_batched,
+    )
+    from data_engineer_development_spark.sources import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    seq = [tuple(r) for r in bpe_train(docs, k_merges=10).orderBy("rank").collect()]
+    bat = [
+        tuple(r)
+        for r in bpe_train_batched(docs, k_merges=10, batch_m=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert bat == seq
+
+
+def test_select_noninteracting_blocks_manufactured_symbols():
+    """Symbol-disjointness alone is insufficient: ('a','b') manufactures
+    'ab' tokens that a co-accepted ('ab','c') would consume, making
+    within-round order matter — the concatenation checks must reject it.
+    Also pins plain symbol reuse rejection and the batch_m cut."""
+    from data_engineer_development_spark.operators.bpe import (
+        select_noninteracting,
+    )
+
+    cands = [
+        ("a", "b", 10),
+        ("ab", "c", 9),   # consumes pair 1's product → rejected
+        ("b", "d", 8),    # reuses pair 1's symbol b → rejected
+        ("x", "y", 7),    # independent → accepted
+        ("p", "q", 6),    # independent but beyond batch_m=2 → cut
+    ]
+    assert select_noninteracting(cands, 2) == [
+        ("a", "b", 10), ("x", "y", 7),
+    ]
+    # a==b pair: run-parity case is a legal single accept
+    assert select_noninteracting([("z", "z", 5)], 3) == [("z", "z", 5)]
+
+
+def test_bpe_batched_mirror_randomized():
+    """Hypothesis over adversarial tiny corpora: the batched spec's
+    mirror must be deterministic and its accepted rounds must satisfy
+    the non-interaction invariant (no symbol or product collision
+    within a round). Pure-python per example (fast); the Spark side is
+    pinned to the same mirror on the fixture above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(words, min_size=1, max_size=4), st.integers(1, 6),
+           st.integers(1, 3))
+    def run(docs_words, k, m):
+        texts = [" ".join(ws) for ws in docs_words]
+        try:
+            a = _py_bpe_batched_mirror(
+                texts, k, m, "[a-z]+|[0-9]+|[^a-z0-9 ]"
+            )
+            b = _py_bpe_batched_mirror(
+                texts, k, m, "[a-z]+|[0-9]+|[^a-z0-9 ]"
+            )
+        except ValueError:
+            return  # corpus exhausts before k merges — out of contract
+        assert a == b and len(a) == k
+
+    run()

@@ -70,3 +70,27 @@ def test_session_reserves_jit_code_cache(spark):
         return  # operator override in effect; nothing to pin
     opts = spark.conf.get("spark.driver.extraJavaOptions", "")
     assert "ReservedCodeCacheSize" in opts, opts
+
+
+def test_bpe_checkpoints_release_and_do_not_stack(spark):
+    """localCheckpoint blocks live at the RDD layer where clearCache
+    can't reach them (r12 lesson: the lineage-truncation fix would have
+    leaked one persistent RDD per checkpoint generation). The tracked
+    wrapper must (a) hold at most ONE generation during training —
+    superseded generations free as soon as the next materializes — and
+    (b) leave zero persistent RDDs after release_tracked()."""
+    from data_engineer_development_spark import cache
+    from data_engineer_development_spark.operators.bpe import bpe_train
+    from data_engineer_development_spark.sources import load_table
+
+    spark.catalog.clearCache()
+    cache.release_tracked()
+    assert _n_cached(spark) == 0
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # k=20 crosses two BPE_PERSIST_EVERY=8 checkpoints: generation 1
+    # must be freed when generation 2 lands (at most 1 checkpoint RDD
+    # + the initial tracked persist alive at any point)
+    bpe_train(docs, k_merges=20).collect()
+    assert len(cache._TRACKED_RDDS) == 1  # the live final generation
+    cache.release_tracked()
+    assert _n_cached(spark) == 0 and not cache._TRACKED_RDDS

@@ -27,10 +27,11 @@ _PAT = re.compile(r"\.collect\(\)|\.toPandas\(\)|\.toLocalIterator\(\)")
 _ALLOWED = {
     "kv.py": (2, "eager KV facade — the reference's Datastore surface is "
                  "likewise eager (datastore.py:14); single-key/small scans"),
-    "operators/bpe.py": (1, "BPE argmax round-trip — ONE row per merge "
-                            "round (the winning pair), the same bounded "
-                            "control-plane shape as Lloyd's centroid "
-                            "collect"),
+    "operators/bpe.py": (2, "BPE argmax round-trips — ONE row per merge "
+                            "round (sequential trainer) and ≤ batch_m·"
+                            "candidate_factor rows per round (batched "
+                            "trainer), the same bounded control-plane "
+                            "shape as Lloyd's centroid collect"),
     "catalog.py": (1, "SHOW TBLPROPERTIES — metadata rows, never data"),
     "operators/similarity.py": (8, "documented bounded brute-force path "
                                    "behind the LSH auto-switch cap; semdedup "

@@ -561,6 +561,8 @@ _ARROW_KERNEL_OK = {
     "semdedup_recall_eval",  # + block-NL quantized truth set (mapInPandas)
     "semdedup_incremental",  # per-cell |base|·|new| kernel (applyInPandas)
     "gate_recall_eval",  # block-NL quantized truth set (mapInPandas)
+    "semdedup_sharded",  # broadcast-numpy assignment (mapInPandas) +
+                         # per-(shard, cell) pair matrix (applyInPandas)
 }
 
 _PY_EVAL = re.compile(

@@ -190,6 +190,138 @@ FROM w ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Intra-document n-gram repetition — ROUND-13+ REGISTRATION CANDIDATE
+# (staged): the Gopher-family repetition filters (Rae et al. 2021, public
+# paper) adapted to the fixture's single-line documents — the signal that
+# catches a document stuck in a generation/boilerplate loop, which the
+# length/stopword rules above can't see. Per document (n_tokens ≥ 3):
+#
+# - top2_frac: occurrences of the MOST-COMMON token 2-gram over all 2-gram
+#   positions (n_tokens − 1); tie-break (count DESC, gram ASC) so both
+#   engines pick the same gram.
+# - dup3_frac: fraction of 3-gram positions whose 3-gram occurs ≥ 2 times
+#   in the document (Σ counts over repeated grams / (n_tokens − 2)).
+# - keep_repetition: both fractions under their thresholds (constants
+#   chosen so the fixture exercises both branches).
+#
+# All counts are exact integers; each fraction is ONE IEEE division of
+# exact ints, and the keep comparison runs on bit-identical doubles, so
+# the whole row hashes exactly across engines. Scale: two shuffles keyed
+# (doc_id, gram) — map-side combinable, doc_id in the key kills hot-gram
+# skew; nothing collects.
+# --------------------------------------------------------------------------
+_TOP2_MAX = 0.12
+_DUP3_MAX = 0.10
+
+
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("t", T.tokens())
+        .filter(F.size("t") >= 3)
+        .select("doc_id", "t", F.size("t").alias("n_tokens"))
+    )
+    g2 = docs.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i -> "
+                "concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    c2 = g2.groupBy("doc_id", "n_tokens", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
+    t2 = (
+        c2.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("g").alias("top2_gram"),
+            F.col("c").cast("long").alias("top2_count"),
+        )
+    )
+    g3 = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), i -> "
+                "concat(element_at(t, i), ' ', element_at(t, i + 1), "
+                "' ', element_at(t, i + 2)))"
+            )
+        ).alias("g"),
+    )
+    d3 = (
+        g3.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)
+            ).cast("long").alias("dup3")
+        )
+    )
+    top2_frac = F.col("top2_count").cast("double") / (F.col("n_tokens") - 1)
+    dup3_frac = F.col("dup3").cast("double") / (F.col("n_tokens") - 2)
+    return (
+        t2.join(d3, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top2_gram",
+            "top2_count",
+            top2_frac.alias("top2_frac"),
+            dup3_frac.alias("dup3_frac"),
+            (
+                (top2_frac <= F.lit(_TOP2_MAX))
+                & (dup3_frac <= F.lit(_DUP3_MAX))
+            ).alias("keep_repetition"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_QUALITY_REPETITION_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+b AS (SELECT doc_id, len(t) AS n_tokens,
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1]) AS g2,
+             list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+               AS g3
+      FROM d),
+c2 AS (SELECT doc_id, n_tokens, g, COUNT(*) AS c
+       FROM (SELECT doc_id, n_tokens, unnest(g2) AS g FROM b)
+       GROUP BY doc_id, n_tokens, g),
+t2 AS (SELECT doc_id, n_tokens, g AS top2_gram,
+              CAST(c AS BIGINT) AS top2_count
+       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, g) AS rk
+             FROM c2) WHERE rk = 1),
+d3 AS (SELECT doc_id,
+              CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+                AS dup3
+       FROM (SELECT doc_id, g, COUNT(*) AS c
+             FROM (SELECT doc_id, unnest(g3) AS g FROM b)
+             GROUP BY doc_id, g)
+       GROUP BY doc_id)
+SELECT t2.doc_id, t2.n_tokens, t2.top2_gram, t2.top2_count,
+       CAST(t2.top2_count AS DOUBLE) / (t2.n_tokens - 1) AS top2_frac,
+       CAST(d3.dup3 AS DOUBLE) / (t2.n_tokens - 2) AS dup3_frac,
+       CAST(t2.top2_count AS DOUBLE) / (t2.n_tokens - 1) <= {_TOP2_MAX}
+         AND CAST(d3.dup3 AS DOUBLE) / (t2.n_tokens - 2) <= {_DUP3_MAX}
+         AS keep_repetition
+FROM t2 JOIN d3 ON t2.doc_id = d3.doc_id
+ORDER BY t2.doc_id
+"""
+
+
 QUERIES = {
     "quality_gopher_rules": q_quality_gopher_rules,
     "text_diversity": q_text_diversity,

@@ -162,9 +162,16 @@ def run_to_memory_sink(
     assert_single_batch: bool = False,
     state_store_provider: str | None = None,
     no_data_batches: bool = True,
+    progress_out: list | None = None,
 ) -> None:
     """Drive a streaming plan to completion with Trigger.AvailableNow into an
     in-memory table (test/bench harness path).
+
+    ``progress_out``: optional list extended with the query's
+    ``recentProgress`` dicts after termination — the only window into
+    per-batch state-operator metrics (rows added/removed/total), which
+    tests use to prove timer-driven eviction actually FIRED (output
+    alone can't show a silent ``state.remove()``).
 
     ``state_partitions`` bounds the stateful-operator partition count (it is
     frozen into the checkpoint from ``spark.sql.shuffle.partitions`` at first
@@ -236,6 +243,8 @@ def run_to_memory_sink(
             writer = writer.option("checkpointLocation", ckpt)
         q = writer.start()
         q.awaitTermination()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
         if assert_single_batch:
             data_batches = [
                 p

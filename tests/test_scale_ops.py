@@ -576,3 +576,68 @@ def test_tokenizer_fertility_oracle_parity(spark):
     for r in rows:
         assert r["sum_tokens"] > 0
         assert r["chars_per_token"] == r["sum_chars"] / r["sum_tokens"]
+
+
+def test_quality_repetition_oracle_parity_and_crafted(spark):
+    """Round-13+ registration candidate (staged, r12): Gopher-family
+    intra-document n-gram repetition signals must hold hash-exact oracle
+    parity at both fixture SFs and exercise BOTH keep branches there;
+    crafted docs pin the metric definitions — a pure loop document is
+    caught (top2_frac high: overlapping occurrences of the same 2-gram
+    count individually), natural-ish text passes, and the most-common-
+    gram tie-break is (count DESC, gram ASC)."""
+    from data_engineer_development_spark.queries.quality_rules import (
+        _QUALITY_REPETITION_SQL,
+        q_quality_repetition,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "quality_repetition",
+            q_quality_repetition, _QUALITY_REPETITION_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+    kept = {
+        r["keep_repetition"]
+        for r in q_quality_repetition(spark, SF_CORRECT).collect()
+    }
+    assert kept == {True, False}  # thresholds split the fixture
+
+    import pandas as pd
+
+    from data_engineer_development_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    crafted = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                # 1: pure loop "x y x y x y x y" — top2 ('x y') occurs 4
+                #    of 7 positions, every 3-gram repeats → drop
+                "text": [
+                    "x y x y x y x y",
+                    # 2: all-distinct tokens — top2_count 1, dup3 0 → keep
+                    "a b c d e f g h i j",
+                    # 3: tie between ('a b') and ('b a') at count 2 →
+                    #    lexicographic pick 'a b'
+                    "a b a b a c d e f g h",
+                ],
+            }
+        )
+    )
+    # same pipeline as the query builder, against the crafted frame
+    import data_engineer_development_spark.queries.quality_rules as QR
+
+    orig = QR.load_table
+    try:
+        QR.load_table = lambda s, d, t: crafted
+        got = {r["doc_id"]: r for r in q_quality_repetition(spark, "x").collect()}
+    finally:
+        QR.load_table = orig
+    assert got[1]["top2_gram"] == "x y" and got[1]["top2_count"] == 4
+    assert got[1]["keep_repetition"] is False
+    assert got[2]["top2_count"] == 1 and got[2]["dup3_frac"] == 0.0
+    assert got[2]["keep_repetition"] is True
+    assert got[3]["top2_gram"] == "a b" and got[3]["top2_count"] == 2

@@ -820,3 +820,61 @@ def test_registered_event_ttl_gate_equals_batch_greedy(spark):
         for r in q_stream_neardup_gate_event_ttl(spark, SF_SMOKE).collect()
     }
     assert ttl == plain and ttl
+
+
+def test_registered_event_ttl_gate_self_expiry_fires(spark):
+    """The r12 entry's block comment claims the trailing no-data batch
+    fires hasTimedOut self-expiry for every bucket except the far-future
+    outlier's — output can't show a silent state.remove(), so pin it via
+    the state-operator metrics: the run's progress must show state rows
+    REMOVED after the single data batch, leaving only the outlier's
+    bucket resident."""
+    from data_engineer_development_spark.queries.similarity import (
+        _GATE_PLANES,
+        _GATE_TS_BASE_MS,
+        _SD_TAU,
+        DIMS,
+    )
+    from data_engineer_development_spark.streaming.stateful import (
+        stream_neardup_gate,
+    )
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_table,
+    )
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    src = stream_table(spark, SF_SMOKE, "embeddings").withColumn(
+        "ts",
+        F.expr(
+            f"timestamp_millis({_GATE_TS_BASE_MS} + CASE WHEN vec_id = 0 "
+            f"THEN 2592000000 ELSE vec_id * 1000 END)"
+        ),
+    )
+    gated = stream_neardup_gate(
+        src, tau=_SD_TAU, planes=_GATE_PLANES, dims=DIMS,
+        event_time_col="ts", event_ttl_ms=10_000,
+        watermark_delay="1 second",
+    )
+    progress: list = []
+    run_to_memory_sink(
+        gated, "t_ettl_expiry", output_mode="update",
+        assert_single_batch=True, state_partitions=4,
+        no_data_batches=True, progress_out=progress,
+    )
+    ops = [
+        (p["numInputRows"], p["stateOperators"][0])
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    assert ops, "no state-operator metrics captured"
+    removed = sum(op["numRowsRemoved"] for _, op in ops)
+    final_total = ops[-1][1]["numRowsTotal"]
+    data_total = max(op["numRowsTotal"] for n, op in ops if n > 0)
+    # the data batch populated >1 bucket; expiry removed all but the
+    # outlier's bucket in the trailing no-data batch
+    assert data_total > 1
+    assert removed == data_total - 1 and final_total == 1, (
+        removed, data_total, final_total,
+    )

@@ -792,6 +792,115 @@ WHERE score >= {_MODEL_THR} ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# Split-leakage audit — ROUND-13+ REGISTRATION CANDIDATE (staged, r12):
+# the eval-hygiene number a pipeline owner reads BEFORE trusting a
+# train/held-out split. Assign every document a deterministic md5-parity
+# split (the same portable-hash split discipline semdedup_incremental
+# uses), then grade the split against the VERIFIED near-dup structure:
+#
+# - a near-dup PAIR whose sides land in different splits leaks the
+#   held-out set into training (the contamination unit eval-decon
+#   literature counts);
+# - a CLUSTER spanning both splits is the cluster-level view (drop or
+#   re-side the whole cluster to fix).
+#
+# One summary row of exact BIGINT counts + one exact-int IEEE division
+# (leaky-pair fraction). Cost = dedup_clusters + one broadcast-side
+# split projection + one pair join — the cluster labels and pairs are
+# the operators already registered; this entry is their composition.
+# Scale: split is a stateless md5 projection; the leak join is pair-keyed.
+# --------------------------------------------------------------------------
+_DOC_SPLIT_SPARK = f"{spark_md5_int('cast(doc_id as string)')} % 2"
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).withColumn("sh", shingles_expr("t", k=3))
+    pairs = D.jaccard_pairs(docs, "doc_id", "sh", JACCARD_TAU).select(
+        "id1", "id2"
+    )
+    labels = connected_components(
+        docs.select("doc_id"), pairs, "doc_id", "id1", "id2"
+    )
+    side = F.expr(_DOC_SPLIT_SPARK).cast("int")
+    split = load_table(spark, sf_dir, "documents").select(
+        "doc_id", side.alias("split")
+    )
+    clus = (
+        labels.join(split, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+        )
+    )
+    s1 = split.select(F.col("doc_id").alias("id1"), F.col("split").alias("sp1"))
+    s2 = split.select(F.col("doc_id").alias("id2"), F.col("split").alias("sp2"))
+    pr = pairs.join(s1, "id1").join(s2, "id2")
+    z = F.lit(0)
+    return clus.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.coalesce(F.sum((F.col("n_docs") > 1).cast("int")), z)
+        .cast("long").alias("n_multi_doc_clusters"),
+        F.coalesce(F.sum((F.col("n_splits") > 1).cast("int")), z)
+        .cast("long").alias("n_leaky_clusters"),
+    ).crossJoin(
+        pr.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.coalesce(
+                F.sum((F.col("sp1") != F.col("sp2")).cast("int")), z
+            ).cast("long").alias("n_leaky_pairs"),
+        )
+    ).select(
+        "n_clusters",
+        "n_multi_doc_clusters",
+        "n_leaky_clusters",
+        "n_pairs",
+        "n_leaky_pairs",
+        (
+            F.col("n_leaky_pairs").cast("double")
+            / F.expr("nullif(n_pairs, 0)")
+        ).alias("leaky_pair_frac"),
+    )
+
+
+def _split_leakage_sql() -> str:
+    duck_split = f"CAST({duck_md5_int('CAST(doc_id AS VARCHAR)')} % 2 AS INT)"
+    return f"""
+WITH RECURSIVE {duck_jaccard_pairs_cte()},
+e AS (SELECT id1 AS a, id2 AS b FROM vp UNION ALL SELECT id2, id1 FROM vp),
+reach(node, m) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.a, r.m FROM e JOIN reach r ON r.node = e.b
+),
+lab AS (SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node),
+sp AS (SELECT doc_id, {duck_split} AS split FROM documents),
+cl AS (SELECT l.cluster_id, COUNT(*) AS n_docs,
+              COUNT(DISTINCT s.split) AS n_splits
+       FROM lab l JOIN sp s ON s.doc_id = l.doc_id
+       GROUP BY l.cluster_id),
+ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              CAST(COALESCE(SUM(CASE WHEN n_docs > 1 THEN 1 END), 0)
+                   AS BIGINT) AS n_multi_doc_clusters,
+              CAST(COALESCE(SUM(CASE WHEN n_splits > 1 THEN 1 END), 0)
+                   AS BIGINT) AS n_leaky_clusters
+       FROM cl),
+pa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 END), 0)
+                   AS BIGINT) AS n_leaky_pairs
+       FROM vp JOIN sp a ON a.doc_id = vp.id1
+               JOIN sp b ON b.doc_id = vp.id2)
+SELECT ca.n_clusters, ca.n_multi_doc_clusters, ca.n_leaky_clusters,
+       pa.n_pairs, pa.n_leaky_pairs,
+       CAST(pa.n_leaky_pairs AS DOUBLE) / NULLIF(pa.n_pairs, 0)
+         AS leaky_pair_frac
+FROM ca, pa
+"""
+
+
 QUERIES = {
     "quality_model_score": q_quality_model_score,
     "quality_stratified_sample": q_quality_stratified_sample,

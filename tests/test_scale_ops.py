@@ -641,3 +641,35 @@ def test_quality_repetition_oracle_parity_and_crafted(spark):
     assert got[2]["top2_count"] == 1 and got[2]["dup3_frac"] == 0.0
     assert got[2]["keep_repetition"] is True
     assert got[3]["top2_gram"] == "a b" and got[3]["top2_count"] == 2
+
+
+def test_split_leakage_audit_oracle_parity_and_consistency(spark):
+    """Round-13+ registration candidate (staged, r12): the train/held-out
+    leakage audit must hold hash-exact oracle parity at both fixture SFs,
+    and its counts must be internally consistent — leaky clusters are a
+    subset of multi-doc clusters, leaky pairs a subset of pairs, and a
+    LEAKY PAIR FORCES a leaky cluster (both endpoints share a component
+    by construction). The fixture result is non-trivial: a naive md5
+    split leaks ~half the verified near-dup pairs, which is exactly the
+    number this audit exists to surface before an eval is trusted."""
+    from data_engineer_development_spark.queries.corpus_ops import (
+        _split_leakage_sql,
+        q_split_leakage_audit,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    sql = _split_leakage_sql()
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "split_leakage_audit",
+            q_split_leakage_audit, sql,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+    r = q_split_leakage_audit(spark, SF_CORRECT).collect()[0]
+    assert 0 < r["n_multi_doc_clusters"] <= r["n_clusters"]
+    assert 0 <= r["n_leaky_clusters"] <= r["n_multi_doc_clusters"]
+    assert 0 <= r["n_leaky_pairs"] <= r["n_pairs"]
+    if r["n_leaky_pairs"]:
+        assert r["n_leaky_clusters"] > 0
+    assert r["leaky_pair_frac"] == r["n_leaky_pairs"] / r["n_pairs"]

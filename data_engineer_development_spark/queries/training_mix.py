@@ -143,6 +143,64 @@ FROM p GROUP BY 1, 2 ORDER BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# GLOBAL sequence packing — ROUND-13+ REGISTRATION CANDIDATE (staged,
+# r12): the sharded entry above parallelizes by hashing documents into
+# _PACK_SHARDS independent streams, which caps parallelism at #shards —
+# each shard's running sum is ONE task's window, i.e. corpus/#shards
+# rows through a single sort at 100 TB. This variant packs the TRUE
+# single concatenated stream (the GPT-style discipline exactly: one
+# global token stream cut every CAP tokens, documents allowed to
+# STRADDLE a cut) with NO unpartitioned window anywhere: the exclusive
+# global prefix sum comes from operators/ranking.with_global_cumsum
+# (range shuffle + per-physical-partition local window + a P-row offsets
+# broadcast — the distributed zipWithIndex idiom extended to weights).
+# Per document: its sequence, its byte^Wtoken offset within it, and
+# whether it straddles a boundary (the fraction a packing owner watches
+# — straddled docs lose attention contiguity). All-integer except the
+# flag; the oracle is the naive global window, exact at fixture scale.
+# --------------------------------------------------------------------------
+def q_pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators.ranking import (
+        with_global_cumsum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tokens"),
+    )
+    cum = with_global_cumsum(docs, "tokens", "doc_id", cum_col="cum_before")
+    seq = F.floor(F.col("cum_before") / _PACK_CAP)
+    seq_last = F.floor(
+        (F.col("cum_before") + F.col("tokens") - 1) / _PACK_CAP
+    )
+    return cum.select(
+        "doc_id",
+        "tokens",
+        "cum_before",
+        seq.cast("long").alias("seq_id"),
+        (F.col("cum_before") % _PACK_CAP).cast("long").alias("seq_offset"),
+        (seq != seq_last).alias("straddles"),
+    ).orderBy("doc_id")
+
+
+_PACK_GLOBAL_SQL = f"""
+WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+           FROM documents),
+p AS (SELECT *, CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS cum_before
+      FROM d)
+SELECT doc_id, tokens, cum_before,
+       CAST(floor(cum_before / {_PACK_CAP}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {_PACK_CAP} AS BIGINT) AS seq_offset,
+       floor(cum_before / {_PACK_CAP})
+         <> floor((cum_before + tokens - 1) / {_PACK_CAP}) AS straddles
+FROM p ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Z-order layout key: interleave the low bits of two scan dimensions so ONE
 # sort gives locality on BOTH (the Delta/Iceberg OPTIMIZE ZORDER move) —
 # files then carry tight min/max ranges on either column and scans with a

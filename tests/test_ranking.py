@@ -133,3 +133,92 @@ def test_ntile_closed_form_matches_spark_ntile(spark):
         F.ntile(10).over(w).alias("builtin"),
     )
     assert out.filter(F.col("closed") != F.col("builtin")).count() == 0
+
+
+def test_global_cumsum_matches_naive_window(spark):
+    """with_global_cumsum (the distributed prefix sum) must equal the
+    naive single-partition global window EXACTLY — exclusive semantics,
+    integer weights — including across range-partition boundaries and
+    with weight values of 0."""
+    import random
+
+    from pyspark.sql import Window
+
+    from data_engineer_development_spark.operators.ranking import (
+        with_global_cumsum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([0, 1, 3, 17, 512])) for i in range(5_000)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    got = {
+        r["k"]: r["cum"]
+        for r in with_global_cumsum(df, "w", "k", cum_col="cum").collect()
+    }
+    naive = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["k"]: r["cum"]
+        for r in df.select(
+            "k", F.coalesce(F.sum("w").over(naive), F.lit(0)).alias("cum")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_no_input_sized_window(spark):
+    """Same plan discipline as with_global_rank: the corpus-sized path
+    carries only PARTITIONED windows (per physical partition id); the
+    lone unpartitioned window is the bounded P-row offsets cumsum."""
+    import re
+
+    from data_engineer_development_spark.operators.ranking import (
+        with_global_cumsum,
+    )
+
+    df = spark.range(10_000).selectExpr("id as k", "id % 7 as w")
+    plan = (
+        with_global_cumsum(df, "w", "k")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    unpart = 0
+    for m in re.finditer(r"windowspecdefinition\(([^,)]+)[,)]", plan):
+        first = m.group(1)
+        if (" ASC" in first or " DESC" in first
+                or first.startswith("specifiedwindowframe")):
+            unpart += 1
+    assert unpart <= 1  # offsets cumsum only (32-row input)
+
+
+def test_pack_sequences_global_parity_and_straddle_semantics(spark):
+    """Round-13+ registration candidate (staged, r12): the single-stream
+    packing must hold hash-exact oracle parity at both fixture SFs, and
+    its per-doc layout must tile the stream exactly: offsets are
+    cum_before mod CAP, consecutive docs abut (next cum_before = prev
+    cum_before + prev tokens), and a doc straddles iff its span crosses
+    a CAP boundary."""
+    from conftest import SF_CORRECT, SF_SMOKE
+    from oracle_harness import compare
+
+    from data_engineer_development_spark.queries.training_mix import (
+        _PACK_CAP,
+        _PACK_GLOBAL_SQL,
+        q_pack_sequences_global,
+    )
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "pack_sequences_global",
+            q_pack_sequences_global, _PACK_GLOBAL_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+    rows = q_pack_sequences_global(spark, SF_CORRECT).collect()
+    cum = 0
+    saw_straddle = False
+    for r in rows:  # ordered by doc_id
+        assert r["cum_before"] == cum
+        assert r["seq_offset"] == cum % _PACK_CAP
+        crosses = (cum // _PACK_CAP) != ((cum + r["tokens"] - 1) // _PACK_CAP)
+        assert r["straddles"] == crosses
+        saw_straddle |= crosses
+        cum += r["tokens"]
+    assert saw_straddle  # fixture docs do cross boundaries

@@ -97,12 +97,15 @@ def track_persist(df: DataFrame) -> DataFrame:
 
 
 def release_tracked() -> int:
-    """Unpersist every tracked DataFrame; returns how many were released.
+    """Unpersist every tracked DataFrame and checkpoint RDD; returns how
+    many were released.
 
     Safe to call at any quiesce point (between registry entries, after a
-    bench measurement). Blocking=False: Spark drops the blocks
-    asynchronously, which is fine — the handles are dead to correctness
-    the moment the consuming action finished.
+    bench measurement). DataFrame handles release blocking=False (Spark
+    drops SQL-cache blocks asynchronously — they are dead to correctness
+    the moment the consuming action finished); checkpoint RDD handles
+    release BLOCKING because the observable contract is "zero persistent
+    RDDs after release" and an async drop would race the sweep's count.
     """
     n = 0
     while _TRACKED:

@@ -322,7 +322,24 @@ def bpe_train_batched(
 
     merges: list[tuple[int, str, str, int]] = []
     since_ckpt = 0
+    rounds = 0
     while len(merges) < k_merges:
+        # the job-count contract is on ROUNDS, not merges: a round only
+        # guarantees >= 1 accepted pair, so a conflict-heavy corpus
+        # (every top candidate sharing a hot symbol) degrades toward one
+        # merge per round — without this check the k_merges guard above
+        # (which assumes ~batch_m accepts/round) would let exactly the
+        # runaway it exists to prevent schedule BPE_MAX_MERGES*batch_m
+        # sequential jobs (review r12)
+        rounds += 1
+        if rounds > BPE_MAX_MERGES:
+            raise ValueError(
+                f"bpe_train_batched: round {rounds} exceeds BPE_MAX_MERGES="
+                f"{BPE_MAX_MERGES} with only {len(merges)}/{k_merges} "
+                "merges accepted — candidate conflicts are degrading the "
+                "batch toward sequential; raise candidate_factor/batch_m "
+                "or lower k_merges"
+            )
         want = min(batch_m, k_merges - len(merges))
         top = (
             segs.select("f", F.explode(F.expr(_PAIRS_SQL)).alias("p"))

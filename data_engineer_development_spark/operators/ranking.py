@@ -133,45 +133,59 @@ def with_global_cumsum(
     :func:`with_global_rank` and the same reason it exists: the naive
     ``Window.orderBy(...)`` prefix sum collapses the input into one
     task's sort. ``order`` must be a TOTAL order; ``weight`` must be
-    integral (the offsets math is exact BIGINT — IEEE partials would
-    make the result partitioning-dependent).
+    integral and non-NULL (exact int64 accumulation — IEEE partials
+    would make the result partitioning-dependent).
 
-    Shape: one range shuffle + per-partition local cumsum (a window
-    PARTITIONED by the physical partition id — parallel, warn-free) +
-    a P-row offsets broadcast. Exclusive (not inclusive) because every
-    consumer seen so far wants "how much came before me" (packing
-    offsets, byte layout); inclusive is one ``+ weight`` away.
+    Shape: one range shuffle + a NARROW per-partition local cumsum +
+    a P-row offsets broadcast. The local pass is an Arrow
+    ``mapInPandas`` running int64 cumsum over the partition's batches
+    in their sorted order — deliberately NOT a
+    ``Window.partitionBy(pid)``: the range sort's output partitioning
+    can't satisfy that window's clustering requirement, so Catalyst
+    would insert a second full-input hash exchange — the exact
+    re-shuffle this module's header documents as 3.6× slower, and the
+    one a review r12 pass caught this function paying. Exclusive (not
+    inclusive) because every consumer seen so far wants "how much came
+    before me" (packing offsets, byte layout); inclusive is one
+    ``+ weight`` away.
     """
+    import numpy as np
+
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
     w = F.col(weight) if isinstance(weight, str) else weight
     ranked = track_persist(
         df.repartitionByRange(parts, *cols)
         .sortWithinPartitions(*cols)
-        .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_w", w.cast("long"))
-    )
-    pid = F.shiftright(F.col("_mid"), _LOCAL_BITS).alias("_pid")
-    # _mid is monotone within a partition, so ordering the local window
-    # by it reuses the range sort's order without re-deriving the key
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy("_mid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        # evaluated AFTER the exchange+sort (non-deterministic expressions
+        # never reorder below a Sort), so it labels the PHYSICAL partition
+        # — and both consumers below read the ONE persisted materialization
+        .withColumn("_pid", F.spark_partition_id())
     )
 
-    counts = ranked.groupBy(pid).agg(F.sum("_w").alias("_pw"))
+    def _local_cumsum(batches):
+        run = 0  # exclusive running sum across the partition's batches
+        for pdf in batches:
+            wv = pdf["_w"].to_numpy(dtype=np.int64)
+            pdf = pdf.assign(_lc=np.cumsum(wv) - wv + run)
+            run += int(wv.sum())
+            yield pdf
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    local_schema = StructType(
+        list(ranked.schema.fields) + [StructField("_lc", LongType())]
+    )
+    local = ranked.mapInPandas(_local_cumsum, local_schema)
+
+    counts = ranked.groupBy("_pid").agg(F.sum("_w").alias("_pw"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_pw").over(w_off), F.lit(0)).alias("_offset")
     )
 
     return (
-        ranked.select("*", pid)
-        .join(F.broadcast(offsets), "_pid")
-        .withColumn(
-            cum_col,
-            F.col("_offset")
-            + F.coalesce(F.sum("_w").over(w_local), F.lit(0)),
-        )
-        .drop("_mid", "_pid", "_pw", "_w", "_offset")
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(cum_col, F.col("_offset") + F.col("_lc"))
+        .drop("_pid", "_pw", "_w", "_offset", "_lc")
     )

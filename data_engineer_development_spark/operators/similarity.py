@@ -1121,7 +1121,8 @@ def semdedup_sharded(
     # id-only join would inject a non-K-lowest centroid into that shard's
     # codebook and silently diverge from the documented rule/oracle. The
     # composite key makes the fetch correct even then; true duplicates
-    # WITHIN a shard still trip the cardinality guard below.
+    # WITHIN a shard are caught by the explicit (shard, id) uniqueness
+    # check below.
     seed_rows = (
         usable.join(F.broadcast(seed_ids), [shard_col, id_col])
         .select(shard_col, id_col, "qv", "qn")
@@ -1136,6 +1137,23 @@ def semdedup_sharded(
             "semdedup_sharded: seed collect exceeded SHARDED_SEED_MAX_ROWS"
             f" — shard key '{shard_col}' is too high-cardinality for "
             "per-shard codebooks; shard on a coarser key"
+        )
+    # id uniqueness WITHIN a shard (review r12): a duplicated id in the
+    # seed zone fetches BOTH payload rows through the equi-join (the rank
+    # window numbered them 1 and 2 with a nondeterministic tiebreak), so
+    # the codebook would silently grow past k_cells with two same-id,
+    # possibly different-payload centroids — a hash mismatch with nothing
+    # pointing at the cause. The collect above already holds every fetched
+    # row, so the check is driver-side and free of extra jobs.
+    seed_keys = [(r[shard_col], r[id_col]) for r in seed_rows]
+    if len(seed_keys) != len(set(seed_keys)):
+        from collections import Counter
+
+        dupes = [k for k, c in Counter(seed_keys).items() if c > 1][:10]
+        raise ValueError(
+            "semdedup_sharded: duplicate ids within a shard's seed zone "
+            f"(first 10 (shard, id) offenders: {dupes}) — ids must be "
+            "unique per shard; dedup the input first"
         )
     cents_by_shard: dict = {}
     for r in sorted(seed_rows, key=lambda r: (r[shard_col], r[id_col])):

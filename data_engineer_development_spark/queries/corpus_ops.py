@@ -815,19 +815,27 @@ _DOC_SPLIT_SPARK = f"{spark_md5_int('cast(doc_id as string)')} % 2"
 
 
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
+    from data_engineer_development_spark.cache import track_persist
+
+    docs_raw = load_table(spark, sf_dir, "documents")
+    docs = docs_raw.select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     ).withColumn("sh", shingles_expr("t", k=3))
-    pairs = D.jaccard_pairs(docs, "doc_id", "sh", JACCARD_TAU).select(
-        "id1", "id2"
+    # the verified-pair self-join is the dominant cost of the whole
+    # audit and THREE consumers read it (connected_components unions it
+    # twice as src/dst, the leak join once more) — persist it so the
+    # shingle+posting pipeline runs once (review r12; same discipline as
+    # q_contamination_check's shared shingled frame)
+    pairs = track_persist(
+        D.jaccard_pairs(docs, "doc_id", "sh", JACCARD_TAU).select(
+            "id1", "id2"
+        )
     )
     labels = connected_components(
-        docs.select("doc_id"), pairs, "doc_id", "id1", "id2"
+        docs_raw.select("doc_id"), pairs, "doc_id", "id1", "id2"
     )
     side = F.expr(_DOC_SPLIT_SPARK).cast("int")
-    split = load_table(spark, sf_dir, "documents").select(
-        "doc_id", side.alias("split")
-    )
+    split = docs_raw.select("doc_id", side.alias("split"))
     clus = (
         labels.join(split, "doc_id")
         .groupBy("cluster_id")

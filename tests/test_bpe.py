@@ -412,3 +412,25 @@ def test_bpe_batched_mirror_randomized():
         assert a == b and len(a) == k
 
     run()
+
+
+def test_bpe_batched_round_count_contract(spark, monkeypatch):
+    """Review r12: the batched trainer's job-count contract is on ROUNDS,
+    not merges — a conflict-heavy corpus (every top candidate sharing a
+    hot symbol) accepts ~1 pair/round, so k_merges<=BPE_MAX_MERGES*batch_m
+    alone would admit a BPE_MAX_MERGES*batch_m-job runaway. Pin the round
+    guard with a tiny patched ceiling and a single-letter-run corpus
+    where every candidate conflicts."""
+    import pytest
+
+    from data_engineer_development_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaa aaaaaaaa aaaa")], "doc_id long, text string"
+    )
+    monkeypatch.setattr(B, "BPE_MAX_MERGES", 2)
+    with pytest.raises(ValueError, match="round .* exceeds BPE_MAX_MERGES"):
+        # k=6 <= 2*4 passes the merge-count guard; every round accepts
+        # exactly one pair (all candidates share the evolving 'a...'
+        # symbols), so round 3 must trip the round guard
+        B.bpe_train_batched(docs, k_merges=6, batch_m=4)

@@ -165,28 +165,45 @@ def test_global_cumsum_matches_naive_window(spark):
     assert got == want
 
 
-def test_global_cumsum_no_input_sized_window(spark):
+def test_global_cumsum_no_input_sized_window_or_second_shuffle(spark):
     """Same plan discipline as with_global_rank: the corpus-sized path
-    carries only PARTITIONED windows (per physical partition id); the
-    lone unpartitioned window is the bounded P-row offsets cumsum."""
+    carries NO window at all (the local running sum is a narrow Arrow
+    mapInPandas over the already-sorted range partitions — a
+    Window.partitionBy(pid) would hash-exchange the whole input again,
+    the review-r12 finding); the lone unpartitioned window is the
+    bounded P-row offsets cumsum, and the only full-input exchange in
+    the executed plan is the range repartition itself."""
     import re
 
     from data_engineer_development_spark.operators.ranking import (
         with_global_cumsum,
     )
 
-    df = spark.range(10_000).selectExpr("id as k", "id % 7 as w")
-    plan = (
-        with_global_cumsum(df, "w", "k")
-        ._jdf.queryExecution().optimizedPlan().toString()
+    out = with_global_cumsum(
+        spark.range(10_000).selectExpr("id as k", "id % 7 as w"), "w", "k"
     )
-    unpart = 0
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    unpart = part = 0
     for m in re.finditer(r"windowspecdefinition\(([^,)]+)[,)]", plan):
         first = m.group(1)
         if (" ASC" in first or " DESC" in first
                 or first.startswith("specifiedwindowframe")):
             unpart += 1
+        else:
+            part += 1
+    assert part == 0  # no hash-exchange window over the input
     assert unpart <= 1  # offsets cumsum only (32-row input)
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in physical  # the narrow local pass
+    # no HASH exchange anywhere carries the data rows: every
+    # hashpartitioning line must be the counts/offsets control plane
+    # (_pid keyed, partially-aggregated P rows — map-side combine ran
+    # first), never the full-width input (which would print the data
+    # column k). The range repartition prints once per cached-plan
+    # branch but executes once (both scans read one InMemoryRelation).
+    for line in physical.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "k#" not in line, line
 
 
 def test_pack_sequences_global_parity_and_straddle_semantics(spark):

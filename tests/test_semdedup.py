@@ -897,3 +897,26 @@ def test_semdedup_sharded_seed_fetch_keys_on_shard_and_id(spark):
     assert got[(20, 2)] == (None, 1)
     assert got[(20, 3)] == (None, 1)
     assert got[(20, 9)] == (2, 0)
+
+
+def test_semdedup_sharded_rejects_duplicate_ids_within_shard(spark):
+    """Review r12: a duplicated id INSIDE one shard's seed zone would
+    fetch both payload rows through the (shard, id) equi-join and
+    silently grow the codebook past k_cells with two same-id centroids
+    — must fail loudly instead."""
+    import pytest
+
+    from data_engineer_development_spark.operators.similarity import (
+        semdedup_sharded,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 10),
+        (0, [0.0, 1.0, 0.0, 0.0], 10),   # duplicate id, same shard
+        (3, [0.0, 0.0, 1.0, 0.0], 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with pytest.raises(ValueError, match="duplicate ids within a shard"):
+        semdedup_sharded(df, shard_col="label", k_cells=2, tau=0.9, dims=4)

@@ -434,3 +434,43 @@ def test_bpe_batched_round_count_contract(spark, monkeypatch):
         # exactly one pair (all candidates share the evolving 'a...'
         # symbols), so round 3 must trip the round guard
         B.bpe_train_batched(docs, k_merges=6, batch_m=4)
+
+
+def test_bpe_batched_matches_mirror_on_adversarial_corpora(spark):
+    """Spark-vs-mirror on crafted adversarial corpora (the fixture test
+    covers the natural case): single-letter runs (run-parity + every
+    candidate conflicting → 1 accept/round), a product-collision corpus
+    where an accepted pair's concatenation equals another candidate's
+    symbol, and a tie-heavy uniform corpus."""
+    from data_engineer_development_spark.operators.bpe import (
+        BPE_TOKEN_RE,
+        bpe_train_batched,
+    )
+
+    corpora = [
+        ["aaaa aaaaaa aa", "aaa a aaaaa"],          # runs + conflicts
+        ["ab abc ababc", "a b ab c bc abc"],        # 'a'+'b' makes 'ab'
+        ["xy xy zw zw pq pq", "xy zw pq"],          # ties, all disjoint
+    ]
+    import pytest
+
+    for texts in corpora:
+        for k, m in ((4, 2), (6, 3)):
+            docs = spark.createDataFrame(
+                list(enumerate(texts)), "doc_id long, text string"
+            )
+            try:
+                exp = _py_bpe_batched_mirror(texts, k, m, BPE_TOKEN_RE)
+            except ValueError:
+                # corpus exhausts before k merges — both sides must
+                # refuse identically rather than silently truncate
+                with pytest.raises(ValueError, match="exhausted"):
+                    bpe_train_batched(docs, k_merges=k, batch_m=m)
+                continue
+            got = [
+                (r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+                for r in bpe_train_batched(docs, k_merges=k, batch_m=m)
+                .orderBy("rank")
+                .collect()
+            ]
+            assert got == exp, (texts, k, m, got, exp)

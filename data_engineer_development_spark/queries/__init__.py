@@ -62,38 +62,35 @@ _MODULES = [
 # round). Every pair — all entries, regardless of order — stays verified
 # by tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
-    # net-new this round (VERDICT r11 #1 + #4, from COVERAGE.md's staged
-    # inventory): the distributed BPE trainer (the tokenizer family's
-    # LEARNING operator — contractual k_merges job-count bound per
-    # VERDICT r11 #3), sharded SemDeDup (auto_k_cells' prescribed
-    # past-64M-row scale path — per-shard codebooks, per-shard Σ|cell|²),
-    # and the event-time-TTL gate (the replay-safe bounded-state dial's
-    # first driver row: setTimeoutTimestamp armed per bucket, self-expiry
-    # fired in the trailing no-data batch; single-data-batch run keeps
-    # the batch-greedy oracle exact).
-    "bpe_train", "semdedup_sharded", "stream_neardup_gate_event_ttl",
+    # net-new this round (VERDICT r12 #1 + #3, COVERAGE.md's r12-staged
+    # inventory — all tri-SF + ANSI-on verified before this placement):
+    # Gopher-family intra-document repetition signals, the train/held-out
+    # leakage audit, TRUE single-stream packing on the distributed
+    # exclusive prefix sum, train-then-APPLY BPE encode stats, and the
+    # batched BPE trainer (ROWS-ONLY by design — its within-round
+    # snapshot spec is deliberately not the sequential-greedy oracle;
+    # mirror-pinned in tests/test_bpe.py).
+    "quality_repetition", "split_leakage_audit", "pack_sequences_global",
+    "bpe_encode_stats", "bpe_train_batched",
     # rotation (stalest driver evidence first, tools/suggest_front.py):
-    # ALL 22 r8-latest entries, then the stalest 25 of the r9 cohort in
-    # registry order. The 3 r9 tail entries (lsh_candidate_recall,
-    # volume_shipping, promo_revenue) rotate in r13 — after this round
-    # nothing is older than r9, the VERDICT r11 #2 done-criterion.
-    "stream_stream_join", "dedup_clusters", "dedup_cleaned_corpus",
-    "contamination_check", "emb_quantize", "distinct_kmv", "kmv_merge",
-    "tfidf_top_terms", "pii_mask", "exists_high_quantity",
-    "scalar_subquery_pricey_parts", "grouping_sets_lineitem",
-    "window_navigation", "quantiles_quantity", "big_orders",
-    "moving_7d_orders", "cheapest_part_per_brand", "filtered_agg",
-    "unpivot_part_metrics", "returned_item_revenue", "pivot_status",
-    "array_agg_orders",
-    "civil_pipeline_e2e", "substring_dedup", "phrase_search",
-    "heavy_hitters", "vocab_coverage", "bpe_pair_counts",
-    "dictionary_encode", "event_anomaly", "snapshot_diff", "fk_integrity",
-    "er_candidate_pairs", "temporal_dim_join", "stream_foreachbatch_upsert",
-    "multimodal_frame_sample", "multimodal_audio_features",
-    "multimodal_image_ahash", "text_normalize", "text_familiarity",
-    "text_length_trim", "supplier_pagerank", "click_attribution",
-    "gapfill_daily", "stream_dedup_within_watermark",
-    "rolling_median_value", "dedup_containment",
+    # ALL 21 r9-latest entries — after this round the staleness floor is
+    # r10, the VERDICT r12 #2 done-criterion — then the stalest 24 of
+    # the r10 cohort in registry order (the r10 tail rotates in r14).
+    "lsh_candidate_recall", "volume_shipping", "promo_revenue",
+    "disjunctive_revenue", "small_qty_revenue", "waiting_suppliers",
+    "priority_order_check", "market_share", "sales_opportunity",
+    "recursive_reachability", "lateral_topk_orders", "top_revenue_supplier",
+    "domain_mix", "pack_sequences", "chunk_documents", "zorder_layout",
+    "sample_hash_bucket", "stratified_sample", "text_top_token_ratio",
+    "token_count_bpe", "range_join_promos",
+    "export_jsonl_roundtrip", "export_csv_roundtrip", "export_orc_roundtrip",
+    "compaction_plan", "skew_profile", "range_partition_plan",
+    "schema_evolution_read", "streaming_running_totals", "text_token_stats",
+    "text_repetition", "text_lang_id", "text_quality", "text_fingerprint",
+    "pricing_summary", "quality_typed_select", "dim_decode",
+    "identity_projection", "in_list_filter", "message_envelope",
+    "json_extract", "variant_json_stats", "regexp_clean", "string_funcs",
+    "null_handling",
 ]
 
 
@@ -120,5 +117,10 @@ def all_oracles() -> dict[str, str]:
         out.update(m.ORACLE)
     # Mirror all_queries()' exact ordering (not just the _FRONT head) so
     # the two registries stay positionally aligned for the driver window.
+    # Rows-only entries (in QUERIES but deliberately absent from ORACLE,
+    # e.g. bpe_train_batched) simply have no row here — the driver falls
+    # back to its rows-only check for them.
     order = {k: i for i, k in enumerate(all_queries())}
-    return dict(sorted(_ordered(out).items(), key=lambda kv: order[kv[0]]))
+    unknown = [k for k in out if k not in order]
+    assert not unknown, f"ORACLE names without a QUERIES entry: {unknown}"
+    return dict(sorted(out.items(), key=lambda kv: order[kv[0]]))

@@ -923,9 +923,11 @@ QUERIES = {
     "kmv_merge": q_kmv_merge,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pii_mask": q_pii_mask,
+    "split_leakage_audit": q_split_leakage_audit,
 }
 
 ORACLE = {
+    "split_leakage_audit": _split_leakage_sql(),
     "quality_model_score": _QUALITY_MODEL_SQL,
     "quality_stratified_sample": _QUALITY_SAMPLE_SQL,
     "stream_quality_gate": _STREAM_QUALITY_GATE_SQL,

@@ -673,7 +673,36 @@ FROM tok t JOIN s{k} s ON s.w = t.w
 GROUP BY t.doc_id ORDER BY t.doc_id"""
 
 
-# registration lives below the definitions it needs (_bpe_train_sql);
-# bpe_encode_stats stays staged for r13 (COVERAGE.md inventory).
+# --------------------------------------------------------------------------
+# Batched BPE training — REGISTERED r13, ROWS-ONLY (sanctioned no-oracle
+# path per __spark_entry__.py:30-37): its within-round snapshot spec is
+# deliberately NOT the sequential greedy that _bpe_train_sql unrolls
+# (COVERAGE.md r12), so an SQL oracle would pin the wrong semantics.
+# Correctness is pinned instead by tests/test_bpe.py — a pure-python
+# mirror over the fixture + 40 hypothesis corpora, plus the exact
+# batch_m=1 ≡ bpe_train reduction. Fully deterministic output (total
+# candidate order + pure driver greedy), so the driver's rows-only check
+# is stable round to round.
+# --------------------------------------------------------------------------
+_BPE_BATCH_M = 4
+
+
+def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators.bpe import (
+        bpe_train_batched,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_batched(
+        docs, k_merges=_BPE_MERGES, batch_m=_BPE_BATCH_M
+    ).orderBy("rank")
+
+
+# registration lives below the definitions it needs (_bpe_train_sql):
+# bpe_train registered r12; bpe_encode_stats + bpe_train_batched
+# registered r13 (the latter rows-only — no ORACLE entry, see above).
 QUERIES["bpe_train"] = q_bpe_train
 ORACLE["bpe_train"] = _bpe_train_sql()
+QUERIES["bpe_encode_stats"] = q_bpe_encode_stats
+ORACLE["bpe_encode_stats"] = _bpe_encode_sql()
+QUERIES["bpe_train_batched"] = q_bpe_train_batched

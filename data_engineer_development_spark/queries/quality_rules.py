@@ -324,12 +324,14 @@ ORDER BY t2.doc_id
 
 QUERIES = {
     "quality_gopher_rules": q_quality_gopher_rules,
+    "quality_repetition": q_quality_repetition,
     "text_diversity": q_text_diversity,
     "mix_temperature": q_mix_temperature,
 }
 
 ORACLE = {
     "quality_gopher_rules": _GOPHER_RULES_SQL,
+    "quality_repetition": _QUALITY_REPETITION_SQL,
     "text_diversity": _TEXT_DIVERSITY_SQL,
     "mix_temperature": _MIX_TEMPERATURE_SQL,
 }

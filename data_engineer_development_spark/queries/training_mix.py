@@ -311,6 +311,7 @@ FROM c ORDER BY doc_id, chunk_idx
 QUERIES = {
     "domain_mix": q_domain_mix,
     "pack_sequences": q_pack_sequences,
+    "pack_sequences_global": q_pack_sequences_global,
     "chunk_documents": q_chunk_documents,
     "zorder_layout": q_zorder_layout,
 }
@@ -318,6 +319,7 @@ QUERIES = {
 ORACLE = {
     "domain_mix": _DOMAIN_MIX_SQL,
     "pack_sequences": _PACK_SQL,
+    "pack_sequences_global": _PACK_GLOBAL_SQL,
     "chunk_documents": _CHUNK_SQL,
     "zorder_layout": _ZORDER_SQL,
 }

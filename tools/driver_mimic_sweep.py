@@ -48,8 +48,13 @@ def main() -> int:
         sf_dir = f"/root/testdata/sf{sf}"
         for name in names:
             t0 = time.time()
-            ok, msg = compare(spark, sf_dir, name, qs[name], os_[name])
-            tag = "ok" if ok else "FAIL"
+            if name in os_:
+                ok, msg = compare(spark, sf_dir, name, qs[name], os_[name])
+                tag = "ok" if ok else "FAIL"
+            else:  # rows-only entry: the driver's weaker ≥0-rows check
+                n = qs[name](spark, sf_dir).count()
+                ok, msg = n >= 0, f"{name}: rows-only, {n} rows"
+                tag = f"ok (rows-only, {n} rows)" if ok else "FAIL"
             print(f"[sf{sf}] {tag} {name} ({time.time() - t0:.1f}s)", flush=True)
             if not ok:
                 bad.append(msg)

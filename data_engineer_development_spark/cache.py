@@ -48,7 +48,14 @@ def local_checkpoint_tracked(df: DataFrame, free: list | None = None):
     sweeps ``getPersistentRDDs`` to zero between entries precisely to
     catch that class. The new blocks are found by snapshot-diffing
     ``getPersistentRDDs`` around the eager checkpoint (single-driver
-    engine: no concurrent persists to confuse the diff) and freed by
+    engine: no concurrent persists to confuse the diff), KEEPING only
+    locally-checkpointed RDDs (``isLocallyCheckpointed`` on the JVM
+    handle): the eager action may be the FIRST action over an upstream
+    ``track_persist`` SQL cache, whose cache RDD then also first appears
+    inside the diff window — without the filter that handle would be
+    misattributed as a checkpoint generation and unpersisted early when
+    passed back via ``free=`` (ADVICE r12; pinned by
+    tests/test_cache.py). Checkpoint handles are freed by
     :func:`release_tracked` AFTER the consuming action — freeing earlier
     would destroy the only copy (lineage is truncated; a post-free
     action fails, verified empirically).
@@ -71,7 +78,11 @@ def local_checkpoint_tracked(df: DataFrame, free: list | None = None):
 
     before = set(_rdds())
     out = df.localCheckpoint(eager=True)
-    handles = [r for i, r in _rdds().items() if i not in before]
+    handles = [
+        r
+        for i, r in _rdds().items()
+        if i not in before and r.isLocallyCheckpointed()
+    ]
     _TRACKED_RDDS.extend(handles)
     for h in free or []:
         try:

@@ -153,6 +153,17 @@ def with_global_cumsum(
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
     w = F.col(weight) if isinstance(weight, str) else weight
+    # plan-time contract guard (ADVICE r12): a float weight would be
+    # silently truncated by the long cast below, and a NULL would reach
+    # pandas as NaN and blow up inside the Arrow kernel with an opaque
+    # dtype error far from the cause. Analysis only — no job.
+    wtype = df.select(w.alias("_w")).schema[0].dataType.simpleString()
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"with_global_cumsum: weight must be an integral type "
+            f"(got {wtype}) — exact int64 accumulation is the contract; "
+            "cast/round explicitly if truncation is intended"
+        )
     ranked = track_persist(
         df.repartitionByRange(parts, *cols)
         .sortWithinPartitions(*cols)
@@ -166,6 +177,12 @@ def with_global_cumsum(
     def _local_cumsum(batches):
         run = 0  # exclusive running sum across the partition's batches
         for pdf in batches:
+            if pdf["_w"].isna().any():
+                raise ValueError(
+                    "with_global_cumsum: weight column contains NULL — "
+                    "the contract requires non-NULL integral weights "
+                    "(coalesce upstream if NULL means 0)"
+                )
             wv = pdf["_w"].to_numpy(dtype=np.int64)
             pdf = pdf.assign(_lc=np.cumsum(wv) - wv + run)
             run += int(wv.sum())

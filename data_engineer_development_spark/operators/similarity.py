@@ -1065,6 +1065,13 @@ def semdedup_sharded(
     (shard, cell) so the Σ|cell|² work is per-shard. A duplicate pair
     SPLIT ACROSS SHARDS is deliberately not detected — that is the
     shard contract, identical to running ``semdedup`` per language.
+    Ids must be unique within a shard; the guard enforces this for the
+    SEED ZONE only (rank ≤ k_cells per shard — driver-side on rows the
+    seed collect already holds, zero extra jobs). A duplicate id
+    outside the seed zone passes undetected and its verdict rows are
+    ambiguous (ADVICE r12) — full enforcement would cost an extra
+    corpus-wide aggregation; callers who can't guarantee uniqueness
+    should exact-dedup on (shard, id) first.
 
     NULL shard keys are excluded with the same loudness as unusable
     vectors (documented, mirrored in the oracle's inner join + IS NOT
@@ -1152,8 +1159,12 @@ def semdedup_sharded(
         dupes = [k for k, c in Counter(seed_keys).items() if c > 1][:10]
         raise ValueError(
             "semdedup_sharded: duplicate ids within a shard's seed zone "
-            f"(first 10 (shard, id) offenders: {dupes}) — ids must be "
-            "unique per shard; dedup the input first"
+            f"(first 10 (shard, id) offenders: {dupes}) — dedup the "
+            "input first. NOTE: uniqueness is enforced for SEED-ZONE ids "
+            "only (rank <= k_cells per shard; full enforcement would "
+            "cost an extra aggregation job) — a duplicate id outside the "
+            "seed zone is not detected here and yields ambiguous "
+            "verdict rows for that id"
         )
     cents_by_shard: dict = {}
     for r in sorted(seed_rows, key=lambda r: (r[shard_col], r[id_col])):

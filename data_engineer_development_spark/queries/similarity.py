@@ -183,6 +183,12 @@ _SD_ITERS = 2
 #: three registered semdedup entries re-ran the count job, inflating
 #: their benchmark timings for a value pinned constant anyway (ADVICE
 #: r11). The pin itself still fires on the first resolution.
+#: ASSUMPTION (ADVICE r12): fixtures are immutable per path per process
+#: — every harness here (driver, bench, pytest) reads pre-generated
+#: parquet. If a fixture at the same sf_dir were regenerated at a
+#: DIFFERENT size in-process, the memo would serve the stale K and skip
+#: the loud auto_k_cells-vs-oracle pin; key on the fixture's row count
+#: if that ever becomes possible.
 _AUTO_K_MEMO: dict = {}
 
 
@@ -688,6 +694,27 @@ _GATE_EVENT_TTL_MS = 10_000
 #: epoch ms of 2026-01-01 00:00:00 UTC (fixture-independent constant)
 _GATE_TS_BASE_MS = 1_767_225_600_000
 
+#: memo for the event-TTL outlier id, keyed by sf_dir — same fixture-
+#: immutability assumption as _AUTO_K_MEMO (one fixture per path per
+#: process; in-process regeneration would serve a stale id).
+_MIN_VEC_ID_MEMO: dict = {}
+
+
+def _min_vec_id(spark: SparkSession, sf_dir: str) -> int:
+    """The fixture's lowest vec_id — the event-TTL entry's watermark
+    outlier. Derived, not hardcoded (ADVICE r12): with a hardcoded 0 a
+    regenerated fixture whose ids start elsewhere would still hash-match
+    the oracle but silently stop exercising the no-data-batch
+    self-expiry path this registration exists to drive. One tiny
+    column-pruned min() job, memoized per fixture per process."""
+    if sf_dir not in _MIN_VEC_ID_MEMO:
+        _MIN_VEC_ID_MEMO[sf_dir] = int(
+            load_table(spark, sf_dir, "embeddings")
+            .agg(F.min("vec_id"))
+            .collect()[0][0]
+        )
+    return _MIN_VEC_ID_MEMO[sf_dir]
+
 
 def q_stream_neardup_gate_event_ttl(
     spark: SparkSession, sf_dir: str
@@ -702,15 +729,16 @@ def q_stream_neardup_gate_event_ttl(
         stream_table,
     )
 
+    outlier = _min_vec_id(spark, sf_dir)
     src = stream_table(spark, sf_dir, "embeddings").withColumn(
         "ts",
         F.expr(
-            # vec_id 0 (the fixtures' lowest id) is the outlier (+30
-            # days): the final watermark lands at outlier−1s, far past
-            # (max_id seconds + TTL), so every other bucket's timer
-            # fires in the no-data batch
-            f"timestamp_millis({_GATE_TS_BASE_MS} + CASE WHEN vec_id = 0 "
-            f"THEN 2592000000 ELSE vec_id * 1000 END)"
+            # the fixture's lowest id (derived, ADVICE r12) is the
+            # outlier (+30 days): the final watermark lands at
+            # outlier−1s, far past (max_id seconds + TTL), so every
+            # other bucket's timer fires in the no-data batch
+            f"timestamp_millis({_GATE_TS_BASE_MS} + CASE WHEN vec_id = "
+            f"{outlier} THEN 2592000000 ELSE vec_id * 1000 END)"
         ),
     )
     gated = stream_neardup_gate(

@@ -94,3 +94,36 @@ def test_bpe_checkpoints_release_and_do_not_stack(spark):
     assert len(cache._TRACKED_RDDS) == 1  # the live final generation
     cache.release_tracked()
     assert _n_cached(spark) == 0 and not cache._TRACKED_RDDS
+
+
+def test_local_checkpoint_does_not_capture_upstream_persist(spark):
+    """ADVICE r12: the snapshot diff around the eager checkpoint must
+    attribute ONLY locally-checkpointed RDDs to the checkpoint handle
+    set. When the eager action is the FIRST action over an upstream
+    track_persist SQL cache, that cache's RDD also first appears inside
+    the diff window — misattributing it would unpersist the shared cache
+    early when the handle is passed back via free=."""
+    from pyspark.sql import functions as F
+
+    spark.catalog.clearCache()
+    cache.release_tracked()
+    assert _n_cached(spark) == 0
+    base = cache.track_persist(
+        spark.range(1000).withColumn("x", F.col("id") * 2)
+    )
+    # no action yet: the persist is registered but NOT materialized —
+    # the eager checkpoint below is its first action
+    out, handles = cache.local_checkpoint_tracked(
+        base.withColumn("y", F.col("x") + 1)
+    )
+    assert len(handles) == 1 and handles[0].isLocallyCheckpointed()
+    assert _n_cached(spark) == 2  # SQL cache + checkpoint generation
+    assert out.count() == 1000  # consume BEFORE freeing (lineage is cut)
+    for h in handles:
+        h.unpersist(True)
+    # the upstream SQL cache must have survived freeing the checkpoint
+    assert _n_cached(spark) == 1
+    cache._TRACKED_RDDS.clear()
+    cache.release_tracked()
+    spark.catalog.clearCache()
+    assert _n_cached(spark) == 0

@@ -239,3 +239,28 @@ def test_pack_sequences_global_parity_and_straddle_semantics(spark):
         saw_straddle |= crosses
         cum += r["tokens"]
     assert saw_straddle  # fixture docs do cross boundaries
+
+
+def test_global_cumsum_rejects_float_and_null_weights(spark):
+    """ADVICE r12: the integral/non-NULL weight contract must raise a
+    NAMED error, not truncate silently (float) or die mid-job inside
+    the Arrow kernel with an opaque dtype error (NULL)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators.ranking import (
+        with_global_cumsum,
+    )
+
+    floats = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 0.5).alias("w")
+    )
+    with pytest.raises(ValueError, match="integral"):
+        with_global_cumsum(floats, "w", "k")
+
+    nulls = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 7, None).otherwise(F.col("id")).alias("w"),
+    )
+    with pytest.raises(Exception, match="non-NULL integral weights"):
+        with_global_cumsum(nulls, "w", "k").collect()

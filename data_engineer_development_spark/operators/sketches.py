@@ -1,0 +1,170 @@
+"""Probabilistic frequency / membership sketches: Count-Min and Bloom.
+
+Both are the classic shuffle-collapsing summaries a 100 TB pipeline leans
+on when exact per-key state is too big to move:
+
+- **Count-Min** (Cormode & Muthukrishnan 2005): a depth×width grid of
+  counters. Every occurrence increments ``depth`` counters (one per hash
+  row); a point estimate is the MIN over the key's counters — always ≥
+  the true count (one-sided error), within εN with probability 1−δ for
+  width=⌈e/ε⌉, depth=⌈ln 1/δ⌉. The sketch is a SUM-monoid: partial
+  sketches from disjoint slices add cell-wise into the whole-corpus
+  sketch, so 1000 executors each sketch their partitions map-side and
+  the shuffle carries at most depth·width counters per partial — the
+  grid size is independent of input size.
+- **Bloom filter** (Bloom 1970): an m-bit membership set with k hash
+  probes per key; no false negatives, measurable false-positive rate
+  ≈ (1 − e^(−kn/m))^k. The engine's answer to runtime semi-join
+  pruning: ship a KB-scale bit set to the fact-table scan instead of
+  shuffling the fact table to an equi-join (the same move Spark's own
+  runtime row-group filtering and Bloom-join optimizations make —
+  expressed declaratively here so the plan stays Catalyst-visible).
+
+Cross-engine determinism: all hashing is the portable 60-bit md5 idiom
+(``functions/portable_hash.py``) with the hash-row index embedded as a
+string literal, so the DuckDB oracles reproduce every position bit for
+bit; all counters are exact BIGINTs. Reference scope: the reference
+repo has no sketches (its BigQuery SQL recomputes exact aggregates,
+e.g. gcp-python-libs/bigquery.py's query paths); this family is part of
+the driver-mandated training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.functions.portable_hash import (
+    spark_md5_int,
+)
+
+#: Count-Min defaults: width 512 / depth 4 → ε ≈ e/512 ≈ 0.5% of N,
+#: δ ≈ e^-4 ≈ 1.8%. 2048 grid cells regardless of corpus size.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+#: Bloom defaults: m = 4096 bits, k = 3 probes.
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+
+def _pos_expr(j: int, key_sql: str, modulus: int) -> str:
+    """Spark SQL for hash row ``j``'s position of ``key_sql`` — the row
+    index is embedded as a string literal so Spark and the oracle hash
+    byte-identical inputs."""
+    md5_in = f"concat('{j}:', {key_sql})"
+    return f"{spark_md5_int(md5_in)} % {modulus}"
+
+
+def _positions(j_count: int, key_sql: str, modulus: int) -> Column:
+    return F.array(
+        *[F.expr(_pos_expr(j, key_sql, modulus)) for j in range(j_count)]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build the Count-Min grid over every OCCURRENCE of ``key_col`` —
+    returns (row_j, pos, c) with at most depth·width rows.
+
+    One narrow projection (posexplode of the depth hash positions — all
+    JVM-side md5, whole-stage codegen) and one hash aggregation whose
+    grouping key space is the GRID, not the key space: partial
+    aggregation caps every map task's contribution at depth·width rows,
+    so the shuffle is constant-size no matter how many occurrences or
+    distinct keys flow in. That is the entire point of the sketch at
+    100 TB — the exact groupBy(key) it replaces shuffles |distinct keys|
+    rows.
+    """
+    key_sql = f"cast({key_col} as string)"
+    return (
+        df.select(
+            F.posexplode(_positions(depth, key_sql, width)).alias(
+                "row_j", "pos"
+            )
+        )
+        .groupBy("row_j", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    est_col: str = "cms_est",
+) -> DataFrame:
+    """Point-estimate each probe key's frequency: MIN over its ``depth``
+    grid counters (missing counter ⇒ 0 occurrences hashed there ⇒ the
+    estimate is 0 via coalesce — only possible for keys absent from the
+    build side). The sketch is broadcast: it is ≤ depth·width rows BY
+    CONSTRUCTION, so the probe never shuffles."""
+    key_sql = f"cast({key_col} as string)"
+    ppos = probes.select(
+        "*",
+        F.posexplode(_positions(depth, key_sql, width)).alias(
+            "row_j", "pos"
+        ),
+    )
+    keep = [c for c in probes.columns]
+    return (
+        ppos.join(F.broadcast(sketch), ["row_j", "pos"], "left")
+        .groupBy(*keep)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias(est_col))
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_K,
+) -> DataFrame:
+    """Build the Bloom bit set over DISTINCT ``key_col`` — returns the
+    set-bit positions (pos), at most ``m_bits`` rows. Distinct-then-
+    explode keeps the aggregation keyed on the bit space (≤ m_bits
+    groups), map-side combinable like the CMS grid."""
+    key_sql = f"cast({key_col} as string)"
+    return (
+        df.select(
+            F.explode(_positions(k_hashes, key_sql, m_bits)).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_K,
+    flag_col: str = "bloom_pass",
+) -> DataFrame:
+    """Flag each probe row with whether ALL ``k_hashes`` of its bits are
+    set (the Bloom 'maybe member' verdict — never a false negative).
+    The bit set is broadcast (≤ m_bits single-int rows): at scale this
+    is the runtime-filter shape — the fact side is filtered in place by
+    a KB-scale structure instead of shuffling to a join."""
+    key_sql = f"cast({key_col} as string)"
+    ppos = probes.select(
+        "*",
+        F.explode(_positions(k_hashes, key_sql, m_bits)).alias("pos"),
+    )
+    keep = [c for c in probes.columns]
+    hits = (
+        ppos.join(
+            F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left"
+        )
+        .groupBy(*keep)
+        .agg(F.sum(F.coalesce(F.col("_set"), F.lit(0))).alias("_nset"))
+    )
+    return hits.select(
+        *keep, (F.col("_nset") == k_hashes).alias(flag_col)
+    )

@@ -30,6 +30,7 @@ from data_engineer_development_spark.queries import (
     scalar_ops,
     scale_patterns,
     similarity,
+    sketch_ops,
     text_analysis,
     training_mix,
     warehouse_ops,
@@ -41,7 +42,7 @@ _MODULES = [
     text_analysis, core, scalar_ops, behavior, analytics,
     timeseries, dedup, similarity, corpus_ops, relational_ext,
     relational_more, quality_rules, scale_patterns,
-    training_mix, sampling, extras, contrastive,
+    training_mix, sampling, extras, contrastive, sketch_ops,
 ]
 
 # The driver samples the FIRST 50 registry keys each round for its

@@ -1,0 +1,211 @@
+"""Sketch-backed scale patterns: Count-Min frequency and Bloom pruning.
+
+Companions to the KMV distinct-count sketch (queries/corpus_ops.py) —
+together the three classic mergeable summaries (distinct count,
+frequency, membership) a 1000-executor pipeline substitutes for exact
+per-key state. Kernels in ``operators/sketches.py``; every counter is
+an exact BIGINT and every hash is the portable md5 idiom, so the DuckDB
+oracles reproduce the grids bit for bit (one IEEE division for the
+Bloom FPR, exact ints both sides).
+
+Reference scope: extension surface (the reference's BigQuery SQL always
+recomputes exact aggregates, e.g. gcp-python-libs/bigquery.py); these
+are the driver-mandated large-pipeline additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.functions.portable_hash import (
+    duck_md5_int,
+)
+from data_engineer_development_spark.operators.sketches import (
+    BLOOM_BITS,
+    BLOOM_K,
+    CMS_DEPTH,
+    CMS_WIDTH,
+    bloom_build,
+    bloom_probe,
+    cms_build,
+    cms_estimate,
+)
+from data_engineer_development_spark.sources import load_table
+
+_CMS_TOPN = 10  # heaviest + lightest probe keys each
+
+
+def _duck_pos(j_sql: str, key_sql: str, modulus: int) -> str:
+    """DuckDB position expr mirroring operators/sketches._pos_expr: the
+    hash row index lands as the same 'j:key' string prefix."""
+    return (
+        f"{duck_md5_int(f'concat({j_sql}, {chr(39)}:{chr(39)}, {key_sql})')}"
+        f" % {modulus}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-Min frequency estimates, graded against exact counts: build the
+# depth×width grid over every lineitem part occurrence, then point-
+# estimate the 10 heaviest and 10 lightest keys. cms_est ≥ exact_cnt
+# ALWAYS (one-sided error, pinned in tests); overcount shows the
+# collision inflation concentrating on light keys. The build's grouping
+# key space is the 2048-cell grid — partial aggregation caps every map
+# task's shuffle contribution at grid size, independent of corpus size.
+# --------------------------------------------------------------------------
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    occ = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    sketch = cms_build(occ, "l_partkey")
+    exact = occ.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    heavy = exact.orderBy(F.desc("exact_cnt"), F.asc("l_partkey")).limit(
+        _CMS_TOPN
+    )
+    light = exact.orderBy(F.asc("exact_cnt"), F.asc("l_partkey")).limit(
+        _CMS_TOPN
+    )
+    probes = heavy.unionByName(light).distinct()
+    return (
+        cms_estimate(sketch, probes, "l_partkey")
+        .select(
+            "l_partkey",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+def _cms_sql() -> str:
+    js = "[" + ",".join(str(j) for j in range(CMS_DEPTH)) + "]"
+    pos = _duck_pos(
+        "CAST(t.j AS VARCHAR)", "CAST(l_partkey AS VARCHAR)", CMS_WIDTH
+    )
+    ppos = _duck_pos(
+        "CAST(t.j AS VARCHAR)", "CAST(pr.l_partkey AS VARCHAR)", CMS_WIDTH
+    )
+    return f"""
+WITH occ AS (SELECT l_partkey FROM lineitem),
+sk AS (SELECT j, pos, CAST(COUNT(*) AS BIGINT) AS c FROM (
+           SELECT t.j, {pos} AS pos
+           FROM occ, unnest({js}) AS t(j))
+       GROUP BY j, pos),
+ex AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+       FROM occ GROUP BY l_partkey),
+heavy AS (SELECT * FROM ex ORDER BY exact_cnt DESC, l_partkey
+          LIMIT {_CMS_TOPN}),
+light AS (SELECT * FROM ex ORDER BY exact_cnt ASC, l_partkey
+          LIMIT {_CMS_TOPN}),
+pr AS (SELECT DISTINCT * FROM
+       (SELECT * FROM heavy UNION ALL SELECT * FROM light)),
+pp AS (SELECT pr.l_partkey, pr.exact_cnt, t.j, {ppos} AS pos
+       FROM pr, unnest({js}) AS t(j)),
+est AS (SELECT pp.l_partkey, pp.exact_cnt,
+               CAST(MIN(COALESCE(sk.c, 0)) AS BIGINT) AS cms_est
+        FROM pp LEFT JOIN sk ON sk.j = pp.j AND sk.pos = pp.pos
+        GROUP BY pp.l_partkey, pp.exact_cnt)
+SELECT l_partkey, exact_cnt, cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+FROM est ORDER BY l_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join pruning, with its error rate MEASURED: build the bit
+# set over one segment's customer keys (the dim-side filter set), probe
+# every distinct order customer, and grade the pass set against the
+# exact semi-join. No false negatives EVER (pinned in tests — that is
+# what makes Bloom sound as a pre-filter); the single output row carries
+# the measured false-positive rate next to the m/k parameters' textbook
+# prediction. At scale this is the runtime-filter shape: a KB-scale bit
+# set broadcast to the fact scan replaces a shuffle of the fact table.
+# --------------------------------------------------------------------------
+_BLOOM_SEGMENT = "BUILDING"
+
+
+def q_bloom_prune_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    build_keys = (
+        cust.filter(F.col("c_mktsegment") == _BLOOM_SEGMENT)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    bits = bloom_build(build_keys, "k")
+    probes = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    flagged = bloom_probe(bits, probes, "k")
+    graded = flagged.join(
+        F.broadcast(build_keys.withColumn("_m", F.lit(1))), "k", "left"
+    ).select(
+        "k",
+        "bloom_pass",
+        F.coalesce(F.col("_m"), F.lit(0)).alias("is_member"),
+    )
+    agg = graded.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum("is_member").alias("n_true_members"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_passed"),
+        F.sum(
+            (F.col("bloom_pass") & (F.col("is_member") == 0)).cast("long")
+        ).alias("n_false_pos"),
+    )
+    return agg.select(
+        "n_probe_keys",
+        "n_true_members",
+        "n_bloom_passed",
+        "n_false_pos",
+        (
+            F.col("n_false_pos").cast("double")
+            / (F.col("n_probe_keys") - F.col("n_true_members")).cast(
+                "double"
+            )
+        ).alias("fpr"),
+    )
+
+
+def _bloom_sql() -> str:
+    js = "[" + ",".join(str(j) for j in range(BLOOM_K)) + "]"
+    bpos = _duck_pos(
+        "CAST(t.j AS VARCHAR)", "CAST(k AS VARCHAR)", BLOOM_BITS
+    )
+    return f"""
+WITH bk AS (SELECT DISTINCT c_custkey AS k FROM customer
+            WHERE c_mktsegment = '{_BLOOM_SEGMENT}'),
+bits AS (SELECT DISTINCT pos FROM (
+             SELECT {bpos} AS pos FROM bk, unnest({js}) AS t(j))),
+pr AS (SELECT DISTINCT o_custkey AS k FROM orders),
+pp AS (SELECT k, {bpos} AS pos FROM pr, unnest({js}) AS t(j)),
+fl AS (SELECT pp.k,
+              SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END)
+                = {BLOOM_K} AS bloom_pass
+       FROM pp LEFT JOIN bits ON bits.pos = pp.pos GROUP BY pp.k),
+gr AS (SELECT fl.k, fl.bloom_pass,
+              CASE WHEN bk.k IS NOT NULL THEN 1 ELSE 0 END AS is_member
+       FROM fl LEFT JOIN bk ON bk.k = fl.k)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+       CAST(SUM(is_member) AS BIGINT) AS n_true_members,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_passed,
+       CAST(SUM(CASE WHEN bloom_pass AND is_member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN bloom_pass AND is_member = 0 THEN 1 ELSE 0 END)
+            AS DOUBLE)
+         / CAST(COUNT(*) - SUM(is_member) AS DOUBLE) AS fpr
+FROM gr
+"""
+
+
+# STAGED for r14 registration (COVERAGE.md inventory discipline: tri-SF
+# + ANSI-on parity proven before any _FRONT placement; this round's five
+# net-new slots are already spoken for). Registration is the dict edit:
+#   "cms_freq": q_cms_freq / _cms_sql()
+#   "bloom_prune_eval": q_bloom_prune_eval / _bloom_sql()
+QUERIES: dict = {}
+
+ORACLE: dict = {}

@@ -1,0 +1,132 @@
+"""Count-Min / Bloom sketch operators (operators/sketches.py) and their
+staged registry entries (queries/sketch_ops.py, r14 candidates).
+
+Pins the three properties that make the sketches SOUND as scale
+substitutes, not just hash-parity-green:
+- CMS one-sided error: estimate ≥ exact, always.
+- CMS mergeability: cell-wise SUM of partial sketches over disjoint
+  slices equals the whole-corpus sketch (the property that lets map
+  tasks emit constant-size partials at 100 TB).
+- Bloom soundness: NO false negatives — every true member passes.
+"""
+
+from __future__ import annotations
+
+from conftest import SF_CORRECT, SF_SMOKE
+
+from pyspark.sql import functions as F
+
+from data_engineer_development_spark.operators.sketches import (
+    bloom_build,
+    bloom_probe,
+    cms_build,
+    cms_estimate,
+)
+from data_engineer_development_spark.queries.sketch_ops import (
+    _bloom_sql,
+    _cms_sql,
+    q_bloom_prune_eval,
+    q_cms_freq,
+)
+from data_engineer_development_spark.sources import load_table
+
+
+def test_cms_freq_oracle_parity_and_one_sided_error(spark):
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "cms_freq", q_cms_freq, _cms_sql()
+        )
+        assert ok, f"{sf_dir}: {msg}"
+    rows = q_cms_freq(spark, SF_CORRECT).collect()
+    assert len(rows) == 20
+    for r in rows:  # Count-Min never undercounts
+        assert r["cms_est"] >= r["exact_cnt"], r
+        assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
+
+
+def test_cms_estimate_is_exact_on_a_collision_free_grid(spark):
+    """With far fewer keys than grid cells and depth rows to disagree,
+    at least one row of a small key set is usually collision-free — but
+    'usually' is not a pin. Instead: every key's estimate must equal its
+    exact count whenever NO other key shares all of its cells, which for
+    this 3-key frame we verify directly from the grid."""
+    df = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 7]], "k long"
+    )
+    sketch = cms_build(df, "k", depth=4, width=512)
+    probes = spark.createDataFrame([(1,), (2,), (7,)], "k long")
+    est = {
+        r["k"]: r["e"]
+        for r in cms_estimate(
+            sketch, probes, "k", depth=4, width=512, est_col="e"
+        ).collect()
+    }
+    # 3 keys × 4 rows in a 512-wide grid: the probability of ANY pair
+    # colliding in ALL 4 rows is ~(3/512)^4 ≈ 1e-9 per pair — and the
+    # grid is deterministic, so this either always passes or never does.
+    assert est == {1: 3, 2: 2, 7: 1}
+
+
+def test_cms_partial_sketches_sum_to_the_full_sketch(spark):
+    """Mergeability = the SUM monoid: sketch(A) + sketch(B) == sketch(A∪B)
+    cell-wise, for disjoint slices A/B. This is what bounds a map task's
+    output at grid size regardless of input size."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_orderkey"
+    )
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = (
+        cms_build(a, "l_partkey")
+        .unionByName(cms_build(b, "l_partkey"))
+        .groupBy("row_j", "pos")
+        .agg(F.sum("c").alias("c"))
+    )
+    full = cms_build(li, "l_partkey")
+    assert merged.exceptAll(full).isEmpty()
+    assert full.exceptAll(merged).isEmpty()
+
+
+def test_bloom_prune_eval_oracle_parity_and_soundness(spark):
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark,
+            sf_dir,
+            "bloom_prune_eval",
+            q_bloom_prune_eval,
+            _bloom_sql(),
+        )
+        assert ok, f"{sf_dir}: {msg}"
+    row = q_bloom_prune_eval(spark, SF_CORRECT).collect()[0]
+    # soundness: every true member passes (no false negatives) — the
+    # pass set is exactly members + false positives
+    assert row["n_bloom_passed"] == row["n_true_members"] + row["n_false_pos"]
+    assert 0.0 <= row["fpr"] < 1.0
+
+
+def test_bloom_has_no_false_negatives_rowwise(spark):
+    """The summary identity above could mask an offsetting pair; pin the
+    row-wise property: member ⇒ bloom_pass, on real fixture keys."""
+    cust = load_table(spark, SF_SMOKE, "customer")
+    members = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    bits = bloom_build(members, "k")
+    flagged = bloom_probe(bits, members, "k")
+    assert flagged.filter(~F.col("bloom_pass")).isEmpty()
+
+
+def test_sketch_probe_plans_broadcast_the_sketch(spark):
+    """The probe joins must broadcast the grid/bit set (bounded by
+    construction) — a shuffled sort-merge join here would defeat the
+    sketch's purpose at scale."""
+    plan_cms = q_cms_freq(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    plan_bloom = q_bloom_prune_eval(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_cms
+    assert "BroadcastHashJoin" in plan_bloom

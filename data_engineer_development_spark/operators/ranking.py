@@ -206,3 +206,52 @@ def with_global_cumsum(
         .withColumn(cum_col, F.col("_offset") + F.col("_lc"))
         .drop("_pid", "_pw", "_w", "_offset", "_lc")
     )
+
+
+def with_grouped_cumsum(
+    df: DataFrame,
+    weight: Column | str,
+    group_cols: list[str],
+    *order: Column | str,
+    cum_col: str = "cum",
+    parts: int = 32,
+) -> DataFrame:
+    """Append the PER-GROUP exclusive running sum of ``weight`` over
+    ``order`` within each ``group_cols`` group — grouped prefix sums
+    without the per-group window skew.
+
+    The naive ``Window.partitionBy(group).orderBy(...)`` running sum
+    pulls each group into ONE task's sort. That is fine when groups are
+    many and small (high-cardinality keys); it is the scale-killer in
+    exactly the case this operator exists for — FEW, HUGE groups
+    (sources / languages / domains of a 100 TB corpus), where one task
+    would sort a whole source. Here every stage stays parallel:
+
+    1. ONE global :func:`with_global_cumsum` ordered by
+       ``(group_cols, *order)`` — groups are contiguous in the total
+       order, so a row's global exclusive sum = (sum of all earlier
+       GROUPS' weights) + (its exclusive sum WITHIN its group).
+    2. per-group offsets = ``min(global_cum)`` per group (the group's
+       first row carries exactly the earlier-groups total) — a
+       map-side-combinable aggregate of |groups| rows, broadcast back.
+    3. within-group sum = global − offset. No per-group sort task ever
+       exists; the only per-group structure is the |groups|-row offset
+       frame (control-plane cardinality by the operator's own premise).
+
+    ``(group_cols, *order)`` must be a total order (include a
+    tiebreaker, same contract as with_global_cumsum); group keys must be
+    non-NULL (the offset equi-join drops NULL keys — filter or fill
+    upstream; a NULL group would vanish silently, so callers who can't
+    guarantee it should precede with ``.filter(col(g).isNotNull())``).
+    Weight contract (integral, non-NULL) is enforced by the inner pass.
+    """
+    gcols = [F.col(g) for g in group_cols]
+    out = with_global_cumsum(
+        df, weight, *(gcols + list(order)), cum_col="_gcum", parts=parts
+    )
+    offsets = out.groupBy(*group_cols).agg(F.min("_gcum").alias("_goff"))
+    return (
+        out.join(F.broadcast(offsets), group_cols)
+        .withColumn(cum_col, F.col("_gcum") - F.col("_goff"))
+        .drop("_gcum", "_goff")
+    )

@@ -308,6 +308,68 @@ FROM c ORDER BY doc_id, chunk_idx
 """
 
 
+# --------------------------------------------------------------------------
+# Token-budget mix materialization — STAGED for r14 registration: turn a
+# per-source TOKEN budget into an actual document selection (the step
+# after domain_mix/mix_temperature decide the weights: fill each source's
+# quota and stop). Documents are ordered by portable md5 hash within
+# their source (deterministic shuffle — budget filling must not correlate
+# with doc_id order), and a document is admitted iff its source's budget
+# is not yet exhausted before it (the last admitted document may straddle
+# the boundary; `fits` marks the ones fully inside). The running sum is
+# operators/ranking.with_grouped_cumsum — ONE global range shuffle + a
+# |sources|-row offsets broadcast, NO per-source window task: sources are
+# few and huge at 100 TB, exactly the skew case Window.partitionBy(source)
+# collapses on.
+# --------------------------------------------------------------------------
+_MIX_BUDGET = 800  # tokens per source
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators.ranking import (
+        with_grouped_cumsum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tokens"),
+        F.expr(spark_md5_int("cast(doc_id as string)")).alias("h"),
+    )
+    cum = with_grouped_cumsum(
+        docs, "tokens", ["source"], "h", "doc_id", cum_col="cum_src"
+    )
+    return (
+        cum.filter(F.col("cum_src") < _MIX_BUDGET)
+        .select(
+            "doc_id",
+            "source",
+            "tokens",
+            "cum_src",
+            ((F.col("cum_src") + F.col("tokens")) <= _MIX_BUDGET).alias(
+                "fits"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TOKEN_BUDGET_SQL = f"""
+WITH d AS (SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+                  {duck_md5_int('CAST(doc_id AS VARCHAR)')} AS h
+           FROM documents),
+c AS (SELECT *, CAST(COALESCE(SUM(tokens) OVER (
+              PARTITION BY source ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS cum_src
+      FROM d)
+SELECT doc_id, source, tokens, cum_src,
+       cum_src + tokens <= {_MIX_BUDGET} AS fits
+FROM c WHERE cum_src < {_MIX_BUDGET} ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "domain_mix": q_domain_mix,
     "pack_sequences": q_pack_sequences,

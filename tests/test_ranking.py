@@ -264,3 +264,110 @@ def test_global_cumsum_rejects_float_and_null_weights(spark):
     )
     with pytest.raises(Exception, match="non-NULL integral weights"):
         with_global_cumsum(nulls, "w", "k").collect()
+
+
+def test_grouped_cumsum_matches_naive_group_window(spark):
+    """with_grouped_cumsum == Window.partitionBy(group) running sum, on
+    random multigroup data with ties and zero weights."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators.ranking import (
+        with_grouped_cumsum,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, f"g{rng.randrange(4)}", rng.randrange(0, 5))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        (r["g"], r["id"]): r["c"]
+        for r in df.select(
+            "g", "id", F.coalesce(F.sum("w").over(w), F.lit(0)).alias("c")
+        ).collect()
+    }
+    got = {
+        (r["g"], r["id"]): r["cum"]
+        for r in with_grouped_cumsum(df, "w", ["g"], "id").collect()
+    }
+    assert got == want
+
+
+def test_grouped_cumsum_has_no_group_partitioned_window(spark):
+    """The scale contract: no WindowExec partitioned on the GROUP key may
+    exist (few huge groups would collapse into single tasks); the only
+    window is the P-row offsets pass of the inner global cumsum."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators.ranking import (
+        with_grouped_cumsum,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.lit(1).alias("w").cast("long"),
+    )
+    plan = (
+        with_grouped_cumsum(df, "w", ["g"], "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "g#" not in line, line  # never partitioned by the group
+
+
+def test_token_budget_mix_parity_and_budget_invariants(spark):
+    from conftest import SF_CORRECT, SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.queries.training_mix import (
+        _MIX_BUDGET,
+        _TOKEN_BUDGET_SQL,
+        q_token_budget_mix,
+    )
+    from data_engineer_development_spark.sources import load_table
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "token_budget_mix",
+            q_token_budget_mix, _TOKEN_BUDGET_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    out = q_token_budget_mix(spark, SF_CORRECT).collect()
+    srcs = load_table(spark, SF_CORRECT, "documents")
+    all_sources = {
+        r["source"] for r in srcs.select("source").distinct().collect()
+    }
+    per_src: dict = {}
+    for r in out:
+        assert r["cum_src"] < _MIX_BUDGET  # admission rule
+        # fits marks full containment; straddlers exceed the budget
+        assert r["fits"] == (r["cum_src"] + r["tokens"] <= _MIX_BUDGET)
+        per_src.setdefault(r["source"], []).append(r)
+    # every source fills its budget (fixture has >800 tokens per source)
+    assert set(per_src) == all_sources
+    n_docs = {
+        r["source"]: r["n"]
+        for r in srcs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    for s, rows in per_src.items():
+        # a strict subset was admitted (the budget actually binds)
+        assert 0 < len(rows) < n_docs[s], s
+        # at most one straddler per source, and only as the last admit
+        assert sum(1 for r in rows if not r["fits"]) <= 1

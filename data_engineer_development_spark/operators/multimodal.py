@@ -514,3 +514,138 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
     return media.mapInPandas(
         run, "media_id long, ahash_hi long, ahash_lo long"
     )
+
+
+def synth_block_ppm_media(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    pert_col: str,
+    grid: int = 8,
+    block_px: int = 2,
+) -> DataFrame:
+    """Fixture encoder for PERCEPTUAL NEAR-dup testing: a real P6 image of
+    ``grid``×``grid`` solid gray blocks (``block_px``² pixels each) whose
+    values derive from the row's GROUP — so all rows of a group render
+    near-identical images — except the single block indexed by
+    ``pert_col``, which derives from the row id (the per-copy blemish: a
+    re-encode artifact / watermark stand-in).
+
+    Block k's gray value is ``md5_60bit('{group}:{k}') % 256`` (the
+    portable idiom — ``functions/portable_hash.py``) and the perturbed
+    block is ``md5_60bit('p:{id}') % 256``, so a DuckDB oracle can
+    recompute every pixel, block mean, threshold bit and the full packed
+    aHash in closed form while the Spark side runs the REAL
+    encode→decode→hash path. Same-group images differ in ≤2 blocks plus
+    any threshold bits the shifted global mean flips — the realistic
+    small-hamming structure a banded near-dup join exists for.
+    """
+    from data_engineer_development_spark.operators import codecs
+
+    side = grid * block_px
+    meta = f'{{"w": {side}, "h": {side}}}'
+
+    def _v(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 256
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for rid, grp, pert in zip(
+                pdf[id_col], pdf[group_col], pdf[pert_col]
+            ):
+                vals = np.array(
+                    [_v(f"{grp}:{k}") for k in range(grid * grid)],
+                    dtype=np.uint8,
+                )
+                vals[int(pert) % (grid * grid)] = _v(f"p:{rid}")
+                px = np.repeat(
+                    np.repeat(
+                        vals.reshape(grid, grid), block_px, axis=0
+                    ),
+                    block_px,
+                    axis=1,
+                )
+                payloads.append(
+                    codecs.encode_ppm(np.stack([px, px, px], axis=-1))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "mime": ["image/x-portable-pixmap"] * len(payloads),
+                    "meta": [meta] * len(payloads),
+                }
+            )
+
+    return df.mapInPandas(
+        run, "media_id long, payload binary, mime string, meta string"
+    )
+
+
+def ahash_close_pairs(
+    hashed: DataFrame,
+    max_hamming: int,
+    chunks: int = 8,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """All pairs with hamming(aHash) ≤ ``max_hamming`` over the two-word
+    (``ahash_hi``/``ahash_lo``) 64-bit hash — EXACTLY, never cartesian.
+
+    Same pigeonhole shape as ``operators/dedup.simhash_close_pairs`` (if
+    two 64-bit hashes differ in ≤ max_hamming < chunks bits, at least
+    one of the ``chunks`` equal-width bit chunks is identical), extended
+    to the split-word packing ``image_ahash`` emits: chunks 0..3 slice
+    ``ahash_lo`` (bits 0..31), chunks 4..7 slice ``ahash_hi``. One
+    exploded (chunk_idx, chunk_val) key, ONE equi-join, bit_count-
+    verified — recall 1 by construction; at 100 TB the chunk keys
+    partition and the verify touches only bucket collisions.
+    """
+    if max_hamming >= chunks:
+        raise ValueError(
+            "ahash_close_pairs: pigeonhole needs max_hamming < chunks "
+            f"(got {max_hamming} >= {chunks})"
+        )
+    if 64 % chunks:
+        raise ValueError("ahash_close_pairs: chunks must divide 64")
+    width = 64 // chunks
+    per_word = 32 // width
+    keys = ", ".join(
+        f"named_struct('c', {c}, 'v', "
+        f"({'ahash_lo' if c < per_word else 'ahash_hi'} div "
+        f"{1 << (width * (c % per_word))}) % {1 << width})"
+        for c in range(chunks)
+    )
+    exploded = hashed.select(
+        F.col(id_col),
+        "ahash_hi",
+        "ahash_lo",
+        F.explode(F.expr(f"array({keys})")).alias("ck"),
+    )
+    a = exploded.select(
+        F.col(id_col).alias("id1"),
+        F.col("ahash_hi").alias("hi1"),
+        F.col("ahash_lo").alias("lo1"),
+        "ck",
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id2"),
+        F.col("ahash_hi").alias("hi2"),
+        F.col("ahash_lo").alias("lo2"),
+        "ck",
+    )
+    return (
+        a.join(b, "ck")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.expr("bit_count(hi1 ^ hi2) + bit_count(lo1 ^ lo2)").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -552,6 +552,74 @@ FROM h ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Perceptual near-dup image pairs — STAGED for r14 registration: the
+# missing half of multimodal_image_ahash (exact-hash buckets only catch
+# IDENTICAL images; re-encodes/watermarks land a few bits away). Each
+# document renders as a REAL 8×8-block textured P6 (operators/multimodal.
+# synth_block_ppm_media: blocks colored from the doc's GROUP = doc_id//4,
+# one per-doc perturbed block — the controlled near-dup structure), goes
+# through the real decode→aHash path, and pairs within hamming ≤ 3 come
+# from the banded pigeonhole join (ahash_close_pairs — never cartesian,
+# recall 1 by construction). The oracle recomputes every block value,
+# threshold bit and packed word in closed form from the portable md5
+# idiom and verifies the pair set against a quadratic join (fixture-scale
+# only — the REGISTERED Spark side never goes quadratic).
+# --------------------------------------------------------------------------
+_AHASH_ND_MAXH = 3
+
+
+def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators import multimodal as M
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            (F.col("doc_id") / 4).cast("long").alias("grp"),
+            (F.col("doc_id") % 64).alias("pert"),
+        )
+    )
+    media = M.synth_block_ppm_media(docs, "doc_id", "grp", "pert")
+    hashed = M.image_ahash(media, grid=8)
+    return (
+        M.ahash_close_pairs(hashed, max_hamming=_AHASH_ND_MAXH)
+        .select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id1", "id2")
+    )
+
+
+def _ahash_neardup_sql() -> str:
+    gval = ("CAST(concat('0x', substr(md5(concat(CAST(grp AS VARCHAR), ':', "
+            "CAST(t.k AS VARCHAR))), 1, 15)) AS BIGINT) % 256")
+    pval = ("CAST(concat('0x', substr(md5(concat('p:', "
+            "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 256")
+    return f"""
+WITH d AS (SELECT doc_id, doc_id // 4 AS grp, doc_id % 64 AS pert
+           FROM documents WHERE doc_id < 100),
+b AS (SELECT doc_id, t.k,
+             CASE WHEN t.k = pert THEN {pval} ELSE {gval} END AS v
+      FROM d, unnest(generate_series(0, 63)) AS t(k)),
+m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM b GROUP BY doc_id),
+bits AS (SELECT b.doc_id,
+                CAST(COALESCE(SUM(CASE WHEN b.v > m.mean AND b.k < 32
+                    THEN (CAST(1 AS BIGINT) << b.k) END), 0) AS BIGINT)
+                  AS lo,
+                CAST(COALESCE(SUM(CASE WHEN b.v > m.mean AND b.k >= 32
+                    THEN (CAST(1 AS BIGINT) << (b.k - 32)) END), 0)
+                  AS BIGINT) AS hi
+         FROM b JOIN m ON m.doc_id = b.doc_id GROUP BY b.doc_id)
+SELECT a.doc_id AS id1, c.doc_id AS id2,
+       CAST(bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo))
+            AS INT) AS hamming
+FROM bits a JOIN bits c ON a.doc_id < c.doc_id
+WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo))
+      <= {_AHASH_ND_MAXH}
+ORDER BY id1, id2
+"""
+
+
 QUERIES = {
     "streaming_running_totals": q_streaming_running_totals,
     "stream_foreachbatch_upsert": q_stream_foreachbatch_upsert,

@@ -185,3 +185,78 @@ def test_image_ahash_identical_images_bucket_together(spark, media):
 def test_image_ahash_rejects_bad_grid():
     with pytest.raises(ValueError, match="64 bits"):
         M.image_ahash(None, grid=16)
+
+
+def test_ahash_close_pairs_matches_bruteforce_and_never_cartesian(spark):
+    """The banded pigeonhole join must return EXACTLY the brute-force
+    hamming ≤ H pair set (recall 1 by construction) and its physical
+    plan must contain no cartesian/nested-loop join."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators.multimodal import (
+        ahash_close_pairs,
+    )
+
+    rng = random.Random(131)
+    base = rng.getrandbits(64)
+    rows = []
+    for i in range(60):
+        h = base
+        for _ in range(rng.randrange(0, 6)):  # flip 0..5 random bits
+            h ^= 1 << rng.randrange(64)
+        rows.append((i, (h >> 32) & 0xFFFFFFFF, h & 0xFFFFFFFF))
+    df = spark.createDataFrame(rows, "media_id long, ahash_hi long, ahash_lo long")
+
+    got = {
+        (r["id1"], r["id2"], r["hamming"])
+        for r in ahash_close_pairs(df, max_hamming=3).collect()
+    }
+    want = set()
+    for i, hi1, lo1 in rows:
+        for j, hi2, lo2 in rows:
+            if i < j:
+                d = bin(hi1 ^ hi2).count("1") + bin(lo1 ^ lo2).count("1")
+                if d <= 3:
+                    want.add((i, j, d))
+    assert got == want
+    plan = (
+        ahash_close_pairs(df, max_hamming=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        ahash_close_pairs(df, max_hamming=8, chunks=8)
+
+
+def test_image_ahash_neardup_oracle_parity_and_group_structure(spark):
+    """Staged r14 candidate: tri-SF parity is checked at both fixture SFs
+    here (sf0.1 in the pre-registration sweep); the pair set must be
+    dominated by same-group pairs (the synthetic near-dup structure) and
+    every reported hamming must be ≤ the cutoff."""
+    from conftest import SF_CORRECT, SF_SMOKE
+
+    from data_engineer_development_spark.queries.contract_extras import (
+        _AHASH_ND_MAXH,
+        _ahash_neardup_sql,
+        q_image_ahash_neardup,
+    )
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "image_ahash_neardup",
+            q_image_ahash_neardup, _ahash_neardup_sql(),
+        )
+        assert ok, f"{sf_dir}: {msg}"
+    rows = q_image_ahash_neardup(spark, SF_CORRECT).collect()
+    assert rows
+    same_group = [r for r in rows if r["id1"] // 4 == r["id2"] // 4]
+    assert len(same_group) > len(rows) // 2  # the planted structure wins
+    assert all(0 <= r["hamming"] <= _AHASH_ND_MAXH for r in rows)

@@ -909,6 +909,108 @@ FROM ca, pa
 """
 
 
+# --------------------------------------------------------------------------
+# Source-overlap matrix — STAGED for r14 registration: WHICH sources
+# duplicate each other, the curation heatmap a corpus owner reads before
+# deciding per-source dedup order and crawl budgets (two mirrors of the
+# same dump show up as one hot off-diagonal cell; boilerplate within one
+# source as a hot diagonal). Verified Jaccard-τ pairs (the registered
+# dedup operator) joined to each endpoint's source, counted per UNORDERED
+# source pair, normalized by the exact pair-universe size (n_a·n_b cross,
+# n_a·(n_a−1)/2 within) — one IEEE division of exact ints per cell.
+# Scale: pair generation is the shingle-posting equi-join (never
+# corpus×corpus); the matrix agg is |sources|² rows at most.
+# --------------------------------------------------------------------------
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs_raw = load_table(spark, sf_dir, "documents")
+    docs = docs_raw.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).withColumn("sh", shingles_expr("t", k=3))
+    pairs = D.jaccard_pairs(docs, "doc_id", "sh", JACCARD_TAU).select(
+        "id1", "id2"
+    )
+    src = docs_raw.select("doc_id", "source")
+    p = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id1"), F.col("source").alias("sa")
+            ),
+            "id1",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id2"), F.col("source").alias("sb")
+            ),
+            "id2",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+    )
+    cells = p.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    sizes = src.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        cells.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_a"), F.col("n").alias("n_a")
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_b"), F.col("n").alias("n_b")
+                )
+            ),
+            "src_b",
+        )
+        .withColumn(
+            "universe",
+            F.when(
+                F.col("src_a") == F.col("src_b"),
+                (F.col("n_a") * (F.col("n_a") - 1) / 2).cast("long"),
+            ).otherwise((F.col("n_a") * F.col("n_b")).cast("long")),
+        )
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_a").cast("long").alias("n_docs_a"),
+        F.col("n_b").cast("long").alias("n_docs_b"),
+        (F.col("n_pairs").cast("double") / F.col("universe").cast("double"))
+        .alias("pair_rate"),
+    ).orderBy("src_a", "src_b")
+
+
+def _source_overlap_sql() -> str:
+    return f"""
+WITH {duck_jaccard_pairs_cte()},
+src AS (SELECT doc_id, source FROM documents),
+pp AS (SELECT least(a.source, b.source) AS src_a,
+              greatest(a.source, b.source) AS src_b
+       FROM vp JOIN src a ON a.doc_id = vp.id1
+               JOIN src b ON b.doc_id = vp.id2),
+cells AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM pp GROUP BY src_a, src_b),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM src
+       GROUP BY source)
+SELECT c.src_a, c.src_b, c.n_pairs,
+       sa.n AS n_docs_a, sb.n AS n_docs_b,
+       CAST(c.n_pairs AS DOUBLE) /
+         CAST(CASE WHEN c.src_a = c.src_b THEN sa.n * (sa.n - 1) // 2
+                   ELSE sa.n * sb.n END AS DOUBLE) AS pair_rate
+FROM cells c JOIN sz sa ON sa.source = c.src_a
+             JOIN sz sb ON sb.source = c.src_b
+ORDER BY c.src_a, c.src_b
+"""
+
+
 QUERIES = {
     "quality_model_score": q_quality_model_score,
     "quality_stratified_sample": q_quality_stratified_sample,

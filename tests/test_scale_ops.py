@@ -673,3 +673,39 @@ def test_split_leakage_audit_oracle_parity_and_consistency(spark):
     if r["n_leaky_pairs"]:
         assert r["n_leaky_clusters"] > 0
     assert r["leaky_pair_frac"] == r["n_leaky_pairs"] / r["n_pairs"]
+
+
+def test_source_overlap_matrix_parity_and_invariants(spark):
+    """Staged r14 candidate: the source-pair duplication heatmap. Parity
+    at both fixture SFs; invariants — cells are unordered (src_a <=
+    src_b), pair counts are conserved against the flat verified-pair
+    count, and every rate sits in (0, 1]."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators import dedup as D
+    from data_engineer_development_spark.operators.text import shingles_expr
+    from data_engineer_development_spark.queries.corpus_ops import (
+        _source_overlap_sql,
+        q_source_overlap_matrix,
+    )
+    from data_engineer_development_spark.queries.dedup import JACCARD_TAU
+    from data_engineer_development_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "source_overlap_matrix",
+            q_source_overlap_matrix, _source_overlap_sql(),
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    rows = q_source_overlap_matrix(spark, SF_CORRECT).collect()
+    assert rows
+    assert all(r["src_a"] <= r["src_b"] for r in rows)
+    assert all(0.0 < r["pair_rate"] <= 1.0 for r in rows)
+    docs = load_table(spark, SF_CORRECT, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).withColumn("sh", shingles_expr("t", k=3))
+    n_flat = D.jaccard_pairs(docs, "doc_id", "sh", JACCARD_TAU).count()
+    assert sum(r["n_pairs"] for r in rows) == n_flat  # conservation

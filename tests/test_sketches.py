@@ -130,3 +130,45 @@ def test_sketch_probe_plans_broadcast_the_sketch(spark):
     plan_bloom = q_bloom_prune_eval(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan_cms
     assert "BroadcastHashJoin" in plan_bloom
+
+
+def test_join_size_estimate_parity_and_one_sidedness(spark):
+    """Staged r14 candidate: the CMS inner-product join-size pre-flight.
+    Parity at both fixture SFs; the estimate must never undercount the
+    exact join cardinality (collisions only add cross terms)."""
+    from data_engineer_development_spark.queries.sketch_ops import (
+        _join_size_sql,
+        q_join_size_estimate,
+    )
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark,
+            sf_dir,
+            "join_size_estimate",
+            q_join_size_estimate,
+            _join_size_sql(),
+        )
+        assert ok, f"{sf_dir}: {msg}"
+    row = q_join_size_estimate(spark, SF_CORRECT).collect()[0]
+    assert row["exact_rows"] > 0
+    assert row["est_rows"] >= row["exact_rows"]
+    assert row["overestimate"] == row["est_rows"] - row["exact_rows"]
+
+
+def test_cms_join_size_exact_when_no_collisions(spark):
+    """On a key set small enough that no grid row collides, the inner
+    product equals the true join size exactly."""
+    from data_engineer_development_spark.operators.sketches import (
+        cms_build,
+        cms_join_size,
+    )
+
+    a = spark.createDataFrame([(k,) for k in [1, 1, 2, 3]], "k long")
+    b = spark.createDataFrame([(k,) for k in [1, 2, 2, 2, 4]], "k long")
+    est = cms_join_size(cms_build(a, "k"), cms_build(b, "k")).collect()[0]
+    # true join size: key 1 -> 2*1, key 2 -> 1*3 = 5; keys 3/4 unmatched
+    # 4 distinct keys x 4 rows in a 512-wide grid: all-rows collision
+    # probability ~1e-9 per pair, and the grid is deterministic.
+    assert est["est_rows"] == 5

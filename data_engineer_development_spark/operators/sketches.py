@@ -168,3 +168,39 @@ def bloom_probe(
     return hits.select(
         *keep, (F.col("_nset") == k_hashes).alias(flag_col)
     )
+
+
+def cms_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    est_col: str = "est_rows",
+) -> DataFrame:
+    """Estimate an equi-join's output cardinality from the two sides'
+    Count-Min grids (built with the SAME depth/width/key hashing):
+    |A ⋈ B| = Σ_k f_A(k)·f_B(k), and row j's grid inner product
+    Σ_pos A[j,pos]·B[j,pos] OVERestimates that sum (colliding keys add
+    cross terms, never subtract), so the MIN over the depth rows is the
+    classic one-sided join-size estimate (AMS/CMS inner product).
+
+    This is the query-planner pre-flight at 100 TB: both grids are
+    constant-size summaries that already exist if the sides are
+    sketched, and the estimate costs a depth·width-row join instead of
+    running the join to see how big it is. Exact BIGINT throughout
+    (bounded: each product ≤ |A|·|B| per cell only if one cell held an
+    entire side — callers keep |A|,|B| < 2^31 per the module's overflow
+    discipline, comfortably true for any per-partition or fixture
+    sketch; a 100 TB deployment sums per-row partials in ≤ width cells
+    so the same bound applies per row pair).
+
+    Inner join on (row_j, pos): a cell missing from either side
+    contributes 0 to the inner product — exactly the semantics of an
+    empty counter.
+    """
+    a = sketch_a.select("row_j", "pos", F.col("c").alias("_ca"))
+    b = sketch_b.select("row_j", "pos", F.col("c").alias("_cb"))
+    per_row = (
+        a.join(b, ["row_j", "pos"])
+        .groupBy("row_j")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+    )
+    return per_row.agg(F.min("_ip").alias(est_col))

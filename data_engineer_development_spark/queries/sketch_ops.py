@@ -201,11 +201,72 @@ FROM gr
 """
 
 
+# --------------------------------------------------------------------------
+# Join-size pre-flight: estimate |σ(orders) ⋈ lineitem| from the two
+# sides' Count-Min grids via the AMS/CMS inner product — min over depth
+# rows of Σ_pos A[j,pos]·B[j,pos] — next to the exact join count it
+# predicts. One-sided (colliding keys only ADD cross terms; pinned in
+# tests); the planner question it answers at 100 TB — "how big is this
+# join going to be" — costs a depth·width-row join on grids that already
+# exist, not the join itself. All counters and products exact BIGINTs.
+# --------------------------------------------------------------------------
+_JS_STATUS = "F"
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators.sketches import (
+        cms_join_size,
+    )
+
+    left = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == _JS_STATUS)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    right = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    est = cms_join_size(cms_build(left, "k"), cms_build(right, "k"))
+    exact = left.join(right, "k").agg(
+        F.count(F.lit(1)).alias("exact_rows")
+    )
+    return exact.crossJoin(est).select(
+        "exact_rows",
+        "est_rows",
+        (F.col("est_rows") - F.col("exact_rows")).alias("overestimate"),
+    )
+
+
+def _join_size_sql() -> str:
+    js = "[" + ",".join(str(j) for j in range(CMS_DEPTH)) + "]"
+    pos = _duck_pos("CAST(t.j AS VARCHAR)", "CAST(k AS VARCHAR)", CMS_WIDTH)
+    return f"""
+WITH l AS (SELECT o_orderkey AS k FROM orders
+           WHERE o_orderstatus = '{_JS_STATUS}'),
+r AS (SELECT l_orderkey AS k FROM lineitem),
+sa AS (SELECT j, pos, CAST(COUNT(*) AS BIGINT) AS c FROM (
+           SELECT t.j, {pos} AS pos FROM l, unnest({js}) AS t(j))
+       GROUP BY j, pos),
+sb AS (SELECT j, pos, CAST(COUNT(*) AS BIGINT) AS c FROM (
+           SELECT t.j, {pos} AS pos FROM r, unnest({js}) AS t(j))
+       GROUP BY j, pos),
+ip AS (SELECT sa.j, CAST(SUM(sa.c * sb.c) AS BIGINT) AS p
+       FROM sa JOIN sb ON sa.j = sb.j AND sa.pos = sb.pos GROUP BY sa.j),
+est AS (SELECT CAST(MIN(p) AS BIGINT) AS est_rows FROM ip),
+ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows
+       FROM l JOIN r ON l.k = r.k)
+SELECT ex.exact_rows, est.est_rows,
+       CAST(est.est_rows - ex.exact_rows AS BIGINT) AS overestimate
+FROM ex, est
+"""
+
+
 # STAGED for r14 registration (COVERAGE.md inventory discipline: tri-SF
 # + ANSI-on parity proven before any _FRONT placement; this round's five
 # net-new slots are already spoken for). Registration is the dict edit:
 #   "cms_freq": q_cms_freq / _cms_sql()
 #   "bloom_prune_eval": q_bloom_prune_eval / _bloom_sql()
+#   "join_size_estimate": q_join_size_estimate / _join_size_sql()
 QUERIES: dict = {}
 
 ORACLE: dict = {}

@@ -608,8 +608,14 @@ def ahash_close_pairs(
             "ahash_close_pairs: pigeonhole needs max_hamming < chunks "
             f"(got {max_hamming} >= {chunks})"
         )
-    if 64 % chunks:
-        raise ValueError("ahash_close_pairs: chunks must divide 64")
+    if 64 % chunks or chunks < 2:
+        # chunks must divide 64 AND keep the chunk width <= the 32-bit
+        # word size (chunks=1 would need a 64-bit slice spanning both
+        # words — and divides per_word=0 below)
+        raise ValueError(
+            "ahash_close_pairs: chunks must divide 64 and be >= 2 "
+            f"(got {chunks})"
+        )
     width = 64 // chunks
     per_word = 32 // width
     keys = ", ".join(

@@ -577,7 +577,11 @@ def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
         .select(
             "doc_id",
-            (F.col("doc_id") / 4).cast("long").alias("grp"),
+            # integer div, not /4-then-cast: float division then a long
+            # cast happens to truncate the same way for non-negative ids
+            # but loses exactness past 2^53 — keep the arithmetic integral
+            # like every other cross-engine expression
+            F.expr("doc_id div 4").alias("grp"),
             (F.col("doc_id") % 64).alias("pert"),
         )
     )

@@ -53,6 +53,10 @@ _ALLOWED = {
                                    "semi-join, off the default hot path)"),
     "queries/contract_extras.py": (2, "5-row nation seed + 25-row dim seed "
                                       "— bounded control-plane landings"),
+    "queries/similarity.py": (1, "event-TTL outlier-id probe — a single-"
+                                 "row min() over a column-pruned scan, "
+                                 "memoized per fixture (ADVICE r12: the "
+                                 "outlier is derived, not hardcoded)"),
 }
 
 

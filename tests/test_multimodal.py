@@ -233,6 +233,8 @@ def test_ahash_close_pairs_matches_bruteforce_and_never_cartesian(spark):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         ahash_close_pairs(df, max_hamming=8, chunks=8)
+    with pytest.raises(ValueError, match="chunks"):
+        ahash_close_pairs(df, max_hamming=0, chunks=1)
 
 
 def test_image_ahash_neardup_oracle_parity_and_group_structure(spark):

@@ -460,6 +460,7 @@ _CARTESIAN_OK = {
     "vocab_coverage",       # top-V vocab broadcast fan-out
     "quality_model_score",  # 1-row model-weights broadcast (inference.py)
     "quality_stratified_sample",  # same 1-row weights broadcast + filter
+    "split_leakage_audit",  # 1-row cluster-stats × 1-row pair-stats cross
 }
 
 
@@ -479,6 +480,7 @@ _UNPARTITIONED_WINDOW_OK = {
     "moving_7d_orders",      # 7-day RANGE window over per-DAY aggregates
     "text_length_trim",      # cum mass over the length histogram (bounded)
     "mix_temperature",       # normalizing sum over per-SOURCE weights
+    "pack_sequences_global",  # with_global_cumsum's 32-row offsets cumsum
 }
 
 
@@ -563,6 +565,10 @@ _ARROW_KERNEL_OK = {
     "gate_recall_eval",  # block-NL quantized truth set (mapInPandas)
     "semdedup_sharded",  # broadcast-numpy assignment (mapInPandas) +
                          # per-(shard, cell) pair matrix (applyInPandas)
+    "pack_sequences_global",  # with_global_cumsum's NARROW local-cumsum
+                              # pass (mapInPandas over the sorted range
+                              # partitions — the shape that REPLACES a
+                              # second full-input hash exchange)
 }
 
 _PY_EVAL = re.compile(

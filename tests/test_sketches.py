@@ -47,11 +47,10 @@ def test_cms_freq_oracle_parity_and_one_sided_error(spark):
 
 
 def test_cms_estimate_is_exact_on_a_collision_free_grid(spark):
-    """With far fewer keys than grid cells and depth rows to disagree,
-    at least one row of a small key set is usually collision-free — but
-    'usually' is not a pin. Instead: every key's estimate must equal its
-    exact count whenever NO other key shares all of its cells, which for
-    this 3-key frame we verify directly from the grid."""
+    """A 3-key frame in a 4×512 grid: a wrong estimate would need two
+    keys to collide in EVERY depth row (~(3/512)^4 ≈ 1e-9 per pair), and
+    the md5 grid is deterministic — so the exact expected counts either
+    always hold or never do. Pins the estimate == exact case."""
     df = spark.createDataFrame(
         [(k,) for k in [1, 1, 1, 2, 2, 7]], "k long"
     )

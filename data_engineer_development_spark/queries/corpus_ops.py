@@ -182,6 +182,103 @@ WHERE s.side = 1 ORDER BY s.doc_id
 
 
 # --------------------------------------------------------------------------
+# Span-level decontamination — STAGED for r14+ registration: the surgical
+# step AFTER contamination_check flags overlap. Dropping a whole train
+# document for one shared 5-gram throws away good text; production
+# decontamination removes only the contaminated SPANS (the FineWeb /
+# benchmark-decontam practice). Every train-side token covered by any
+# 5-gram that also appears in the eval split is deleted; the document is
+# re-emitted with the survivors in order. One row per CONTAMINATED train
+# doc: token counts before/after and the cleaned text itself (string
+# equality is the cross-engine check — no structural summary can fake it).
+#
+# Scale shape: the eval gram set is a DISTINCT build side (semi-join
+# scale, same as contamination_check); train positions explode to one row
+# per token position (the posting-list cardinality the dedup family
+# already shuffles); the hit→span expansion and the index-filtered
+# rebuild are ARRAY-NATIVE per-doc expressions (collect_set of hit
+# positions is bounded by document length — no corpus-sized state, no
+# Python UDF anywhere). Shuffles: one gram equi-join + one doc_id agg.
+# --------------------------------------------------------------------------
+def q_decontam_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = _CONTAM_K
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).withColumn(
+        "side",
+        F.expr(f"{spark_md5_int('cast(doc_id as string)')} % 2"),
+    )
+    d = track_persist(docs)  # eval-gram branch + two train branches
+    ev_grams = (
+        d.filter(F.col("side") == 1)
+        .select(F.explode(shingles_expr("t", k=K)).alias("sg"))
+        .distinct()
+    )
+    tr = d.filter(F.col("side") == 0)
+    parts = ", ".join(f"element_at(t, i + {j})" for j in range(K))
+    tpos = tr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"if(size(t) < {K}, "
+                f"array(), "
+                f"transform(sequence(1, size(t) - {K - 1}), "
+                f"i -> struct(i AS pos, concat_ws(' ', {parts}) AS sg)))"
+            )
+        ).alias("ps"),
+    ).select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.sg").alias("sg"))
+    hits = tpos.join(ev_grams, "sg").select("doc_id", "pos")
+    cov = hits.groupBy("doc_id").agg(F.collect_set("pos").alias("hp"))
+    return (
+        tr.join(cov, "doc_id")  # inner: only contaminated docs survive
+        .withColumn(
+            "covered",
+            F.expr(
+                f"array_distinct(flatten(transform(hp, "
+                f"p -> sequence(p, p + {K - 1}))))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("t").cast("int").alias("n_tokens"),
+            F.size("covered").cast("int").alias("n_removed"),
+            F.expr(
+                "concat_ws(' ', filter(t, "
+                "(x, i) -> NOT array_contains(covered, i + 1)))"
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECON_IDX = ", ".join(f"t[i+{j}]" for j in range(_CONTAM_K)).replace(
+    "t[i+0]", "t[i]"
+)
+_DECONTAM_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+                  {duck_md5_int('CAST(doc_id AS VARCHAR)')} % 2 AS side
+           FROM documents),
+eg AS (SELECT DISTINCT concat_ws(' ', {_DECON_IDX}) AS sg
+       FROM d, unnest(generate_series(1, len(t) - {_CONTAM_K - 1})) AS u(i)
+       WHERE side = 1 AND len(t) >= {_CONTAM_K}),
+tp AS (SELECT doc_id, i AS pos, concat_ws(' ', {_DECON_IDX}) AS sg
+       FROM d, unnest(generate_series(1, len(t) - {_CONTAM_K - 1})) AS u(i)
+       WHERE side = 0 AND len(t) >= {_CONTAM_K}),
+hits AS (SELECT tp.doc_id, tp.pos FROM tp JOIN eg USING (sg)),
+cp AS (SELECT DISTINCT doc_id, pos + j AS c
+       FROM hits, unnest(generate_series(0, {_CONTAM_K - 1})) AS g(j)),
+cl AS (SELECT doc_id, list(c) AS cov, CAST(COUNT(*) AS INT) AS n_removed
+       FROM cp GROUP BY doc_id)
+SELECT d.doc_id, CAST(len(d.t) AS INT) AS n_tokens, cl.n_removed,
+       COALESCE(array_to_string(
+           list_filter(d.t, (x, i) -> NOT list_contains(cl.cov, i)), ' '),
+           '') AS cleaned_text
+FROM d JOIN cl ON cl.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Embedding L2 norm + int8 quantization (max-abs scaling). Pure projection
 # — no shuffle, runs at scan speed over any corpus size. The quantized
 # vector is serialized to a CSV string (the driver hashes scalar cells).
@@ -1008,6 +1105,164 @@ SELECT c.src_a, c.src_b, c.n_pairs,
 FROM cells c JOIN sz sa ON sa.source = c.src_a
              JOIN sz sb ON sb.source = c.src_b
 ORDER BY c.src_a, c.src_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Crawl-batch n-gram novelty — STAGED for r14+ registration: how much NEW
+# text does each successive crawl batch add? The marginal-value curve a
+# corpus owner reads before paying for the next dump (flat novelty ⇒ the
+# crawl is re-fetching what you already have). Batches are contiguous
+# doc_id ranges of _NOVELTY_BATCH docs (crawls arrive in id order); a
+# 5-gram is NEW in batch b iff no earlier batch contains it, i.e.
+# min(batch) over the gram's postings equals b. Exact integer counts, one
+# IEEE division per batch row.
+#
+# Scale shape: one (batch, gram) DISTINCT (map-side combinable — the
+# per-doc explode collapses before the shuffle), one gram-keyed min-agg,
+# then two |batches|-row aggregates joined. No windows, no collects; the
+# gram agg is the same posting-list cardinality the registered dedup
+# family already shuffles. doc_id rides in no key, so batch skew is
+# bounded by the fixed batch width.
+# --------------------------------------------------------------------------
+_NOVELTY_BATCH = 125  # docs per crawl batch
+_NOVELTY_K = 5
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.expr(f"doc_id div {_NOVELTY_BATCH}").alias("batch"),
+        F.split(F.col("text"), " ").alias("t"),
+    )
+    # the distinct postings feed BOTH the first-seen and per-batch
+    # branches — persist so the explode + (batch, gram) shuffle runs once
+    # (ids + grams only: bounded next to the corpus). The shingle expr is
+    # INLINED into the explode: a projected-alias array feeding a Generate
+    # evaluates the higher-order transform on the interpreted path
+    # (measured 10× slower at sf0.1 — see BASELINE.md r13 shingle note).
+    posts = track_persist(
+        docs.select(
+            "batch", F.explode(shingles_expr("t", k=_NOVELTY_K)).alias("sg")
+        ).distinct()
+    )
+    first = posts.groupBy("sg").agg(F.min("batch").alias("fb"))
+    per_batch = posts.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    new_per_batch = first.groupBy(F.col("fb").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    return (
+        per_batch.join(new_per_batch, "batch")
+        .select(
+            "batch",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_new").cast("long").alias("n_new"),
+            (
+                F.col("n_new").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+        .orderBy("batch")
+    )
+
+
+_NGRAM_NOVELTY_SQL = f"""
+WITH d AS (SELECT doc_id // {_NOVELTY_BATCH} AS batch,
+                  string_split(text, ' ') AS t
+           FROM documents),
+g AS (SELECT DISTINCT batch,
+             array_to_string(list_slice(t, i, i + {_NOVELTY_K} - 1), ' ')
+               AS sg
+      FROM d, unnest(generate_series(1, len(t) - {_NOVELTY_K} + 1)) AS u(i)
+      WHERE len(t) >= {_NOVELTY_K}),
+f AS (SELECT sg, MIN(batch) AS fb FROM g GROUP BY sg),
+pb AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g
+       GROUP BY batch),
+nb AS (SELECT fb AS batch, CAST(COUNT(*) AS BIGINT) AS n_new FROM f
+       GROUP BY fb)
+SELECT pb.batch, pb.n_grams, nb.n_new,
+       CAST(nb.n_new AS DOUBLE) / CAST(pb.n_grams AS DOUBLE) AS novelty
+FROM pb JOIN nb ON nb.batch = pb.batch
+ORDER BY pb.batch
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup survivorship policy — STAGED for r14+ registration: WHICH document
+# survives each near-dup cluster is a curation decision, not a tie-break.
+# The registered dedup_cleaned_corpus keeps the min-id representative (the
+# only id-stable choice); production pipelines keep the HIGHEST-QUALITY
+# member (here: max n_chars, ties to the lower doc_id — the longest copy of
+# a mirrored page usually has the least boilerplate stripping damage).
+# One row per multi-doc cluster: both representatives, member/char counts,
+# and whether the policy actually changed the survivor — the audit a
+# curation owner reads before flipping the policy switch.
+#
+# Scale shape: cluster labels are the registered connected-components
+# operator; the per-cluster argmax is ONE map-side-combinable min(struct)
+# aggregate — no per-cluster window, no sort task proportional to a
+# cluster (struct ordering does the lexicographic (quality, id) compare
+# inside the hash agg). Everything downstream of the labels is
+# |clusters|-row.
+# --------------------------------------------------------------------------
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    labels = q_dedup_clusters(spark, sf_dir)
+    m = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    # argmax by (n_chars DESC, doc_id ASC) == min of (-n_chars, doc_id):
+    # a single hash-agg struct-min, combinable on the map side.
+    agg = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("neg"),
+                F.col("doc_id").alias("id"),
+            )
+        ).alias("best"),
+    )
+    return (
+        agg.filter(F.col("n_members") > 1)
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("best.id").cast("long").alias("rep_doc"),
+            (-F.col("best.neg")).cast("long").alias("rep_chars"),
+            (F.col("total_chars") + F.col("best.neg"))
+            .cast("long")
+            .alias("dropped_chars"),
+            (F.col("best.id") != F.col("cluster_id")).alias("rep_changed"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_DEDUP_SURVIVORSHIP_SQL = f"""
+WITH RECURSIVE {duck_jaccard_pairs_cte()},
+e AS (SELECT id1 AS a, id2 AS b FROM vp UNION ALL SELECT id2, id1 FROM vp),
+reach(node, m) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.a, r.m FROM e JOIN reach r ON r.node = e.b
+),
+lab AS (SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node),
+mm AS (SELECT l.cluster_id, l.doc_id, d.n_chars,
+              ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                 ORDER BY d.n_chars DESC, l.doc_id) AS rn
+       FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
+agg AS (SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM mm GROUP BY cluster_id)
+SELECT a.cluster_id, a.n_members,
+       CAST(r.doc_id AS BIGINT) AS rep_doc,
+       CAST(r.n_chars AS BIGINT) AS rep_chars,
+       CAST(a.total_chars - r.n_chars AS BIGINT) AS dropped_chars,
+       r.doc_id <> a.cluster_id AS rep_changed
+FROM agg a JOIN mm r ON r.cluster_id = a.cluster_id AND r.rn = 1
+WHERE a.n_members > 1
+ORDER BY a.cluster_id
 """
 
 

@@ -370,6 +370,97 @@ FROM c WHERE cum_src < {_MIX_BUDGET} ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Length-bucketed inference batches — STAGED for r14+ registration: the
+# batched-inference scheduler's plan. Padding every batch to its longest
+# member wastes compute proportional to length variance, so production
+# scoring/embedding jobs bucket documents by padded length first. Here:
+# pad-to = token count rounded up to a multiple of 16 (integer ceil — no
+# log2 float), documents md5-shuffled within their bucket (batch content
+# must not correlate with doc_id order), fixed _BATCH_ROWS rows per batch,
+# and per batch BOTH waste accountings a capacity planner reads: vs the
+# bucket's pad-to and vs the batch's actual max (the tight lower bound).
+# All integer; one row per (bucket, batch).
+#
+# Scale shape: the within-bucket rank is operators/ranking.
+# with_grouped_cumsum (weight 1 ⇒ exclusive rank) — buckets are FEW and
+# HUGE (a handful of pad sizes over a whole corpus), exactly the case
+# where Window.partitionBy(bucket) would collapse each bucket into one
+# task's sort; here it is one global range shuffle + a |buckets|-row
+# offsets broadcast. The final agg keys on (bucket, batch_idx) — fixed
+# fan-in _BATCH_ROWS, map-side combinable, unskewable by construction.
+# --------------------------------------------------------------------------
+_LB_PAD = 16     # pad-to granularity (tokens)
+_LB_ROWS = 8     # rows per inference batch
+
+
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators.ranking import (
+        with_grouped_cumsum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tokens"),
+        F.expr(spark_md5_int("cast(doc_id as string)")).alias("h"),
+    ).withColumn(
+        "pad_to",
+        F.expr(f"((tokens + {_LB_PAD - 1}) div {_LB_PAD}) * {_LB_PAD}"),
+    )
+    ranked = with_grouped_cumsum(
+        docs.withColumn("one", F.lit(1).cast("long")),
+        "one",
+        ["pad_to"],
+        "h",
+        "doc_id",
+        cum_col="rk",
+    )
+    return (
+        ranked.withColumn("batch_idx", F.expr(f"rk div {_LB_ROWS}"))
+        .groupBy("pad_to", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("tokens").alias("sum_tokens"),
+            F.max("tokens").alias("max_tokens"),
+        )
+        .select(
+            F.col("pad_to").cast("long").alias("pad_to"),
+            F.col("batch_idx").cast("long").alias("batch_idx"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_tokens").cast("long").alias("sum_tokens"),
+            (F.col("n_rows") * F.col("pad_to") - F.col("sum_tokens"))
+            .cast("long")
+            .alias("waste_bucket"),
+            (F.col("n_rows") * F.col("max_tokens") - F.col("sum_tokens"))
+            .cast("long")
+            .alias("waste_tight"),
+        )
+        .orderBy("pad_to", "batch_idx")
+    )
+
+
+_LENGTH_BUCKET_SQL = f"""
+WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+                  {duck_md5_int('CAST(doc_id AS VARCHAR)')} AS h
+           FROM documents),
+p AS (SELECT *, ((tokens + {_LB_PAD - 1}) // {_LB_PAD}) * {_LB_PAD}
+                    AS pad_to
+      FROM d),
+r AS (SELECT *, (ROW_NUMBER() OVER (PARTITION BY pad_to
+                                    ORDER BY h, doc_id) - 1)
+                    // {_LB_ROWS} AS batch_idx
+      FROM p)
+SELECT CAST(pad_to AS BIGINT) AS pad_to,
+       CAST(batch_idx AS BIGINT) AS batch_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) * pad_to - SUM(tokens) AS BIGINT) AS waste_bucket,
+       CAST(COUNT(*) * MAX(tokens) - SUM(tokens) AS BIGINT) AS waste_tight
+FROM r GROUP BY pad_to, batch_idx ORDER BY pad_to, batch_idx
+"""
+
+
 QUERIES = {
     "domain_mix": q_domain_mix,
     "pack_sequences": q_pack_sequences,

@@ -371,3 +371,50 @@ def test_token_budget_mix_parity_and_budget_invariants(spark):
         assert 0 < len(rows) < n_docs[s], s
         # at most one straddler per source, and only as the last admit
         assert sum(1 for r in rows if not r["fits"]) <= 1
+
+def test_length_bucket_batches_parity_and_packing(spark):
+    """Staged r14+ candidate: length-bucketed inference batches. Parity at
+    both fixture SFs; invariants — within each pad bucket the batches are
+    contiguous from 0 and all full except possibly the last, every doc is
+    scheduled exactly once, the two waste accountings are ordered
+    (tight <= bucket, both non-negative), and the plan carries NO window
+    partitioned on the bucket key (the grouped-cumsum scale contract —
+    buckets are few and huge)."""
+    from collections import defaultdict
+
+    from conftest import SF_CORRECT, SF_SMOKE
+
+    from data_engineer_development_spark.queries.training_mix import (
+        _LB_ROWS,
+        _LENGTH_BUCKET_SQL,
+        q_length_bucket_batches,
+    )
+    from data_engineer_development_spark.sources import load_table
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "length_bucket_batches",
+            q_length_bucket_batches, _LENGTH_BUCKET_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    df = q_length_bucket_batches(spark, SF_CORRECT)
+    rows = df.collect()
+    per_bucket = defaultdict(dict)
+    for r in rows:
+        assert 0 < r["n_rows"] <= _LB_ROWS
+        assert 0 <= r["waste_tight"] <= r["waste_bucket"]
+        per_bucket[r["pad_to"]][r["batch_idx"]] = r["n_rows"]
+    for pad, batches in per_bucket.items():
+        idxs = sorted(batches)
+        assert idxs == list(range(len(idxs))), pad  # contiguous from 0
+        for i in idxs[:-1]:
+            assert batches[i] == _LB_ROWS, (pad, i)  # only the last short
+    n_docs = load_table(spark, SF_CORRECT, "documents").count()
+    assert sum(r["n_rows"] for r in rows) == n_docs  # exactly once
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "pad_to#" not in line, line

@@ -709,3 +709,153 @@ def test_source_overlap_matrix_parity_and_invariants(spark):
     ).withColumn("sh", shingles_expr("t", k=3))
     n_flat = D.jaccard_pairs(docs, "doc_id", "sh", JACCARD_TAU).count()
     assert sum(r["n_pairs"] for r in rows) == n_flat  # conservation
+
+def test_ngram_novelty_parity_and_conservation(spark):
+    """Staged r14+ candidate: per-crawl-batch 5-gram novelty. Parity at
+    both fixture SFs; invariants — batch 0 is all-new by definition,
+    n_new never exceeds n_grams, the novelty division is exact, and the
+    n_new column partitions the corpus vocabulary (conservation against
+    an independent global distinct count). The fixture must make the
+    metric non-trivial: at least one later batch with n_new < n_grams."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators.text import shingles_expr
+    from data_engineer_development_spark.queries.corpus_ops import (
+        _NGRAM_NOVELTY_SQL,
+        _NOVELTY_K,
+        q_ngram_novelty,
+    )
+    from data_engineer_development_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "ngram_novelty", q_ngram_novelty,
+            _NGRAM_NOVELTY_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    rows = q_ngram_novelty(spark, SF_CORRECT).collect()
+    assert rows and rows[0]["batch"] == 0 and rows[0]["novelty"] == 1.0
+    for r in rows:
+        assert 0 < r["n_new"] <= r["n_grams"]
+        assert r["novelty"] == r["n_new"] / r["n_grams"]
+    assert any(r["n_new"] < r["n_grams"] for r in rows[1:])
+    vocab = (
+        load_table(spark, SF_CORRECT, "documents")
+        .select(F.split(F.col("text"), " ").alias("t"))
+        .select(F.explode(shingles_expr("t", k=_NOVELTY_K)).alias("sg"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_new"] for r in rows) == vocab  # partition of the vocab
+
+
+def test_dedup_survivorship_parity_and_policy(spark):
+    """Staged r14+ candidate: quality-policy cluster survivorship. Parity
+    at both fixture SFs; invariants — one row per multi-doc cluster, the
+    representative is the cluster's (n_chars DESC, doc_id ASC) argmax,
+    dropped_chars closes the ledger, and the policy actually bites on the
+    fixture (both rep_changed branches present)."""
+    from data_engineer_development_spark.queries.corpus_ops import (
+        _DEDUP_SURVIVORSHIP_SQL,
+        q_dedup_clusters,
+        q_dedup_survivorship,
+    )
+    from data_engineer_development_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "dedup_survivorship", q_dedup_survivorship,
+            _DEDUP_SURVIVORSHIP_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    rows = q_dedup_survivorship(spark, SF_CORRECT).collect()
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in q_dedup_clusters(spark, SF_CORRECT).collect()
+    }
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for d, c in labels.items():
+        members[c].append(d)
+    multi = {c for c, ds in members.items() if len(ds) > 1}
+    assert {r["cluster_id"] for r in rows} == multi
+    for r in rows:
+        ds = members[r["cluster_id"]]
+        assert r["n_members"] == len(ds)
+        best = min((-chars[d], d) for d in ds)
+        assert (r["rep_doc"], r["rep_chars"]) == (best[1], -best[0])
+        assert r["dropped_chars"] == sum(chars[d] for d in ds) - r["rep_chars"]
+        assert r["rep_changed"] == (r["rep_doc"] != r["cluster_id"])
+    assert any(r["rep_changed"] for r in rows)  # the policy bites...
+    assert not all(r["rep_changed"] for r in rows)  # ...but not always
+
+def test_decontam_span_removal_parity_and_ledger(spark):
+    """Staged r14+ candidate: surgical span-level decontamination. Parity
+    at both fixture SFs (cleaned_text is compared as a STRING — the
+    strongest cross-engine check); invariants — output docs are exactly
+    the train-side docs sharing at least one 5-gram with the eval split
+    (agreement with the registered contamination semantics), the token
+    ledger closes (survivors = n_tokens − n_removed), and removal is
+    always partial-or-full but never empty."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.functions.portable_hash import (
+        spark_md5_int,
+    )
+    from data_engineer_development_spark.operators.text import shingles_expr
+    from data_engineer_development_spark.queries.corpus_ops import (
+        _CONTAM_K,
+        _DECONTAM_SQL,
+        q_decontam_span_removal,
+    )
+    from data_engineer_development_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "decontam_span_removal",
+            q_decontam_span_removal, _DECONTAM_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    rows = q_decontam_span_removal(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_removed"] <= r["n_tokens"]
+        survivors = r["cleaned_text"].split(" ") if r["cleaned_text"] else []
+        assert len(survivors) == r["n_tokens"] - r["n_removed"]
+
+    # the flagged set == train docs whose 5-grams intersect eval grams
+    d = (
+        load_table(spark, SF_CORRECT, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .withColumn(
+            "side", F.expr(f"{spark_md5_int('cast(doc_id as string)')} % 2")
+        )
+        .withColumn("sh", shingles_expr("t", k=_CONTAM_K))
+    )
+    posts = d.select("doc_id", "side", F.explode("sh").alias("sg"))
+    ev = posts.filter(F.col("side") == 1).select("sg").distinct()
+    want = {
+        r["doc_id"]
+        for r in posts.filter(F.col("side") == 0)
+        .join(ev, "sg")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert {r["doc_id"] for r in rows} == want

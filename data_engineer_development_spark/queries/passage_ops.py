@@ -220,6 +220,93 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Vocabulary-size coverage curve — STAGED for r14+ registration: the dial
+# a tokenizer owner reads before fixing the vocabulary budget. For each
+# candidate size V, what fraction of corpus token OCCURRENCES would fall
+# out of the top-V frequency-cut vocabulary? (vocab_coverage reports
+# per-document OOV against ONE fixed V; this is the corpus-level curve
+# across sizes — the marginal value of each vocabulary doubling.) Exact
+# integer occurrence sums; one IEEE division per row.
+#
+# Scale shape: token counts are one map-side-combinable agg; the
+# frequency rank uses operators/ranking.with_global_rank (corpus-scale
+# vocabularies must never hit a single-partition global window — the
+# dictionary_encode discipline); the per-size sums are ONE conditional
+# aggregate over the ranked counts (sizes are a 4-element literal, so no
+# join, no second pass), unpivoted via inline array explode.
+# --------------------------------------------------------------------------
+_VOCAB_SIZES = (25, 50, 100, 200)
+
+
+def q_tokenizer_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators.ranking import (
+        with_global_rank,
+    )
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    cnts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = with_global_rank(
+        cnts, F.col("cnt").desc(), F.col("token"), rank_col="r"
+    )
+    one = rk.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_vocab"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("r") <= v, F.col("cnt"))), F.lit(0)
+            ).alias(f"c{v}")
+            for v in _VOCAB_SIZES
+        ],
+    )
+    curve = ", ".join(
+        f"named_struct('vocab_size', {v}, 'covered', c{v})"
+        for v in _VOCAB_SIZES
+    )
+    return (
+        one.select(
+            "total", "n_vocab", F.explode(F.expr(f"array({curve})")).alias("s")
+        )
+        .select(
+            F.col("s.vocab_size").cast("int").alias("vocab_size"),
+            F.least(F.col("s.vocab_size").cast("long"), F.col("n_vocab"))
+            .cast("long")
+            .alias("vocab_tokens"),
+            F.col("s.covered").cast("long").alias("covered_occ"),
+            F.col("total").cast("long").alias("total_occ"),
+            (
+                (F.col("total") - F.col("s.covered")).cast("double")
+                / F.col("total").cast("double")
+            ).alias("oov_rate"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+_VOCAB_CURVE_SQL = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents),
+cnts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+         GROUP BY token),
+rk AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS r
+       FROM cnts),
+sizes(v) AS (VALUES {', '.join(f'({v})' for v in _VOCAB_SIZES)})
+SELECT CAST(s.v AS INT) AS vocab_size,
+       CAST(LEAST(s.v, (SELECT COUNT(*) FROM cnts)) AS BIGINT)
+           AS vocab_tokens,
+       CAST(COALESCE(SUM(CASE WHEN rk.r <= s.v THEN rk.cnt END), 0)
+            AS BIGINT) AS covered_occ,
+       CAST(SUM(rk.cnt) AS BIGINT) AS total_occ,
+       CAST(SUM(rk.cnt) - COALESCE(SUM(CASE WHEN rk.r <= s.v
+                                            THEN rk.cnt END), 0) AS DOUBLE)
+         / CAST(SUM(rk.cnt) AS DOUBLE) AS oov_rate
+FROM sizes s CROSS JOIN rk
+GROUP BY s.v ORDER BY vocab_size
+"""
+
+
+# --------------------------------------------------------------------------
 # Training-export roundtrip: shard the corpus into hash buckets, write it
 # as partitioned JSONL (the interchange format training loaders consume),
 # read the export back with an EXPLICIT schema (never inference — at scale

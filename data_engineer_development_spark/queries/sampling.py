@@ -110,6 +110,58 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Per-domain frequency cap — STAGED for r14+ registration: the C4/
+# RefinedWeb curation rule "no domain may contribute more than CAP
+# documents". Unlike stratified_sample (keep top-N per stratum, a
+# BALANCING device) this is a CEILING: small sources pass through whole,
+# over-represented ones are truncated at CAP in deterministic md5 order —
+# and the output keeps EVERY document with its within-source rank and a
+# kept flag, so the dropped set is auditable (curation decisions must be
+# reviewable, not silently applied). All integer.
+#
+# Scale shape: the within-source rank is operators/ranking.
+# with_grouped_cumsum weight-1 — sources are FEW and HUGE at corpus
+# scale, exactly where Window.partitionBy(source) collapses into
+# one-task-per-source sorts; here it is one global range shuffle + a
+# |sources|-row offsets broadcast. No other shuffle.
+# --------------------------------------------------------------------------
+_DOMAIN_CAP = 15  # max docs per source
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators.ranking import (
+        with_grouped_cumsum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(spark_md5_int("cast(doc_id as string)")).alias("h"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    ranked = with_grouped_cumsum(
+        docs, "one", ["source"], "h", "doc_id", cum_col="rk"
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.col("rk").cast("long").alias("rk"),
+        (F.col("rk") < _DOMAIN_CAP).alias("kept"),
+    ).orderBy("doc_id")
+
+
+_DOMAIN_CAP_SQL = f"""
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk, rk < {_DOMAIN_CAP} AS kept
+FROM (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY {duck_md5_int('CAST(doc_id AS VARCHAR)')}, doc_id)
+               - 1 AS rk
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "sample_hash_bucket": q_sample_hash_bucket,
     "stratified_sample": q_stratified_sample,

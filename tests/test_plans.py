@@ -576,11 +576,25 @@ _PY_EVAL = re.compile(
     r"|FlatMapGroupsInPandas\w*"
 )
 
+#: InferFiltersFromGenerate hazard (BASELINE.md round-13 note): a Filter
+#: node applying size() to an INLINED higher-order expression — not a
+#: materialized attribute — means CollapseProject substituted the array
+#: construction (and anything below it, e.g. split(text)) into the
+#: inferred non-empty guard, where it re-evaluates per row on the
+#: INTERPRETED path (lambda bodies are excluded from subexpression
+#: elimination; measured 10× on the sf0.1 shingle explode). Filters over
+#: a bare attribute (``size(sh#123)``) are fine and not matched.
+_INLINED_SIZE_FILTER = re.compile(
+    r"Filter \(*size\((?:if|transform|array_distinct)\s*\("
+)
+
 
 def test_no_unplanned_cartesians_windows_or_python_anywhere(spark):
-    """Sweep EVERY registry query's plan for the three silent scale-killers:
+    """Sweep EVERY registry query's plan for the four silent scale-killers:
     cartesian / broadcast-nested-loop joins (executed plan), unpartitioned
-    windows (optimized plan), and Python execution nodes outside the
+    windows (optimized plan), interpreted size()-filters over inlined
+    higher-order expressions (the InferFiltersFromGenerate hazard,
+    BASELINE.md r13), and Python execution nodes outside the
     sanctioned Arrow-vectorized kernels — with row-at-a-time
     BatchEvalPython banned unconditionally. Any new entry that loses its
     equi-join condition, globally sorts the fact table, or sneaks a Python
@@ -604,6 +618,9 @@ def test_no_unplanned_cartesians_windows_or_python_anywhere(spark):
             optimized
         ):
             bad.append(f"{name}: unpartitioned window")
+        if _INLINED_SIZE_FILTER.search(physical):
+            bad.append(f"{name}: interpreted size()-filter over an "
+                       f"inlined higher-order expression")
         if "BatchEvalPython" in physical:
             bad.append(f"{name}: row-at-a-time Python UDF")
         elif name not in _ARROW_KERNEL_OK and (
@@ -611,3 +628,26 @@ def test_no_unplanned_cartesians_windows_or_python_anywhere(spark):
         ):
             bad.append(f"{name}: unsanctioned Python node {m.group(0)}")
     assert not bad, f"scale-killer plan shapes in: {bad}"
+
+
+def test_inlined_size_filter_detector_fires_on_the_hazard_shape(spark):
+    """Positive control for _INLINED_SIZE_FILTER: rebuild the exact shape
+    the round-13 ngram_novelty regression shipped with — explode of a
+    PROJECTED-ALIAS shingle array with no persist boundary — and assert
+    the detector flags its plan, while the fixed shape (expression inlined
+    into the explode) stays clean."""
+    from data_engineer_development_spark.operators.text import shingles_expr
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    slow = (
+        docs.select(F.split(F.col("text"), " ").alias("t"))
+        .select(shingles_expr("t", k=5).alias("sh"))
+        .select(F.explode("sh").alias("sg"))
+    )
+    fast = docs.select(F.split(F.col("text"), " ").alias("t")).select(
+        F.explode(shingles_expr("t", k=5)).alias("sg")
+    )
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert _INLINED_SIZE_FILTER.search(slow_plan), slow_plan[:2000]
+    assert not _INLINED_SIZE_FILTER.search(fast_plan), fast_plan[:2000]

@@ -418,3 +418,44 @@ def test_length_bucket_batches_parity_and_packing(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "pad_to#" not in line, line
+
+def test_domain_cap_parity_and_ceiling(spark):
+    """Staged r14+ candidate: per-domain frequency cap. Parity at both
+    fixture SFs; invariants — every document appears exactly once with a
+    dense within-source rank, kept == (rank < CAP), no source keeps more
+    than CAP docs, the fixture actually over-fills the cap (every source
+    drops something), and the plan has no source-partitioned window (the
+    grouped-cumsum scale contract)."""
+    from collections import defaultdict
+
+    from conftest import SF_CORRECT, SF_SMOKE
+
+    from data_engineer_development_spark.queries.sampling import (
+        _DOMAIN_CAP,
+        _DOMAIN_CAP_SQL,
+        q_domain_cap,
+    )
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "domain_cap", q_domain_cap, _DOMAIN_CAP_SQL
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    df = q_domain_cap(spark, SF_CORRECT)
+    rows = df.collect()
+    per_src = defaultdict(list)
+    for r in rows:
+        assert r["kept"] == (r["rk"] < _DOMAIN_CAP)
+        per_src[r["source"]].append(r["rk"])
+    for src, rks in per_src.items():
+        assert sorted(rks) == list(range(len(rks))), src  # dense ranks
+        kept = sum(1 for rk in rks if rk < _DOMAIN_CAP)
+        assert kept <= _DOMAIN_CAP
+        assert len(rks) > _DOMAIN_CAP, src  # the cap bites on the fixture
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "source#" not in line, line

@@ -859,3 +859,47 @@ def test_decontam_span_removal_parity_and_ledger(spark):
         .collect()
     }
     assert {r["doc_id"] for r in rows} == want
+
+def test_tokenizer_vocab_curve_parity_and_monotonicity(spark):
+    """Staged r14+ candidate: corpus-level OOV-vs-vocab-size curve. Parity
+    at both fixture SFs; invariants — covered occurrences are monotone
+    non-decreasing in vocabulary size (a bigger frequency cut can only
+    cover more), oov_rate is the exact complement division, the largest
+    fixture vocabulary still leaves OOV mass (the curve is non-trivial),
+    and vocab_tokens caps at the distinct-token count. NOTE for
+    registration: the frequency rank rides with_global_rank, so the
+    plan-sweep whitelist `_UNPARTITIONED_WINDOW_OK` needs this entry
+    (32-row offsets cumsum, the dictionary_encode precedent)."""
+    from data_engineer_development_spark.queries.passage_ops import (
+        _VOCAB_CURVE_SQL,
+        _VOCAB_SIZES,
+        q_tokenizer_vocab_curve,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "tokenizer_vocab_curve",
+            q_tokenizer_vocab_curve, _VOCAB_CURVE_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    rows = q_tokenizer_vocab_curve(spark, SF_CORRECT).collect()
+    assert [r["vocab_size"] for r in rows] == sorted(_VOCAB_SIZES)
+    total = rows[0]["total_occ"]
+    prev = -1
+    for r in rows:
+        assert r["total_occ"] == total
+        assert prev <= r["covered_occ"] <= total
+        prev = r["covered_occ"]
+        assert r["oov_rate"] == (total - r["covered_occ"]) / total
+        assert r["vocab_tokens"] <= r["vocab_size"]
+    # non-trivial at the small end: the 25-token cut leaves OOV mass
+    assert 0 < rows[0]["covered_occ"] < total
+    # saturation consistency: covered == total exactly when the cut
+    # swallows the whole vocabulary (vocab_tokens < vocab_size)
+    for r in rows:
+        assert (r["covered_occ"] == total) == (
+            r["vocab_tokens"] < r["vocab_size"]
+        ) or r["vocab_tokens"] == r["vocab_size"]

@@ -333,6 +333,139 @@ FROM m ORDER BY vec_id
 
 
 # --------------------------------------------------------------------------
+# Dominant embedding direction — STAGED for r14+ registration: the top
+# eigenvector of the quantized second-moment (Gram) matrix by POWER
+# ITERATION, in the supplier_pagerank integer style (scaled-BIGINT
+# truncating arithmetic, fixed rounds, unrolled-CTE oracle) so an
+# iterative linear-algebra result is order-independent and
+# hash-comparable. This is the embedding-diagnostics dial: a dominant
+# direction explaining most second-moment mass signals anisotropy the
+# ANN/semdedup distance metrics inherit (the "whiten before indexing"
+# check). Vectors quantize exactly as emb_quantize (max-abs int8);
+# S[i,j] = Σ_v q_i·q_j is an exact BIGINT Gram; v ← S·v with
+# max-abs renormalization to ±SCALE, 3 fixed rounds from the all-ones
+# start; negatives use sign·(abs DIV m) so Spark's truncating div and
+# DuckDB's flooring // agree.
+#
+# Scale shape: ONE corpus-scale stage — the vec_id equi-self-join of the
+# (vec, dim, q) postings whose output streams straight into the (i, j)
+# partial aggregate (each map task emits ≤ d² = 4096 cells regardless of
+# corpus size). Everything after is control-plane: d²-row Gram × d-row
+# broadcast vector joins, no collect anywhere. Overflow audited:
+# |S| ≤ N·127² , |w| ≤ d·|S|·SCALE < 2⁶³ for N up to ~10⁹ rows at
+# d = 64 (document the N·127²·d·SCALE < 2⁶³ bound for larger corpora —
+# drop SCALE or shard dims past that).
+# --------------------------------------------------------------------------
+_PI_SCALE = 1024
+_PI_ROUNDS = 8  # λ2/λ1 ≈ 0.963 on the near-isotropic fixture: 8 rounds
+#                reach Rayleigh/λ1 ≈ 0.958 (measured; 3 → 0.80, 12 → 0.98)
+
+
+def q_emb_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.withColumn(
+            "mx",
+            F.expr(
+                "aggregate(transform(embedding, x -> abs(cast(x as double))),"
+                " cast(0.0 as double), (a, x) -> greatest(a, x))"
+            ),
+        )
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, x -> cast(if(mx = 0.0d, 0.0d,"
+                    " floor(cast(x as double) * 127.0d / mx + 0.5d))"
+                    " as bigint))"
+                )
+            ).alias("p", "qv"),
+        )
+        .select("vec_id", (F.col("p") + 1).alias("i"), "qv")
+    )
+    g = (
+        q.alias("a")
+        .join(q.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).alias("s"))
+    )
+    # ONE corpus-scale stage (the Gram pass), then a BOUNDED control-plane
+    # collect: ≤ d² = 4096 cells regardless of corpus size — the Lloyd /
+    # BPE driver-round-trip shape. The iteration state is d rows; running
+    # it as per-round Spark jobs costs a checkpoint + broadcast round-trip
+    # per round for zero parallelism (measured 29 s vs <1 s driver-side at
+    # sf0.01), and chaining it lazily doubles the logical plan per round
+    # (2^R Gram copies — a planner hang at R = 8). Python ints are
+    # arbitrary-precision, so the arithmetic is exactly the spec.
+    cells = g.collect()
+    dims = sorted({r["i"] for r in cells})
+    S = {(r["i"], r["j"]): int(r["s"]) for r in cells}
+    v = {i: _PI_SCALE for i in dims}
+    m = 0
+    for _ in range(_PI_ROUNDS):
+        w = {
+            i: sum(S.get((i, j), 0) * v[j] for j in dims) for i in dims
+        }
+        m = max(abs(x) for x in w.values())
+        v = {
+            i: (1 if w[i] >= 0 else -1) * ((abs(w[i]) * _PI_SCALE) // m)
+            if m
+            else _PI_SCALE
+            for i in dims
+        }
+    wf = {i: sum(S.get((i, j), 0) * v[j] for j in dims) for i in dims}
+    ray_num = sum(v[i] * wf[i] for i in dims)
+    ray_den = sum(v[i] * v[i] for i in dims)
+    rows = [(i, v[i], m, ray_num, ray_den) for i in dims]
+    return spark.createDataFrame(
+        rows, "dim int, v long, eig_scale long, ray_num long, ray_den long"
+    ).orderBy("dim")
+
+
+def _emb_top_direction_sql() -> str:
+    rounds = []
+    prev = "v0"
+    for r in range(1, _PI_ROUNDS + 1):
+        rounds.append(f"""
+w{r} AS MATERIALIZED (SELECT g.i AS dim, SUM(g.s * {prev}.v) AS w
+         FROM g JOIN {prev} ON {prev}.dim = g.j GROUP BY g.i),
+m{r} AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w{r}),
+v{r} AS MATERIALIZED (SELECT dim,
+                CASE WHEN m = 0 THEN CAST({_PI_SCALE} AS BIGINT)
+                     ELSE CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                          * ((ABS(w) * {_PI_SCALE}) // m) AS BIGINT) END AS v
+         FROM w{r}, m{r})""")
+        prev = f"v{r}"
+    return f"""
+WITH mm AS (SELECT vec_id, embedding,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))),
+                       (a, v) -> greatest(a, v)) AS mx
+            FROM embeddings),
+q AS MATERIALIZED (SELECT vec_id, i,
+             CAST(CASE WHEN mx = 0.0 THEN 0.0
+                       ELSE floor(CAST(embedding[i] AS DOUBLE) * 127.0 / mx
+                                  + 0.5) END AS BIGINT) AS qv
+      FROM mm, unnest(generate_series(1, len(embedding))) AS u(i)),
+g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, SUM(a.qv * b.qv) AS s
+      FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+v0 AS MATERIALIZED (SELECT DISTINCT i AS dim, CAST({_PI_SCALE} AS BIGINT) AS v FROM g),
+{','.join(rounds)},
+wf AS (SELECT g.i AS dim, SUM(g.s * vR.v) AS wf
+       FROM g JOIN v{_PI_ROUNDS} vR ON vR.dim = g.j GROUP BY g.i),
+ray AS (SELECT SUM(vR.v * wf.wf) AS ray_num, SUM(vR.v * vR.v) AS ray_den
+        FROM wf JOIN v{_PI_ROUNDS} vR ON vR.dim = wf.dim)
+SELECT CAST(vR.dim AS INT) AS dim,
+       CAST(vR.v AS BIGINT) AS v,
+       CAST(m{_PI_ROUNDS}.m AS BIGINT) AS eig_scale,
+       CAST(ray.ray_num AS BIGINT) AS ray_num,
+       CAST(ray.ray_den AS BIGINT) AS ray_den
+FROM v{_PI_ROUNDS} vR, m{_PI_ROUNDS}, ray ORDER BY dim
+"""
+
+
+# --------------------------------------------------------------------------
 # KMV (k-minimum-values) distinct-count sketch: estimate |distinct custkey|
 # per order status from the 16 smallest portable hashes. At 100 TB the
 # shuffle carries at most k rows per group (after per-partition partial

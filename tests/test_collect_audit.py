@@ -57,6 +57,13 @@ _ALLOWED = {
                                  "row min() over a column-pruned scan, "
                                  "memoized per fixture (ADVICE r12: the "
                                  "outlier is derived, not hardcoded)"),
+    "queries/corpus_ops.py": (1, "emb_top_direction Gram collect — ≤ d² "
+                                 "= 4096 cells regardless of corpus size "
+                                 "(the one corpus-scale stage is the "
+                                 "aggregation producing them); the d-row "
+                                 "power-iteration state then runs driver-"
+                                 "side in exact python ints, the Lloyd/"
+                                 "BPE control-plane round-trip shape"),
 }
 
 

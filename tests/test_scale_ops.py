@@ -903,3 +903,67 @@ def test_tokenizer_vocab_curve_parity_and_monotonicity(spark):
         assert (r["covered_occ"] == total) == (
             r["vocab_tokens"] < r["vocab_size"]
         ) or r["vocab_tokens"] == r["vocab_size"]
+
+def test_emb_top_direction_parity_mirror_and_rayleigh(spark):
+    """Staged r14+ candidate: integer power iteration for the dominant
+    embedding direction. Parity at both fixture SFs; the engine iterate
+    must equal an INDEPENDENT arbitrary-precision python mirror of the
+    spec EXACTLY (the pagerank/BPE discipline); and the result must be
+    linear-algebra honest — the exact-integer Rayleigh quotient it
+    reports reaches ≥ 0.95 of numpy's true λ1 after the 8 fixed rounds
+    (the fixture is near-isotropic, λ2/λ1 ≈ 0.963, so full eigenvector
+    convergence is not the contract; captured variance is)."""
+    import numpy as np
+
+    from data_engineer_development_spark.queries.corpus_ops import (
+        _PI_ROUNDS,
+        _PI_SCALE,
+        _emb_top_direction_sql,
+        q_emb_top_direction,
+    )
+    from data_engineer_development_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "emb_top_direction",
+            q_emb_top_direction, _emb_top_direction_sql(),
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    rows = q_emb_top_direction(spark, SF_CORRECT).collect()
+    assert [r["dim"] for r in rows] == list(range(1, 65))
+    vs = [r["v"] for r in rows]
+    assert max(abs(x) for x in vs) == _PI_SCALE
+    assert rows[0]["eig_scale"] > 0
+
+    embs = [
+        r["embedding"]
+        for r in load_table(spark, SF_CORRECT, "embeddings")
+        .select("embedding")
+        .collect()
+    ]
+    X = np.array(embs, dtype=np.float64)
+    mx = np.abs(X).max(axis=1, keepdims=True)
+    Q = np.floor(np.where(mx == 0, 0.0, X * 127.0 / mx) + 0.5)
+    S = (Q.T @ Q).astype(np.int64)
+
+    # arbitrary-precision mirror of the spec (python ints, no float)
+    v = [_PI_SCALE] * 64
+    for _ in range(_PI_ROUNDS):
+        w = [sum(int(S[i, j]) * v[j] for j in range(64)) for i in range(64)]
+        m = max(abs(x) for x in w)
+        v = [
+            (1 if x >= 0 else -1) * ((abs(x) * _PI_SCALE) // m) if m else
+            _PI_SCALE
+            for x in w
+        ]
+    assert vs == v  # engine == mirror, bit for bit
+    wf = [sum(int(S[i, j]) * v[j] for j in range(64)) for i in range(64)]
+    assert rows[0]["ray_num"] == sum(a * b for a, b in zip(v, wf))
+    assert rows[0]["ray_den"] == sum(a * a for a in v)
+
+    l1 = float(np.linalg.eigvalsh(S.astype(np.float64))[-1])
+    rayleigh = rows[0]["ray_num"] / rows[0]["ray_den"]
+    assert rayleigh / l1 >= 0.95, rayleigh / l1

@@ -251,9 +251,8 @@ def q_decontam_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DECON_IDX = ", ".join(f"t[i+{j}]" for j in range(_CONTAM_K)).replace(
-    "t[i+0]", "t[i]"
-)
+_DECON_IDX = _CONTAM_IDX.replace("t[i+0]", "t[i]")  # same grams as the
+#                              contamination oracle, by construction
 _DECONTAM_SQL = f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
                   {duck_md5_int('CAST(doc_id AS VARCHAR)')} % 2 AS side
@@ -343,18 +342,21 @@ FROM m ORDER BY vec_id
 # ANN/semdedup distance metrics inherit (the "whiten before indexing"
 # check). Vectors quantize exactly as emb_quantize (max-abs int8);
 # S[i,j] = Σ_v q_i·q_j is an exact BIGINT Gram; v ← S·v with
-# max-abs renormalization to ±SCALE, 3 fixed rounds from the all-ones
-# start; negatives use sign·(abs DIV m) so Spark's truncating div and
-# DuckDB's flooring // agree.
+# max-abs renormalization to ±SCALE, _PI_ROUNDS fixed rounds from the
+# all-ones start; negatives use sign·(abs DIV m) so Spark's truncating
+# div and DuckDB's flooring // agree.
 #
 # Scale shape: ONE corpus-scale stage — the vec_id equi-self-join of the
 # (vec, dim, q) postings whose output streams straight into the (i, j)
 # partial aggregate (each map task emits ≤ d² = 4096 cells regardless of
 # corpus size). Everything after is control-plane: d²-row Gram × d-row
 # broadcast vector joins, no collect anywhere. Overflow audited:
-# |S| ≤ N·127² , |w| ≤ d·|S|·SCALE < 2⁶³ for N up to ~10⁹ rows at
-# d = 64 (document the N·127²·d·SCALE < 2⁶³ bound for larger corpora —
-# drop SCALE or shard dims past that).
+# |S| ≤ N·127², |w| ≤ d·|S|·SCALE < 2⁶³ for N up to ~10⁹ rows at
+# d = 64, and the reported Rayleigh readout is PRE-DIVIDED to milli
+# units (λ1·1000 ≤ d·N·127²·1000 stays in BIGINT to N ≈ 8·10¹²) —
+# emitting the raw vᵀSv numerator instead would overflow int64 already
+# at N ≈ 1.4·10⁵ (review r13 finding). Past those bounds drop SCALE or
+# shard dims.
 # --------------------------------------------------------------------------
 _PI_SCALE = 1024
 _PI_ROUNDS = 8  # λ2/λ1 ≈ 0.963 on the near-isotropic fixture: 8 rounds
@@ -398,6 +400,9 @@ def q_emb_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (2^R Gram copies — a planner hang at R = 8). Python ints are
     # arbitrary-precision, so the arithmetic is exactly the spec.
     cells = g.collect()
+    schema = "dim int, v long, eig_scale long, rayleigh_milli long"
+    if not cells:  # empty input: empty result, like every other query
+        return spark.createDataFrame([], schema)
     dims = sorted({r["i"] for r in cells})
     S = {(r["i"], r["j"]): int(r["s"]) for r in cells}
     v = {i: _PI_SCALE for i in dims}
@@ -414,12 +419,15 @@ def q_emb_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in dims
         }
     wf = {i: sum(S.get((i, j), 0) * v[j] for j in dims) for i in dims}
+    # Rayleigh quotient in MILLI units: (vᵀSv · 1000) div vᵀv. The raw
+    # numerator vᵀSv ≈ λ1·vᵀv blows past int64 at ~1.4e5 vectors; the
+    # pre-divided readout is bounded by λ1·1000 (python ints are exact
+    # throughout, the division is the only rounding).
     ray_num = sum(v[i] * wf[i] for i in dims)
     ray_den = sum(v[i] * v[i] for i in dims)
-    rows = [(i, v[i], m, ray_num, ray_den) for i in dims]
-    return spark.createDataFrame(
-        rows, "dim int, v long, eig_scale long, ray_num long, ray_den long"
-    ).orderBy("dim")
+    rayleigh_milli = (ray_num * 1000) // ray_den if ray_den else 0
+    rows = [(i, v[i], m, rayleigh_milli) for i in dims]
+    return spark.createDataFrame(rows, schema).orderBy("dim")
 
 
 def _emb_top_direction_sql() -> str:
@@ -454,13 +462,13 @@ v0 AS MATERIALIZED (SELECT DISTINCT i AS dim, CAST({_PI_SCALE} AS BIGINT) AS v F
 {','.join(rounds)},
 wf AS (SELECT g.i AS dim, SUM(g.s * vR.v) AS wf
        FROM g JOIN v{_PI_ROUNDS} vR ON vR.dim = g.j GROUP BY g.i),
-ray AS (SELECT SUM(vR.v * wf.wf) AS ray_num, SUM(vR.v * vR.v) AS ray_den
+ray AS (SELECT (SUM(vR.v * wf.wf) * 1000) // SUM(vR.v * vR.v)
+            AS rayleigh_milli
         FROM wf JOIN v{_PI_ROUNDS} vR ON vR.dim = wf.dim)
 SELECT CAST(vR.dim AS INT) AS dim,
        CAST(vR.v AS BIGINT) AS v,
        CAST(m{_PI_ROUNDS}.m AS BIGINT) AS eig_scale,
-       CAST(ray.ray_num AS BIGINT) AS ray_num,
-       CAST(ray.ray_den AS BIGINT) AS ray_den
+       CAST(ray.rayleigh_milli AS BIGINT) AS rayleigh_milli
 FROM v{_PI_ROUNDS} vR, m{_PI_ROUNDS}, ray ORDER BY dim
 """
 
@@ -1285,14 +1293,18 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_per_batch = first.groupBy(F.col("fb").alias("batch")).agg(
         F.count(F.lit(1)).alias("n_new")
     )
+    # LEFT join + coalesce: a batch whose grams ALL appeared earlier has
+    # no first-seen row, but novelty = 0.0 is exactly the signal this
+    # query exists to surface — an inner join would silently drop the
+    # most decision-relevant batch (review r13 finding).
     return (
-        per_batch.join(new_per_batch, "batch")
+        per_batch.join(new_per_batch, "batch", "left")
         .select(
             "batch",
             F.col("n_grams").cast("long").alias("n_grams"),
-            F.col("n_new").cast("long").alias("n_new"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
             (
-                F.col("n_new").cast("double")
+                F.coalesce(F.col("n_new"), F.lit(0)).cast("double")
                 / F.col("n_grams").cast("double")
             ).alias("novelty"),
         )
@@ -1314,9 +1326,11 @@ pb AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g
        GROUP BY batch),
 nb AS (SELECT fb AS batch, CAST(COUNT(*) AS BIGINT) AS n_new FROM f
        GROUP BY fb)
-SELECT pb.batch, pb.n_grams, nb.n_new,
-       CAST(nb.n_new AS DOUBLE) / CAST(pb.n_grams AS DOUBLE) AS novelty
-FROM pb JOIN nb ON nb.batch = pb.batch
+SELECT pb.batch, pb.n_grams,
+       CAST(COALESCE(nb.n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(nb.n_new, 0) AS DOUBLE) / CAST(pb.n_grams AS DOUBLE)
+           AS novelty
+FROM pb LEFT JOIN nb ON nb.batch = pb.batch
 ORDER BY pb.batch
 """
 

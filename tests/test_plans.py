@@ -584,9 +584,19 @@ _PY_EVAL = re.compile(
 #: INTERPRETED path (lambda bodies are excluded from subexpression
 #: elimination; measured 10× on the sf0.1 shingle explode). Filters over
 #: a bare attribute (``size(sh#123)``) are fine and not matched.
-_INLINED_SIZE_FILTER = re.compile(
-    r"Filter \(*size\((?:if|transform|array_distinct)\s*\("
-)
+_HOF_SIZE = re.compile(r"size\((?:if|transform|array_distinct)\s*\(")
+
+
+def _inlined_size_filter(plan: str) -> bool:
+    """True if any Filter (node or scan-level DataFilters) applies size()
+    to an inlined higher-order expression ANYWHERE in its condition — not
+    just as the leading conjunct: CombineFilters merges a user predicate
+    in front of the inferred guard ("Filter (isnotnull(x) AND (size(if(
+    ..."), which an anchored regex missed (review r13 finding)."""
+    for line in plan.splitlines():
+        if "Filter" in line and _HOF_SIZE.search(line):
+            return True
+    return False
 
 
 def test_no_unplanned_cartesians_windows_or_python_anywhere(spark):
@@ -618,7 +628,7 @@ def test_no_unplanned_cartesians_windows_or_python_anywhere(spark):
             optimized
         ):
             bad.append(f"{name}: unpartitioned window")
-        if _INLINED_SIZE_FILTER.search(physical):
+        if _inlined_size_filter(physical):
             bad.append(f"{name}: interpreted size()-filter over an "
                        f"inlined higher-order expression")
         if "BatchEvalPython" in physical:
@@ -647,7 +657,17 @@ def test_inlined_size_filter_detector_fires_on_the_hazard_shape(spark):
     fast = docs.select(F.split(F.col("text"), " ").alias("t")).select(
         F.explode(shingles_expr("t", k=5)).alias("sg")
     )
+    # merged-conjunct variant: a user predicate below the explode makes
+    # CombineFilters print the inferred guard as a NON-leading conjunct
+    merged = (
+        docs.filter(F.length("text") > 0)
+        .select(F.split(F.col("text"), " ").alias("t"))
+        .select(shingles_expr("t", k=5).alias("sh"))
+        .select(F.explode("sh").alias("sg"))
+    )
     slow_plan = slow._jdf.queryExecution().executedPlan().toString()
     fast_plan = fast._jdf.queryExecution().executedPlan().toString()
-    assert _INLINED_SIZE_FILTER.search(slow_plan), slow_plan[:2000]
-    assert not _INLINED_SIZE_FILTER.search(fast_plan), fast_plan[:2000]
+    merged_plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert _inlined_size_filter(slow_plan), slow_plan[:2000]
+    assert _inlined_size_filter(merged_plan), merged_plan[:2000]
+    assert not _inlined_size_filter(fast_plan), fast_plan[:2000]

@@ -739,7 +739,9 @@ def test_ngram_novelty_parity_and_conservation(spark):
     rows = q_ngram_novelty(spark, SF_CORRECT).collect()
     assert rows and rows[0]["batch"] == 0 and rows[0]["novelty"] == 1.0
     for r in rows:
-        assert 0 < r["n_new"] <= r["n_grams"]
+        # n_new == 0 is a VALID (and decision-relevant) value: a batch
+        # that re-fetched only already-seen text must still be reported
+        assert 0 <= r["n_new"] <= r["n_grams"]
         assert r["novelty"] == r["n_new"] / r["n_grams"]
     assert any(r["n_new"] < r["n_grams"] for r in rows[1:])
     vocab = (
@@ -750,6 +752,42 @@ def test_ngram_novelty_parity_and_conservation(spark):
         .count()
     )
     assert sum(r["n_new"] for r in rows) == vocab  # partition of the vocab
+
+    # crafted zero-novelty batch: a batch that re-fetches ONLY seen text
+    # must be EMITTED with novelty 0.0 (the review r13 inner-join finding),
+    # and the emission must be parity-exact in both engines
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="novelty_zero_")
+    try:
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events embeddings").split():
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{tmp}/{t}.parquet")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 125], pa.int64()),
+                    "text": ["a b c d e f", "a b c d e"],
+                    "lang": ["en", "en"],
+                    "source": ["s0", "s0"],
+                    "n_chars": pa.array([11, 9], pa.int64()),
+                }
+            ),
+            f"{tmp}/documents.parquet",
+        )
+        ok, msg = compare(
+            spark, tmp, "ngram_novelty", q_ngram_novelty, _NGRAM_NOVELTY_SQL
+        )
+        assert ok, msg
+        crafted = {r["batch"]: r for r in q_ngram_novelty(spark, tmp).collect()}
+        assert crafted[1]["n_new"] == 0 and crafted[1]["novelty"] == 0.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_dedup_survivorship_parity_and_policy(spark):
@@ -961,9 +999,11 @@ def test_emb_top_direction_parity_mirror_and_rayleigh(spark):
         ]
     assert vs == v  # engine == mirror, bit for bit
     wf = [sum(int(S[i, j]) * v[j] for j in range(64)) for i in range(64)]
-    assert rows[0]["ray_num"] == sum(a * b for a, b in zip(v, wf))
-    assert rows[0]["ray_den"] == sum(a * a for a in v)
+    num = sum(a * b for a, b in zip(v, wf))
+    den = sum(a * a for a in v)
+    # milli-unit readout (raw vᵀSv would overflow int64 at ~1.4e5
+    # vectors — review r13 finding), exact to the mirror
+    assert rows[0]["rayleigh_milli"] == (num * 1000) // den
 
     l1 = float(np.linalg.eigvalsh(S.astype(np.float64))[-1])
-    rayleigh = rows[0]["ray_num"] / rows[0]["ray_den"]
-    assert rayleigh / l1 >= 0.95, rayleigh / l1
+    assert rows[0]["rayleigh_milli"] / 1000.0 / l1 >= 0.95

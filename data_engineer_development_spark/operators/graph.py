@@ -221,3 +221,65 @@ def pagerank(
             ).cast("long").alias("rank"),
         )
     return ranks
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection).
+
+    Every node starts labeled with itself; each round it adopts the most
+    frequent label among its NEIGHBORS PLUS ITSELF, ties broken to the
+    smallest label — an exact integer argmax (``min(struct(-count,
+    label))``, map-side combinable), so unlike textbook LPA (random
+    update order, random tie-break) the result is bit-for-bit
+    reproducible at any partitioning and hash-checkable cross-engine.
+    The self-vote is the standard damping that keeps synchronous updates
+    from oscillating on bipartite structure — and it guarantees every
+    node votes at least once, so isolated nodes need no separate
+    fallback branch (which would double-reference the label frame).
+
+    Scale shape (the connected_components/pagerank layout): per round one
+    ``src``-keyed equi-join of the edge list against the |nodes|-row
+    label table, one (node, label) count, one node-keyed argmax — all
+    shuffles keyed on nodes/edges, never quadratic. Fixed ``iterations``
+    bounds plan depth; each round's label frame is persisted (released
+    by the harness via ``cache.release_tracked``) because two consumers
+    read it — the neighbor join and the self-vote union.
+    """
+    from data_engineer_development_spark.cache import track_persist
+
+    # the edge list is read every round, but an explicit persist measured
+    # SLOWER at sf0.1 (9.6 vs 7.8 s min-of-3): the per-round subtrees are
+    # canonically identical, so AQE's ReusedExchange already shares one
+    # physical edge materialization, and the row-based cache only added
+    # InMemoryScan overhead. Left unpersisted deliberately.
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
+    )
+    for _ in range(iterations):
+        labels = track_persist(labels)
+        votes = (
+            e.join(
+                labels.select(F.col("node").alias("src"), "lbl"), "src"
+            )
+            .select(F.col("dst").alias("node"), "lbl")
+            .unionByName(labels)  # the self-vote
+        )
+        cnt = votes.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
+                ).alias("b")
+            )
+            .select("node", F.col("b.l").alias("lbl"))
+        )
+    return labels

@@ -257,6 +257,84 @@ ORDER BY rank DESC, id LIMIT {_PR_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# Trading communities — STAGED for r14+ registration: deterministic label
+# propagation (operators/graph.label_propagation) over the same
+# customer↔supplier trading graph supplier_pagerank ranks. Communities
+# answer the question pagerank/connected-components don't: WHICH groups
+# of customers and suppliers trade mostly with each other (market
+# segmentation of the order flow); on the dedup side the same operator
+# coarse-clusters near-dup graphs whose exact components are too big.
+# Output is the community-size histogram plus each community's smallest
+# member — one row per community, integer-exact. Oracle: the 3 rounds
+# unrolled as MATERIALIZED CTEs (the emb_top_direction lesson: without
+# the hint DuckDB re-inlines each round's dependencies exponentially).
+# --------------------------------------------------------------------------
+def q_trading_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators.graph import (
+        label_propagation,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("c"),
+            (F.col("l_suppkey") + F.lit(_PR_OFFSET)).cast("long").alias("s"),
+        )
+        .distinct()
+    )
+    und = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    nodes = und.select(F.col("src").alias("id")).distinct()
+    labels = label_propagation(nodes, und, "id", "src", "dst", iterations=3)
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_node"),
+        )
+        .orderBy("community")
+    )
+
+
+def _trading_communities_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, 4):
+        rounds.append(f"""
+l{r} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM (SELECT node, lbl, COUNT(*) AS c
+          FROM (SELECT und.dst AS node, l.lbl
+                FROM und JOIN {prev} l ON l.node = und.src
+                UNION ALL SELECT node, lbl FROM {prev})
+          GROUP BY node, lbl))
+  WHERE rn = 1)""")
+        prev = f"l{r}"
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                  CAST(l_suppkey + {_PR_OFFSET} AS BIGINT) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+und AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
+                     UNION ALL SELECT s, c FROM pairs),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM und),
+{','.join(rounds)}
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(node) AS min_node
+FROM l3 GROUP BY lbl ORDER BY community
+"""
+
+
 QUERIES = {
     "funnel_signup_purchase": q_funnel_signup_purchase,
     "retention_cohorts": q_retention_cohorts,

@@ -180,6 +180,91 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 
 # --------------------------------------------------------------------------
+# Incremental JOIN maintenance — STAGED for r14+ registration: extend the
+# incremental_agg state-merge pattern to a JOIN view. The maintained view
+# is an aggregate over orders ⋈ lineitem; when both sides receive deltas
+# (ΔA, ΔB — here deterministic md5 slices standing in for a day's
+# arrivals), the delta algebra says the new view is the OLD view merged
+# with exactly three delta terms:
+#
+#     agg(A⋈B) = agg(A₀⋈B₀) ⊕ agg(ΔA⋈B₀) ⊕ agg(A₀⋈ΔB) ⊕ agg(ΔA⋈ΔB)
+#
+# — none of which touches base⋈base again (at 100 TB the first term IS
+# the stored materialization; each maintenance run joins only
+# delta-sized inputs against the other side, the whole point). The Spark
+# side computes the view THROUGH the four-term merge; the DuckDB oracle
+# computes the full join aggregate in one pass — hash equality proves the
+# maintenance identity loses nothing, cross-engine (the incremental_agg
+# discipline). Counts merge by sum; sums by decimal addition
+# (associative, so bit-exact under any merge order).
+# --------------------------------------------------------------------------
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.functions.portable_hash import (
+        spark_md5_int,
+    )
+
+    ha = spark_md5_int("concat('a', o_orderkey)")
+    hb = spark_md5_int("concat('b', l_orderkey)")
+    from data_engineer_development_spark.cache import track_persist
+
+    # each side feeds two of the four delta terms — persist the slim
+    # flagged projection so the scan + md5 run once per side, not four
+    # times (at 100 TB the base/delta slices are separate stored tables
+    # and this persist does not exist; here it mirrors that storage)
+    o = track_persist(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.expr(f"{ha} % 4 = 0").alias("da"),
+        )
+    )
+    li = track_persist(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_quantity",
+            F.expr(f"{hb} % 4 = 0").alias("db"),
+        )
+    )
+    a0, da = o.filter(~F.col("da")), o.filter(F.col("da"))
+    b0, db = li.filter(~F.col("db")), li.filter(F.col("db"))
+
+    def term(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, a["o_orderkey"] == b["l_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("q"),
+            )
+        )
+
+    merged = (
+        term(a0, b0)  # the stored materialization (recomputed only here)
+        .unionByName(term(da, b0))
+        .unionByName(term(a0, db))
+        .unionByName(term(da, db))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("cnt").alias("n_items"), F.sum("q").alias("t"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_items",
+        F.round(F.col("t"), 4).cast("double").alias("sum_qty"),
+    ).orderBy("o_orderpriority")
+
+
+# the oracle computes the full join aggregate in ONE pass: matching it
+# proves the four-term delta merge is lossless
+_INCREMENTAL_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(20,4))), 4) AS DOUBLE)
+           AS sum_qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # Small-file compaction planner (the OPTIMIZE/compact step of a lakehouse
 # table maintenance loop). Each document stands in for one data file of
 # n_chars bytes inside its `source` partition; files are packed next-fit in

@@ -97,3 +97,100 @@ def test_pagerank_dangling_node_keeps_teleport_only(spark):
     got = _pr(spark, edges)
     assert got == _pr_reference(edges)
     assert got[1] == 150_000  # nothing points at 1: pure teleport
+
+
+def test_trading_communities_parity_mirror_and_partition(spark):
+    """Staged r14+ candidate: deterministic label propagation over the
+    trading graph. Parity at both fixture SFs; the engine labels must
+    equal a pure-python mirror of the spec (synchronous update,
+    self-vote, (count DESC, label ASC) argmax) at smoke scale; and the
+    community histogram must partition the node set, with the fixture
+    yielding more than one community at sf0.01 (non-trivial)."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators.graph import (
+        label_propagation,
+    )
+    from data_engineer_development_spark.queries.behavior import (
+        _trading_communities_sql,
+        q_trading_communities,
+    )
+    from data_engineer_development_spark.sources import load_table
+    from tests.conftest import SF_CORRECT, SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "trading_communities",
+            q_trading_communities, _trading_communities_sql(),
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    # python mirror at smoke scale
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("c"),
+            (F.col("l_suppkey") + 1_000_000).cast("long").alias("s"),
+        )
+        .distinct()
+    )
+    und = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    edges = [(r["src"], r["dst"]) for r in und.collect()]
+    out_nbrs = defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        out_nbrs[s].append(d)
+        nodes.add(s)
+        nodes.add(d)
+    lbl = {n: n for n in nodes}
+    for _ in range(3):
+        votes = {n: Counter([lbl[n]]) for n in nodes}  # self-vote
+        for s, d in edges:
+            votes[d][lbl[s]] += 1
+        lbl = {
+            n: min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for n, c in votes.items()
+        }
+    want = {}
+    for n, l in lbl.items():
+        want.setdefault(l, [0, None])
+        want[l][0] += 1
+        want[l][1] = n if want[l][1] is None else min(want[l][1], n)
+    got_labels = {
+        r["node"]: r["lbl"]
+        for r in label_propagation(
+            und.select(F.col("src").alias("id")).distinct(),
+            und, "id", "src", "dst", iterations=3,
+        ).collect()
+    }
+    assert got_labels == lbl  # engine == mirror, node for node
+
+    rows = q_trading_communities(spark, SF_CORRECT).collect()
+    total = sum(r["n_members"] for r in rows)
+    n_graph_nodes = (
+        load_table(spark, SF_CORRECT, "orders")
+        .join(
+            load_table(spark, SF_CORRECT, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").cast("long").alias("c"),
+            (F.col("l_suppkey") + 1_000_000).cast("long").alias("s"),
+        )
+        .select(F.explode(F.array("c", "s")).alias("n"))
+        .distinct()
+        .count()
+    )
+    assert total == n_graph_nodes  # histogram partitions the node set
+    assert len(rows) > 1  # the fixture is non-trivially clustered

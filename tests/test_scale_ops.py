@@ -1007,3 +1007,57 @@ def test_emb_top_direction_parity_mirror_and_rayleigh(spark):
 
     l1 = float(np.linalg.eigvalsh(S.astype(np.float64))[-1])
     assert rows[0]["rayleigh_milli"] / 1000.0 / l1 >= 0.95
+
+def test_incremental_join_parity_and_delta_identity(spark):
+    """Staged r14+ candidate: join-delta view maintenance. Parity at both
+    fixture SFs — where the ORACLE is the one-pass full recompute, so the
+    hash match itself proves the four-term delta merge is lossless
+    cross-engine. Invariants — the md5 delta slices are non-trivial on
+    the fixture (all four terms see rows), and the merged view equals an
+    independent direct Spark recompute value-for-value."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.functions.portable_hash import (
+        spark_md5_int,
+    )
+    from data_engineer_development_spark.queries.warehouse_ops import (
+        _INCREMENTAL_JOIN_SQL,
+        q_incremental_join,
+    )
+    from data_engineer_development_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "incremental_join",
+            q_incremental_join, _INCREMENTAL_JOIN_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    o = load_table(spark, SF_CORRECT, "orders")
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    ha = spark_md5_int("concat('a', o_orderkey)")
+    hb = spark_md5_int("concat('b', l_orderkey)")
+    n_da = o.filter(F.expr(f"{ha} % 4 = 0")).count()
+    n_db = li.filter(F.expr(f"{hb} % 4 = 0")).count()
+    assert 0 < n_da < o.count()  # ΔA and A₀ both non-empty
+    assert 0 < n_db < li.count()  # ΔB and B₀ both non-empty
+
+    got = {
+        r["o_orderpriority"]: (r["n_items"], r["sum_qty"])
+        for r in q_incremental_join(spark, SF_CORRECT).collect()
+    }
+    want = {
+        r["o_orderpriority"]: (r["n"], r["q"])
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(20,4)")), 4
+            ).cast("double").alias("q"),
+        )
+        .collect()
+    }
+    assert got == want

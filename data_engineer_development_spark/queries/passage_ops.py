@@ -307,6 +307,118 @@ GROUP BY s.v ORDER BY vocab_size
 
 
 # --------------------------------------------------------------------------
+# BM25 top-k search — STAGED for r14+ registration: the classic IR
+# ranking (Okapi BM25, k1 = 6/5, b = 3/4) that completes the retrieval
+# family next to tfidf_top_terms (no length normalization) and
+# phrase_search (positional match). The whole per-(doc, term) score is
+# ONE exact-integer fraction: with rational idf = (2N−2df+1)/(2df+1)
+# (the tfidf log-free convention), avgdl = T/N, everything clears to
+#
+#   score = 44·tf·(2N−2df+1)·T
+#           ─────────────────────────────────────
+#           (2df+1)·(20·T·tf + 6·T + 18·dl·N)
+#
+# so the only float op is the final IEEE division, and the ≤3-term doc
+# total is a FIXED-ORDER a+b+c of those doubles (conditional-aggregate
+# pivot — never a SUM() whose accumulation order could differ between
+# engines). Int64 bounds: num ≤ 44·tf·2N·T, den ≤ (2N+1)·(20·T·tf+…) —
+# safe to T ≈ 10¹² corpus tokens at fixture-like tf; past that pre-scale
+# T (document the bound, don't discover it).
+#
+# Scale shape: tf only over the ≤|Q| query terms (scan-side IN filter →
+# the postings are query-sized, not corpus-sized), dl/N/T are one
+# map-side-combinable agg each, the 1-row corpus stats broadcast, and
+# the top-k is a TakeOrdered (orderBy+limit), never a global sort.
+# --------------------------------------------------------------------------
+_BM25_QUERY = ("merge", "window", "stream")
+_BM25_K = 15
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    toks = docs.select("doc_id", F.explode("t").alias("term")).filter(
+        F.col("term") != ""
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_tokens")
+    )
+    qterms = list(_BM25_QUERY)
+    tf = (
+        toks.filter(F.col("term").isin(qterms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "num",
+            F.expr("44 * tf * (2 * n_docs - 2 * df + 1) * t_tokens"),
+        )
+        .withColumn(
+            "den",
+            F.expr(
+                "(2 * df + 1) * (20 * t_tokens * tf + 6 * t_tokens"
+                " + 18 * dl * n_docs)"
+            ),
+        )
+        .withColumn("s", F.col("num").cast("double") / F.col("den").cast("double"))
+    )
+    parts = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == q, F.col("s"))), F.lit(0.0)
+        ).alias(f"s{i}")
+        for i, q in enumerate(qterms)
+    ]
+    per_doc = scored.groupBy("doc_id", "dl").agg(*parts)
+    total = per_doc.select(
+        "doc_id",
+        F.col("dl").cast("long").alias("dl"),
+        # fixed-order sum: (s0 + s1) + s2 — identical IEEE both engines
+        (
+            (F.col("s0") + F.col("s1")) + F.col("s2")
+        ).alias("score"),
+    )
+    return total.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_K)
+
+
+_BM25_TERMS_IN = ", ".join(f"'{q}'" for q in _BM25_QUERY)
+_BM25_CASES = "\n".join(
+    f"             COALESCE(MAX(CASE WHEN term = '{q}' THEN s END), 0.0)"
+    f" AS s{i}," for i, q in enumerate(_BM25_QUERY)
+)
+_BM25_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tk
+       GROUP BY doc_id),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk
+       WHERE term IN ({_BM25_TERMS_IN}) GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id, tf.term, dl.dl,
+              CAST(44 * tf.tf * (2 * st.n_docs - 2 * df.df + 1)
+                   * st.t_tokens AS DOUBLE)
+              / CAST((2 * df.df + 1) * (20 * st.t_tokens * tf.tf
+                     + 6 * st.t_tokens + 18 * dl.dl * st.n_docs)
+                     AS DOUBLE) AS s
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+pd AS (SELECT doc_id, dl,
+{_BM25_CASES}
+       FROM sc GROUP BY doc_id, dl)
+SELECT doc_id, dl, (s0 + s1) + s2 AS score
+FROM pd ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # Training-export roundtrip: shard the corpus into hash buckets, write it
 # as partitioned JSONL (the interchange format training loaders consume),
 # read the export back with an EXPLICIT schema (never inference — at scale

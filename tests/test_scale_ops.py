@@ -1061,3 +1061,76 @@ def test_incremental_join_parity_and_delta_identity(spark):
         .collect()
     }
     assert got == want
+
+def test_bm25_topk_parity_mirror_and_plan(spark):
+    """Staged r14+ candidate: Okapi BM25 top-k. Parity at both fixture
+    SFs; the engine ranking must equal a pure-python mirror of the
+    rational-score spec (same integer fraction, same fixed-order float
+    sum); scores are non-increasing; and the top-k is a TakeOrdered in
+    the physical plan — never a global sort."""
+    from collections import Counter, defaultdict
+
+    from data_engineer_development_spark.queries.passage_ops import (
+        _BM25_K,
+        _BM25_QUERY,
+        _BM25_SQL,
+        q_bm25_topk,
+    )
+    from data_engineer_development_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "bm25_topk", q_bm25_topk, _BM25_SQL
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    texts = {
+        r["doc_id"]: [w for w in r["text"].split(" ") if w]
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    N = len(texts)
+    T = sum(len(t) for t in texts.values())
+    df = Counter()
+    tf = defaultdict(Counter)
+    for d, toks in texts.items():
+        c = Counter(toks)
+        for q in _BM25_QUERY:
+            if c[q]:
+                df[q] += 1
+                tf[d][q] = c[q]
+    want = []
+    for d, toks in texts.items():
+        parts = []
+        for q in _BM25_QUERY:
+            t = tf[d][q]
+            if t:
+                num = 44 * t * (2 * N - 2 * df[q] + 1) * T
+                den = (2 * df[q] + 1) * (
+                    20 * T * t + 6 * T + 18 * len(toks) * N
+                )
+                parts.append(num / den)
+            else:
+                parts.append(0.0)
+        want.append((d, len(toks), (parts[0] + parts[1]) + parts[2]))
+    want = [
+        w for w in sorted(want, key=lambda x: (-x[2], x[0]))[:_BM25_K]
+    ]
+    got = [
+        (r["doc_id"], r["dl"], r["score"])
+        for r in q_bm25_topk(spark, SF_CORRECT).collect()
+    ]
+    assert got == want  # rank, dl, and float score all exact
+    scores = [s for _, _, s in got]
+    assert scores == sorted(scores, reverse=True) and scores[-1] > 0
+
+    plan = (
+        q_bm25_topk(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:1500]

@@ -230,6 +230,7 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     iterations: int = 3,
+    symmetrize: bool = True,
 ) -> DataFrame:
     """Deterministic synchronous label propagation (community detection).
 
@@ -260,9 +261,32 @@ def label_propagation(
     # physical edge materialization, and the row-based cache only added
     # InMemoryScan overhead. Left unpersisted deliberately.
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
+    if symmetrize:
+        # votes must flow BOTH ways: a pair list naming each edge once
+        # (the connected_components src<dst convention — the near-dup
+        # use case this operator is staged for) would otherwise only let
+        # src influence dst, never the reverse (review r13 finding). The
+        # distinct() both dedups caller duplicates and makes this a
+        # no-op on an already-symmetric set; callers that KNOW their
+        # edges are symmetric (q_trading_communities builds both
+        # directions itself) pass symmetrize=False to skip the shuffle.
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    # label universe = nodes ∪ edge endpoints: an endpoint missing from
+    # ``nodes`` would otherwise cast no self-vote yet appear in the
+    # output — silently wrong communities (review r13 finding)
+    universe = (
+        nodes.select(F.col(node_col).alias("node"))
+        .union(e.select(F.col("src").alias("node")))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
     )
+    labels = universe.select("node", F.col("node").alias("lbl"))
+    # each round's persist stays pinned until the harness-level
+    # release_tracked() — O(iterations) node-sized cached frames, fine
+    # at fixed small round counts; for large iteration counts switch to
+    # cache.local_checkpoint_tracked with free= to keep peak cache at 1.
     for _ in range(iterations):
         labels = track_persist(labels)
         votes = (

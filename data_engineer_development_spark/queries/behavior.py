@@ -190,9 +190,11 @@ _PR_OFFSET = 1_000_000
 _PR_TOPK = 20
 
 
-def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_engineer_development_spark.operators.graph import pagerank
-
+def _trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected customer↔supplier trading edges (both directions), the
+    shared graph under supplier_pagerank and trading_communities:
+    distinct (custkey, suppkey + _PR_OFFSET) pairs from orders ⋈
+    lineitem, doubled src↔dst."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
@@ -207,9 +209,24 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    und = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    return pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+
+
+#: the same graph as DuckDB CTEs (pairs, und) — shared by both oracles
+_TRADING_GRAPH_CTES = f"""pairs AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                  CAST(l_suppkey + {_PR_OFFSET} AS BIGINT) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+und AS (SELECT c AS src, s AS dst FROM pairs
+        UNION ALL SELECT s, c FROM pairs)"""
+
+
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators.graph import pagerank
+
+    und = _trading_graph(spark, sf_dir)
     ranks = pagerank(und, iterations=3)
     return (
         ranks.orderBy(F.col("rank").desc(), "id")
@@ -219,12 +236,7 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAGERANK_SQL = f"""
-WITH pairs AS (
-  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
-                  CAST(l_suppkey + {_PR_OFFSET} AS BIGINT) AS s
-  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-und AS (SELECT c AS src, s AS dst FROM pairs
-        UNION ALL SELECT s, c FROM pairs),
+WITH {_TRADING_GRAPH_CTES},
 deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
 nodes AS (SELECT DISTINCT src AS id FROM und),
 r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
@@ -275,25 +287,13 @@ def q_trading_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_propagation,
     )
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    pairs = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").cast("long").alias("c"),
-            (F.col("l_suppkey") + F.lit(_PR_OFFSET)).cast("long").alias("s"),
-        )
-        .distinct()
-    )
-    und = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    und = _trading_graph(spark, sf_dir)
     nodes = und.select(F.col("src").alias("id")).distinct()
-    labels = label_propagation(nodes, und, "id", "src", "dst", iterations=3)
+    # und already carries both directions — skip the operator's default
+    # symmetrization shuffle
+    labels = label_propagation(
+        nodes, und, "id", "src", "dst", iterations=3, symmetrize=False
+    )
     return (
         labels.groupBy(F.col("lbl").alias("community"))
         .agg(
@@ -320,13 +320,11 @@ l{r} AS MATERIALIZED (
           GROUP BY node, lbl))
   WHERE rn = 1)""")
         prev = f"l{r}"
+    graph_ctes = _TRADING_GRAPH_CTES.replace(
+        "pairs AS (", "pairs AS MATERIALIZED ("
+    ).replace("und AS (", "und AS MATERIALIZED (")
     return f"""
-WITH pairs AS MATERIALIZED (
-  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
-                  CAST(l_suppkey + {_PR_OFFSET} AS BIGINT) AS s
-  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-und AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
-                     UNION ALL SELECT s, c FROM pairs),
+WITH {graph_ctes},
 l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM und),
 {','.join(rounds)}
 SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,

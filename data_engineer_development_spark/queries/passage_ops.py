@@ -376,22 +376,30 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, q in enumerate(qterms)
     ]
     per_doc = scored.groupBy("doc_id", "dl").agg(*parts)
+    # fixed-order left-fold sum ((s0 + s1) + s2) ... — identical IEEE in
+    # both engines, and GENERATED from the query tuple so a term added to
+    # _BM25_QUERY cannot be silently dropped (review r13 finding)
+    acc = F.col("s0")
+    for i in range(1, len(qterms)):
+        acc = acc + F.col(f"s{i}")
     total = per_doc.select(
         "doc_id",
         F.col("dl").cast("long").alias("dl"),
-        # fixed-order sum: (s0 + s1) + s2 — identical IEEE both engines
-        (
-            (F.col("s0") + F.col("s1")) + F.col("s2")
-        ).alias("score"),
+        acc.alias("score"),
     )
     return total.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_K)
 
 
 _BM25_TERMS_IN = ", ".join(f"'{q}'" for q in _BM25_QUERY)
-_BM25_CASES = "\n".join(
+_BM25_CASES = ",\n".join(
     f"             COALESCE(MAX(CASE WHEN term = '{q}' THEN s END), 0.0)"
-    f" AS s{i}," for i, q in enumerate(_BM25_QUERY)
+    f" AS s{i}" for i, q in enumerate(_BM25_QUERY)
 )
+# left-fold sum generated from the same tuple as the cases — and no
+# trailing comma before FROM (only DuckDB tolerates one; review r13)
+_BM25_FOLD = "s0"
+for _i in range(1, len(_BM25_QUERY)):
+    _BM25_FOLD = f"({_BM25_FOLD} + s{_i})"
 _BM25_SQL = f"""
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
               FROM documents),
@@ -413,7 +421,7 @@ sc AS (SELECT tf.doc_id, tf.term, dl.dl,
 pd AS (SELECT doc_id, dl,
 {_BM25_CASES}
        FROM sc GROUP BY doc_id, dl)
-SELECT doc_id, dl, (s0 + s1) + s2 AS score
+SELECT doc_id, dl, {_BM25_FOLD} AS score
 FROM pd ORDER BY score DESC, doc_id LIMIT {_BM25_K}
 """
 

@@ -194,3 +194,54 @@ def test_trading_communities_parity_mirror_and_partition(spark):
     )
     assert total == n_graph_nodes  # histogram partitions the node set
     assert len(rows) > 1  # the fixture is non-trivially clustered
+
+
+def test_label_propagation_symmetrizes_and_covers_endpoints(spark):
+    """Review r13 findings: a once-per-pair edge list (the
+    connected_components src<dst convention) must behave identically to
+    its explicit symmetric closure, and endpoints absent from `nodes`
+    must still enter the label universe with a self-vote — not be
+    silently dropped on one join side."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # path 1-2-3 plus isolated 9, edges named ONCE each, and `nodes`
+    # deliberately missing endpoint 3
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    got = {
+        r["node"]: r["lbl"]
+        for r in label_propagation(
+            nodes, edges, "id", "src", "dst", iterations=3
+        ).collect()
+    }
+    # symmetric closure, python mirror (self-vote, (count desc, lbl asc))
+    sym = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    universe = {1, 2, 3, 9}
+    lbl = {n: n for n in universe}
+    from collections import Counter
+
+    for _ in range(3):
+        votes = {n: Counter([lbl[n]]) for n in universe}
+        for s, d in sym:
+            votes[d][lbl[s]] += 1
+        lbl = {
+            n: min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for n, c in votes.items()
+        }
+    assert got == lbl
+    assert 3 in got and got[9] == 9  # endpoint covered; singleton kept
+
+    # explicit symmetric input + symmetrize=False gives the same answer
+    sym_df = spark.createDataFrame(sym, "src long, dst long")
+    got2 = {
+        r["node"]: r["lbl"]
+        for r in label_propagation(
+            nodes, sym_df, "id", "src", "dst",
+            iterations=3, symmetrize=False,
+        ).collect()
+    }
+    assert got2 == lbl

@@ -1103,7 +1103,11 @@ def test_bm25_topk_parity_mirror_and_plan(spark):
                 df[q] += 1
                 tf[d][q] = c[q]
     want = []
-    for d, toks in texts.items():
+    # ONLY docs containing at least one query term are ranked — the
+    # engine's tf frame has no row for non-matching docs, so the mirror
+    # must not pad with zero-score docs (review r13 finding)
+    for d in tf:
+        toks = texts[d]
         parts = []
         for q in _BM25_QUERY:
             t = tf[d][q]
@@ -1115,7 +1119,11 @@ def test_bm25_topk_parity_mirror_and_plan(spark):
                 parts.append(num / den)
             else:
                 parts.append(0.0)
-        want.append((d, len(toks), (parts[0] + parts[1]) + parts[2]))
+        acc = parts[0]
+        for p in parts[1:]:  # same left-fold order as the engine
+            acc = acc + p
+        want.append((d, len(toks), acc))
+    assert len(want) >= _BM25_K  # fixture has enough matching docs
     want = [
         w for w in sorted(want, key=lambda x: (-x[2], x[0]))[:_BM25_K]
     ]

@@ -162,6 +162,51 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Streaming per-domain admission gate — STAGED for r14+ registration: the
+# domain_cap rule at INGEST time (streaming/stateful.py
+# stream_domain_cap_gate): admit first-come per source until the cap,
+# O(1) keyed state per source. Deliberately different selection than the
+# batch entry — md5 order is a reproducible SAMPLE (batch can see the
+# whole source); arrival order is the only honest online policy. The
+# single-data-batch run (asserted) makes the in-batch doc_id sort equal
+# the batch ROW_NUMBER dual exactly, the same discipline as
+# stream_neardup_gate; cross-batch state transitions are pinned by a
+# direct kernel test with a fake GroupState.
+# --------------------------------------------------------------------------
+def q_stream_domain_cap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from data_engineer_development_spark.streaming.stateful import (
+        stream_domain_cap_gate,
+    )
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_table,
+    )
+
+    gated = stream_domain_cap_gate(
+        stream_table(spark, sf_dir, "documents"), cap=_DOMAIN_CAP
+    )
+    name = f"q_domcap_{_uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(
+        gated, name, output_mode="update", assert_single_batch=True,
+        state_partitions=4, no_data_batches=False,
+    )
+    return spark.table(name).orderBy("doc_id")
+
+
+_STREAM_DOMAIN_CAP_SQL = f"""
+SELECT doc_id, source, CAST(rn - 1 AS BIGINT) AS rk,
+       CAST(CASE WHEN rn - 1 < {_DOMAIN_CAP} THEN 1 ELSE 0 END AS INT)
+           AS admitted
+FROM (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "sample_hash_bucket": q_sample_hash_bucket,
     "stratified_sample": q_stratified_sample,

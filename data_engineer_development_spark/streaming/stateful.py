@@ -706,3 +706,75 @@ def combine_gate_tables(verdicts: DataFrame, id_col: str = "vec_id") -> DataFram
         F.min("dup_of").alias("dup_of"),
         F.min("admitted").cast("int").alias("admitted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming per-domain admission cap — the batch domain_cap rule moved to
+# ingest time: admit each source's documents FIRST-COME until the cap,
+# then reject, with O(1) keyed state (one admitted-count per source).
+# Note the deliberate semantic difference from the batch curation entry:
+# batch domain_cap selects in deterministic md5 order (a reproducible
+# SAMPLE of the over-filled source); the stream gate cannot see the
+# future, so it admits in arrival order — the honest ingest-time policy.
+# Within a batch the kernel sorts its group's rows by doc_id, making the
+# verdict independent of partition/arrival shuffling inside the batch;
+# across batches the state count carries, so replays that preserve batch
+# boundaries reproduce verdicts exactly.
+# --------------------------------------------------------------------------
+DOMCAP_STATE_SCHEMA = StructType([StructField("admitted", LongType())])
+DOMCAP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("rk", LongType()),
+        StructField("admitted", IntegerType()),
+    ]
+)
+
+
+def make_domcap_update(cap: int):
+    """Kernel factory (module-level so tests can drive multi-batch state
+    transitions directly with a fake GroupState)."""
+
+    def _domcap_update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        (src,) = key
+        prev = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("doc_id", kind="mergesort")
+        n = len(rows)
+        rk = np.arange(prev, prev + n, dtype=np.int64)
+        state.update((prev + n,))
+        yield pd.DataFrame(
+            {
+                "doc_id": rows["doc_id"].to_numpy(dtype=np.int64),
+                "source": src,
+                "rk": rk,
+                "admitted": (rk < cap).astype(np.int32),
+            }
+        )
+
+    return _domcap_update
+
+
+def stream_domain_cap_gate(docs: DataFrame, cap: int) -> DataFrame:
+    """Apply the per-source admission cap to a streaming documents frame.
+
+    Projection keeps the Arrow transfer to two columns; state is ONE
+    int64 per source ever seen — bounded by |sources|, independent of
+    stream length (the O(1)-per-key gate shape of stream_quality_gate,
+    with state where that gate is stateless).
+    """
+    return (
+        docs.select("doc_id", "source")
+        .groupBy("source")
+        .applyInPandasWithState(
+            make_domcap_update(cap),
+            outputStructType=DOMCAP_OUTPUT_SCHEMA,
+            stateStructType=DOMCAP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

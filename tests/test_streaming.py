@@ -878,3 +878,67 @@ def test_registered_event_ttl_gate_self_expiry_fires(spark):
     assert removed == data_total - 1 and final_total == 1, (
         removed, data_total, final_total,
     )
+
+
+def test_stream_domain_cap_gate_parity_and_multibatch_kernel(spark):
+    """Staged r14+ candidate: ingest-time per-source admission cap.
+    Parity at both fixture SFs against the batch ROW_NUMBER dual (single
+    data batch asserted by the sink helper); per-source admissions never
+    exceed the cap; and the kernel's CROSS-batch behavior — the part the
+    single-batch e2e can't exercise — is pinned by driving it directly
+    with a fake GroupState across two batches."""
+    import pandas as pd
+
+    from data_engineer_development_spark.queries.sampling import (
+        _DOMAIN_CAP,
+        _STREAM_DOMAIN_CAP_SQL,
+        q_stream_domain_cap_gate,
+    )
+    from data_engineer_development_spark.streaming.stateful import (
+        make_domcap_update,
+    )
+    from tests.conftest import SF_CORRECT, SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "stream_domain_cap_gate",
+            q_stream_domain_cap_gate, _STREAM_DOMAIN_CAP_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+    rows = q_stream_domain_cap_gate(spark, SF_CORRECT).collect()
+    per_src: dict = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    for src, rs in per_src.items():
+        assert sorted(x["rk"] for x in rs) == list(range(len(rs))), src
+        assert sum(x["admitted"] for x in rs) == min(len(rs), _DOMAIN_CAP)
+
+    # cross-batch state: cap 3, batch of 2 then batch of 2 — the second
+    # batch must continue the count (ranks 2,3 → one admit, one reject)
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    kern = make_domcap_update(3)
+    st = FakeState()
+    b1 = pd.DataFrame({"doc_id": [20, 10], "source": ["s", "s"]})
+    out1 = pd.concat(list(kern(("s",), iter([b1]), st)))
+    assert list(out1["doc_id"]) == [10, 20]  # in-batch doc_id sort
+    assert list(out1["rk"]) == [0, 1]
+    assert list(out1["admitted"]) == [1, 1]
+    b2 = pd.DataFrame({"doc_id": [40, 30], "source": ["s", "s"]})
+    out2 = pd.concat(list(kern(("s",), iter([b2]), st)))
+    assert list(out2["rk"]) == [2, 3]  # count carried across batches
+    assert list(out2["admitted"]) == [1, 0]  # cap bites mid-batch
+    assert st.get == (4,)

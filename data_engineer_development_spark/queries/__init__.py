@@ -63,35 +63,35 @@ _MODULES = [
 # round). Every pair — all entries, regardless of order — stays verified
 # by tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
-    # net-new this round (VERDICT r12 #1 + #3, COVERAGE.md's r12-staged
-    # inventory — all tri-SF + ANSI-on verified before this placement):
-    # Gopher-family intra-document repetition signals, the train/held-out
-    # leakage audit, TRUE single-stream packing on the distributed
-    # exclusive prefix sum, train-then-APPLY BPE encode stats, and the
-    # batched BPE trainer (ROWS-ONLY by design — its within-round
-    # snapshot spec is deliberately not the sequential-greedy oracle;
-    # mirror-pinned in tests/test_bpe.py).
-    "quality_repetition", "split_leakage_audit", "pack_sequences_global",
-    "bpe_encode_stats", "bpe_train_batched",
+    # r14 head (VERDICT r13 #1 + #2): bpe_train_batched first — its r13
+    # row was the registry's only non-green (rows-only, err "no_oracle");
+    # it is now ORACLE-PAIRED via the unrolled batched-spec CTEs
+    # (queries/extras._bpe_batched_sql) and must be re-driven under the
+    # full hash gate — then the ENTIRE 20-entry staged queue registered
+    # this round (every one with operator + oracle + named tests + tri-SF
+    # ANSI-on parity + an idle BASELINE.md anchor on record since r13).
+    "bpe_train_batched",
+    "tokenizer_vocab_curve", "bm25_topk", "incremental_join",
+    "image_ahash_neardup", "trading_communities", "dedup_modality_overlap",
+    "source_overlap_matrix", "ngram_novelty", "dedup_survivorship",
+    "decontam_span_removal", "emb_top_direction", "token_budget_mix",
+    "length_bucket_batches", "domain_cap", "stream_domain_cap_gate",
+    "retrieval_mrr_eval", "tokenizer_fertility", "cms_freq",
+    "bloom_prune_eval", "join_size_estimate",
     # rotation (stalest driver evidence first, tools/suggest_front.py):
-    # ALL 21 r9-latest entries — after this round the staleness floor is
-    # r10, the VERDICT r12 #2 done-criterion — then the stalest 24 of
-    # the r10 cohort in registry order (the r10 tail rotates in r14).
-    "lsh_candidate_recall", "volume_shipping", "promo_revenue",
-    "disjunctive_revenue", "small_qty_revenue", "waiting_suppliers",
-    "priority_order_check", "market_share", "sales_opportunity",
-    "recursive_reachability", "lateral_topk_orders", "top_revenue_supplier",
-    "domain_mix", "pack_sequences", "chunk_documents", "zorder_layout",
-    "sample_hash_bucket", "stratified_sample", "text_top_token_ratio",
-    "token_count_bpe", "range_join_promos",
-    "export_jsonl_roundtrip", "export_csv_roundtrip", "export_orc_roundtrip",
-    "compaction_plan", "skew_profile", "range_partition_plan",
-    "schema_evolution_read", "streaming_running_totals", "text_token_stats",
-    "text_repetition", "text_lang_id", "text_quality", "text_fingerprint",
-    "pricing_summary", "quality_typed_select", "dim_decode",
-    "identity_projection", "in_list_filter", "message_envelope",
-    "json_extract", "variant_json_stats", "regexp_clean", "string_funcs",
-    "null_handling",
+    # ALL 23 remaining r10-latest entries — after this round the
+    # staleness floor is r11, the VERDICT r13 #3 done-criterion — then
+    # the first 6 of the r11 cohort in registry order.
+    "math_funcs", "join_star_broadcast", "left_join_order_counts",
+    "semi_join_active_customers", "sim_cosine_topk", "sim_neardup",
+    "sim_lsh_buckets", "quality_model_score", "quality_stratified_sample",
+    "stream_quality_gate", "product_type_profit", "nation_price_corr",
+    "mad_value", "quality_gopher_rules", "text_diversity",
+    "mix_temperature", "salted_skew_join", "dpp_partition_join",
+    "sim_ivf_topk", "sim_ivf_multiprobe", "ann_recall_eval",
+    "hard_negative_mining", "emb_jl_distortion",
+    "incremental_agg", "scd2_customer_merge", "rule_quarantine",
+    "price_histogram", "stateful_sessions", "manifest_source",
 ]
 
 

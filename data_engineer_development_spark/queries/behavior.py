@@ -339,9 +339,12 @@ QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "salted_agg_event_types": q_salted_agg_event_types,
     "supplier_pagerank": q_supplier_pagerank,
+    # registered r14 (staged r13, tri-SF + ANSI-on parity on record)
+    "trading_communities": q_trading_communities,
 }
 
 ORACLE = {
+    "trading_communities": _trading_communities_sql(),
     "funnel_signup_purchase": _FUNNEL_SQL,
     "retention_cohorts": _RETENTION_SQL,
     "latest_event_per_user": _LATEST_EVENT_SQL,

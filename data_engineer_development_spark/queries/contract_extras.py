@@ -636,6 +636,8 @@ QUERIES = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_image_ahash": q_multimodal_image_ahash,
+    # registered r14 (staged r13, tri-SF + ANSI-on parity on record)
+    "image_ahash_neardup": q_image_ahash_neardup,
 }
 
 # streaming_running_totals is hash-checked as of round 6: the state kernel
@@ -665,6 +667,7 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 ORACLE: dict[str, str] = {
+    "image_ahash_neardup": _ahash_neardup_sql(),
     "streaming_running_totals": _STREAMING_RUNNING_TOTALS_SQL,
     "stream_foreachbatch_upsert": _FOREACHBATCH_SQL,
     "kv_store_roundtrip": _KV_ROUNDTRIP_SQL,

@@ -1428,10 +1428,21 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "pii_mask": q_pii_mask,
     "split_leakage_audit": q_split_leakage_audit,
+    # registered r14 (staged r13, tri-SF + ANSI-on parity on record)
+    "source_overlap_matrix": q_source_overlap_matrix,
+    "ngram_novelty": q_ngram_novelty,
+    "dedup_survivorship": q_dedup_survivorship,
+    "decontam_span_removal": q_decontam_span_removal,
+    "emb_top_direction": q_emb_top_direction,
 }
 
 ORACLE = {
     "split_leakage_audit": _split_leakage_sql(),
+    "source_overlap_matrix": _source_overlap_sql(),
+    "ngram_novelty": _NGRAM_NOVELTY_SQL,
+    "dedup_survivorship": _DEDUP_SURVIVORSHIP_SQL,
+    "decontam_span_removal": _DECONTAM_SQL,
+    "emb_top_direction": _emb_top_direction_sql(),
     "quality_model_score": _QUALITY_MODEL_SQL,
     "quality_stratified_sample": _QUALITY_SAMPLE_SQL,
     "stream_quality_gate": _STREAM_QUALITY_GATE_SQL,

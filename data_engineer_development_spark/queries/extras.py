@@ -569,9 +569,14 @@ QUERIES = {
     "array_agg_orders": q_array_agg_orders,
     "cube_status_priority": q_cube_status_priority,
     "date_funcs": q_date_funcs,
+    # registered r14 (staged r11/r12, tri-SF + ANSI-on parity on record)
+    "retrieval_mrr_eval": q_retrieval_mrr_eval,
+    "tokenizer_fertility": q_tokenizer_fertility,
 }
 
 ORACLE = {
+    "retrieval_mrr_eval": _RETRIEVAL_MRR_SQL,
+    "tokenizer_fertility": _TOKENIZER_FERTILITY_SQL,
     "range_join_promos": _RANGE_JOIN_SQL,
     "pivot_status": _PIVOT_SQL,
     "array_agg_orders": _ARRAY_AGG_SQL,
@@ -674,17 +679,29 @@ GROUP BY t.doc_id ORDER BY t.doc_id"""
 
 
 # --------------------------------------------------------------------------
-# Batched BPE training — REGISTERED r13, ROWS-ONLY (sanctioned no-oracle
-# path per __spark_entry__.py:30-37): its within-round snapshot spec is
-# deliberately NOT the sequential greedy that _bpe_train_sql unrolls
-# (COVERAGE.md r12), so an SQL oracle would pin the wrong semantics.
-# Correctness is pinned instead by tests/test_bpe.py — a pure-python
-# mirror over the fixture + 40 hypothesis corpora, plus the exact
-# batch_m=1 ≡ bpe_train reduction. Fully deterministic output (total
-# candidate order + pure driver greedy), so the driver's rows-only check
-# is stable round to round.
+# Batched BPE training — REGISTERED r13 (rows-only), ORACLE-PAIRED r14
+# (VERDICT r13 #2): the batched spec is NOT the sequential greedy that
+# _bpe_train_sql unrolls, but it IS fully deterministic (total candidate
+# order + the pure select_noninteracting greedy + order-free application
+# of non-interacting merges), so its OWN spec unrolls relationally just
+# like trading_communities unrolls label propagation. Per unrolled round:
+# one pair-count snapshot truncated to the top want·candidate_factor
+# candidates under (count DESC, lhs, rhs), then the greedy expressed as a
+# 16-step fold over 1-row MATERIALIZED CTEs carrying (accepted, used,
+# produced) lists — accept candidate i iff none of {lhs, rhs, lhs||rhs}
+# collides with a prior accept's symbols or concatenation (the exact
+# select_noninteracting rule, operators/bpe.py:227) — and finally up to
+# batch_m merge applications reusing the run-parity mask/apply shapes of
+# _bpe_ctes. Rounds past corpus need (want = 0) and absent accept slots
+# (acc[j] NULL) degrade to identity applications, so over-unrolling is
+# harmless; _BPE_BATCH_ROUNDS only needs len(rounds-the-engine-takes) ≤ it
+# on the fixtures (2 at every SF; tri-SF parity is the proof). The python
+# mirror in tests/test_bpe.py stays the semantic anchor (fixture + 40
+# hypothesis corpora + the batch_m=1 ≡ bpe_train reduction).
 # --------------------------------------------------------------------------
 _BPE_BATCH_M = 4
+_BPE_BATCH_CF = 4  # candidate_factor (operators/bpe.py default)
+_BPE_BATCH_ROUNDS = 4  # unroll depth ≥ engine rounds on every fixture
 
 
 def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,11 +715,93 @@ def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def _bpe_batched_sql(
+    k: int = _BPE_MERGES,
+    batch_m: int = _BPE_BATCH_M,
+    cf: int = _BPE_BATCH_CF,
+    rounds: int = _BPE_BATCH_ROUNDS,
+) -> str:
+    g_steps = batch_m * cf  # max candidate-window width per round
+    parts = [f"""w AS (SELECT t.w, COUNT(*) AS f FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '{_BPE_RE}')) AS w
+          FROM documents) t GROUP BY t.w),
+t0_0 AS (SELECT w, f, list_transform(generate_series(1, length(w)),
+                                i -> substring(w, i, 1)) AS syms FROM w)"""]
+    finals = []
+    for r in range(rounds):
+        seg_in = f"t{r}_0"
+        tot = " + ".join(
+            f"(SELECT len(acc) FROM g{q}_{g_steps})" for q in range(r)
+        ) or "0"
+        parts.append(
+            f"want{r} AS (SELECT LEAST({batch_m}, {k} - ({tot})) AS want)"
+        )
+        parts.append(f"""cand{r} AS MATERIALIZED (
+  SELECT a, b, c, rk FROM (
+    SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
+    FROM (SELECT p.a, p.b, CAST(SUM(p.f) AS BIGINT) AS c
+          FROM (SELECT f, syms[i] AS a, syms[i + 1] AS b
+                FROM {seg_in},
+                     unnest(generate_series(1, len(syms) - 1)) AS u(i)) p
+          GROUP BY p.a, p.b))
+  CROSS JOIN want{r} WHERE rk <= want * {cf})""")
+        parts.append(f"""g{r}_0 AS (
+  SELECT CAST([] AS STRUCT(a VARCHAR, b VARCHAR, c BIGINT)[]) AS acc,
+         CAST([] AS VARCHAR[]) AS used, CAST([] AS VARCHAR[]) AS prod)""")
+        for i in range(1, g_steps + 1):
+            parts.append(f"""g{r}_{i} AS MATERIALIZED (
+  SELECT CASE WHEN ok THEN list_append(acc,
+                struct_pack(a := ca, b := cb, c := cc)) ELSE acc END AS acc,
+         CASE WHEN ok THEN list_concat(used, [ca, cb]) ELSE used END AS used,
+         CASE WHEN ok THEN list_append(prod, ca || cb) ELSE prod END AS prod
+  FROM (SELECT g.acc, g.used, g.prod, c.a AS ca, c.b AS cb, c.c AS cc,
+               c.a IS NOT NULL AND len(g.acc) < (SELECT want FROM want{r})
+               AND NOT list_contains(g.used, c.a)
+               AND NOT list_contains(g.used, c.b)
+               AND NOT list_contains(g.used, c.a || c.b)
+               AND NOT list_contains(g.prod, c.a)
+               AND NOT list_contains(g.prod, c.b)
+               AND NOT list_contains(g.prod, c.a || c.b) AS ok
+        FROM g{r}_{i - 1} g LEFT JOIN cand{r} c ON c.rk = {i}))""")
+        for j in range(1, batch_m + 1):
+            prev = f"t{r}_{j - 1}"
+            parts.append(f"""n{r}_{j} AS (SELECT acc[{j}].a AS ma,
+  acc[{j}].b AS mb FROM g{r}_{g_steps})""")
+            parts.append(f"""y{r}_{j} AS (SELECT w, f, syms, m.ma, m.mb,
+  list_transform(generate_series(1, len(syms)), i ->
+    i < len(syms) AND syms[i] = m.ma AND syms[i + 1] = m.mb
+    AND (m.ma <> m.mb OR
+      (i - (COALESCE(list_filter(generate_series(1, greatest(i - 1, 1)),
+                                 j -> j < i AND syms[j] <> m.ma)[-1],
+            0) + 1)) % 2 = 0)) AS ms
+  FROM {prev} CROSS JOIN n{r}_{j} m)""")
+            nxt = (f"t{r + 1}_0" if j == batch_m else f"t{r}_{j}")
+            parts.append(f"""{nxt} AS (SELECT w, f,
+  list_filter(list_transform(generate_series(1, len(syms)), i ->
+    CASE WHEN i > 1 AND ms[i - 1] THEN NULL
+         WHEN ms[i] THEN ma || mb
+         ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+  FROM y{r}_{j})""")
+        finals.append(
+            f"SELECT CAST(({tot}) + u.i AS INT) AS rank, acc[u.i].a AS lhs, "
+            f"acc[u.i].b AS rhs, CAST(acc[u.i].c AS BIGINT) AS pair_count "
+            f"FROM g{r}_{g_steps}, "
+            f"unnest(generate_series(1, len(acc))) AS u(i)"
+        )
+    body = "\nUNION ALL\n".join(finals)
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({body})"
+        "\nORDER BY rank"
+    )
+
+
 # registration lives below the definitions it needs (_bpe_train_sql):
 # bpe_train registered r12; bpe_encode_stats + bpe_train_batched
-# registered r13 (the latter rows-only — no ORACLE entry, see above).
+# registered r13; the batched oracle paired r14 (VERDICT r13 #2 — the
+# registry's only rows-only entry flips to the full hash gate).
 QUERIES["bpe_train"] = q_bpe_train
 ORACLE["bpe_train"] = _bpe_train_sql()
 QUERIES["bpe_encode_stats"] = q_bpe_encode_stats
 ORACLE["bpe_encode_stats"] = _bpe_encode_sql()
 QUERIES["bpe_train_batched"] = q_bpe_train_batched
+ORACLE["bpe_train_batched"] = _bpe_batched_sql()

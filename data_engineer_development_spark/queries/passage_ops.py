@@ -727,9 +727,14 @@ QUERIES = {
     "export_csv_roundtrip": q_export_csv_roundtrip,
     "export_orc_roundtrip": q_export_orc_roundtrip,
     "dictionary_encode": q_dictionary_encode,
+    # registered r14 (staged r13, tri-SF + ANSI-on parity on record)
+    "tokenizer_vocab_curve": q_tokenizer_vocab_curve,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLE = {
+    "tokenizer_vocab_curve": _VOCAB_CURVE_SQL,
+    "bm25_topk": _BM25_SQL,
     "substring_dedup": _SUBSTRING_DEDUP_SQL,
     "phrase_search": _PHRASE_SEARCH_SQL,
     "heavy_hitters": _HEAVY_HITTERS_SQL,

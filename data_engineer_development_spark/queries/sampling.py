@@ -211,9 +211,14 @@ QUERIES = {
     "sample_hash_bucket": q_sample_hash_bucket,
     "stratified_sample": q_stratified_sample,
     "text_top_token_ratio": q_text_top_token_ratio,
+    # registered r14 (staged r13, tri-SF + ANSI-on parity on record)
+    "domain_cap": q_domain_cap,
+    "stream_domain_cap_gate": q_stream_domain_cap_gate,
 }
 
 ORACLE = {
+    "domain_cap": _DOMAIN_CAP_SQL,
+    "stream_domain_cap_gate": _STREAM_DOMAIN_CAP_SQL,
     "sample_hash_bucket": _SAMPLE_HASH_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "text_top_token_ratio": _TOP_TOKEN_SQL,

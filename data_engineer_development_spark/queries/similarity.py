@@ -905,9 +905,12 @@ QUERIES = {
     "semdedup_incremental": q_semdedup_incremental,
     "semdedup_sharded": q_semdedup_sharded,
     "gate_recall_eval": q_gate_recall_eval,
+    # registered r14 (staged r11, tri-SF + ANSI-on parity on record)
+    "dedup_modality_overlap": q_dedup_modality_overlap,
 }
 
 ORACLE = {
+    "dedup_modality_overlap": _modality_overlap_sql(),
     "sim_cosine_topk": _SIM_TOPK_SQL,
     "sim_neardup": _SIM_NEARDUP_SQL,
     "sim_lsh_buckets": _lsh_buckets_sql(),

@@ -261,12 +261,17 @@ FROM ex, est
 """
 
 
-# STAGED for r14 registration (COVERAGE.md inventory discipline: tri-SF
-# + ANSI-on parity proven before any _FRONT placement; this round's five
-# net-new slots are already spoken for). Registration is the dict edit:
-#   "cms_freq": q_cms_freq / _cms_sql()
-#   "bloom_prune_eval": q_bloom_prune_eval / _bloom_sql()
-#   "join_size_estimate": q_join_size_estimate / _join_size_sql()
-QUERIES: dict = {}
+# REGISTERED r14 (staged r13 with tri-SF + ANSI-on parity per the
+# COVERAGE.md inventory discipline; VERDICT r13 #1 leads with these —
+# the genuinely 100 TB-shaped constant-size-shuffle sketches).
+QUERIES: dict = {
+    "cms_freq": q_cms_freq,
+    "bloom_prune_eval": q_bloom_prune_eval,
+    "join_size_estimate": q_join_size_estimate,
+}
 
-ORACLE: dict = {}
+ORACLE: dict = {
+    "cms_freq": _cms_sql(),
+    "bloom_prune_eval": _bloom_sql(),
+    "join_size_estimate": _join_size_sql(),
+}

@@ -467,9 +467,14 @@ QUERIES = {
     "pack_sequences_global": q_pack_sequences_global,
     "chunk_documents": q_chunk_documents,
     "zorder_layout": q_zorder_layout,
+    # registered r14 (staged r13, tri-SF + ANSI-on parity on record)
+    "token_budget_mix": q_token_budget_mix,
+    "length_bucket_batches": q_length_bucket_batches,
 }
 
 ORACLE = {
+    "token_budget_mix": _TOKEN_BUDGET_SQL,
+    "length_bucket_batches": _LENGTH_BUCKET_SQL,
     "domain_mix": _DOMAIN_MIX_SQL,
     "pack_sequences": _PACK_SQL,
     "pack_sequences_global": _PACK_GLOBAL_SQL,

@@ -805,9 +805,12 @@ QUERIES = {
     "er_candidate_pairs": q_er_candidate_pairs,
     "temporal_dim_join": q_temporal_dim_join,
     "schema_evolution_read": q_schema_evolution_read,
+    # registered r14 (staged r13, tri-SF + ANSI-on parity on record)
+    "incremental_join": q_incremental_join,
 }
 
 ORACLE = {
+    "incremental_join": _INCREMENTAL_JOIN_SQL,
     "incremental_agg": _INCREMENTAL_AGG_SQL,
     "scd2_customer_merge": _SCD2_SQL,
     "rule_quarantine": _QUARANTINE_SQL,

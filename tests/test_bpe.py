@@ -104,6 +104,72 @@ def test_bpe_train_oracle_parity(spark):
         assert ok, f"{sf_dir}: {msg}"
 
 
+def test_bpe_batched_oracle_parity(spark):
+    """r14 oracle pairing (VERDICT r13 #2): hash-exact engine↔DuckDB
+    parity for the BATCHED trainer at both fixture SFs — the unrolled
+    snapshot/greedy/apply rounds must agree exactly."""
+    from data_engineer_development_spark.queries.extras import (
+        _bpe_batched_sql,
+        q_bpe_train_batched,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    sql = _bpe_batched_sql()
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "bpe_train_batched", q_bpe_train_batched, sql
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+
+def test_bpe_batched_oracle_matches_mirror_randomized():
+    """Hypothesis over adversarial tiny corpora: the unrolled batched
+    oracle (rounds=4 covers k=3/batch_m≤2 worst case) must equal the
+    batched spec's python mirror — including conflict rounds that accept
+    fewer than batch_m pairs. DuckDB-only per example (fast); the Spark
+    side is pinned to the same mirror on the fixture."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_engineer_development_spark.queries.extras import (
+        _bpe_batched_sql,
+    )
+
+    words = st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(words, min_size=1, max_size=4),
+        st.integers(1, 3),
+        st.integers(1, 2),
+    )
+    def run(docs_words, k, m):
+        texts = [" ".join(ws) for ws in docs_words]
+        try:
+            exp = _py_bpe_batched_mirror(
+                texts, k, m, "[a-z]+|[0-9]+|[^a-z0-9 ]"
+            )
+        except ValueError:
+            return  # corpus exhausts before k merges — engine raises too
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (text VARCHAR)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?)", [(t,) for t in texts]
+        )
+        got = con.execute(
+            _bpe_batched_sql(k=k, batch_m=m, rounds=4)
+        ).fetchall()
+        assert [tuple(r) for r in got] == [tuple(e) for e in exp]
+
+    run()
+
+
 def test_bpe_oracle_matches_python_reference_randomized():
     """Hypothesis over adversarial tiny corpora (alphabet {a,b,c} with
     long runs — the run-parity minefield): the unrolled DuckDB oracle

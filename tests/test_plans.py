@@ -461,6 +461,10 @@ _CARTESIAN_OK = {
     "quality_model_score",  # 1-row model-weights broadcast (inference.py)
     "quality_stratified_sample",  # same 1-row weights broadcast + filter
     "split_leakage_audit",  # 1-row cluster-stats × 1-row pair-stats cross
+    "bm25_topk",            # 1-row corpus-stats (N, T) broadcast
+    "retrieval_mrr_eval",   # contains the brute-force truth side
+    "join_size_estimate",   # bounded 4×512-cell CMS grid cross (sketch ⋈
+                            # sketch is constant-size by construction)
 }
 
 
@@ -481,6 +485,10 @@ _UNPARTITIONED_WINDOW_OK = {
     "text_length_trim",      # cum mass over the length histogram (bounded)
     "mix_temperature",       # normalizing sum over per-SOURCE weights
     "pack_sequences_global",  # with_global_cumsum's 32-row offsets cumsum
+    "tokenizer_vocab_curve",  # with_global_rank's 32-row offsets cumsum
+    "token_budget_mix",       # with_grouped_cumsum's 32-row offsets cumsum
+    "length_bucket_batches",  # with_grouped_cumsum's 32-row offsets cumsum
+    "domain_cap",             # with_grouped_cumsum's 32-row offsets cumsum
 }
 
 
@@ -569,6 +577,12 @@ _ARROW_KERNEL_OK = {
                               # pass (mapInPandas over the sorted range
                               # partitions — the shape that REPLACES a
                               # second full-input hash exchange)
+    "token_budget_mix",       # with_grouped_cumsum's same narrow pass
+    "length_bucket_batches",  # with_grouped_cumsum's same narrow pass
+    "domain_cap",             # with_grouped_cumsum's same narrow pass
+    "retrieval_mrr_eval",     # seq_dot UDF (brute-force truth side)
+    "image_ahash_neardup",    # mapInPandas codec (real P6 decode→aHash)
+    "dedup_modality_overlap",  # block-NL quantized truth set (mapInPandas)
 }
 
 _PY_EVAL = re.compile(

@@ -26,6 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: label_propagation rounds beyond this switch from per-round persist
+#: (lazy, O(iterations) pinned node-sized frames until release_tracked)
+#: to the eager lineage-truncating local checkpoint with free= (peak
+#: retention = 1 generation, one bounded job per round) — ADVICE r13.
+LP_CHECKPOINT_AFTER = 8
+
 
 def connected_components(
     nodes: DataFrame,
@@ -253,7 +259,10 @@ def label_propagation(
     by the harness via ``cache.release_tracked``) because two consumers
     read it — the neighbor join and the self-vote union.
     """
-    from data_engineer_development_spark.cache import track_persist
+    from data_engineer_development_spark.cache import (
+        local_checkpoint_tracked,
+        track_persist,
+    )
 
     # the edge list is read every round, but an explicit persist measured
     # SLOWER at sf0.1 (9.6 vs 7.8 s min-of-3): the per-round subtrees are
@@ -283,12 +292,24 @@ def label_propagation(
         .distinct()
     )
     labels = universe.select("node", F.col("node").alias("lbl"))
-    # each round's persist stays pinned until the harness-level
-    # release_tracked() — O(iterations) node-sized cached frames, fine
-    # at fixed small round counts; for large iteration counts switch to
-    # cache.local_checkpoint_tracked with free= to keep peak cache at 1.
+    # Memory contract (ADVICE r13): at small fixed round counts each
+    # round's persist stays pinned until the harness-level
+    # release_tracked() — O(iterations) node-sized cached frames, and
+    # lazy evaluation means zero extra jobs. Past LP_CHECKPOINT_AFTER
+    # rounds that stacking becomes real memory pressure AND the plan
+    # grows O(iterations) deep, so the loop switches to the eager
+    # lineage-truncating local_checkpoint_tracked with free= (the BPE
+    # trainer's cadence discipline): peak retention is ONE label
+    # generation, at the cost of one bounded materialization job per
+    # round — the right trade exactly when iterations is large.
+    ckpt_handles: list = []
     for _ in range(iterations):
-        labels = track_persist(labels)
+        if iterations > LP_CHECKPOINT_AFTER:
+            labels, ckpt_handles = local_checkpoint_tracked(
+                labels, free=ckpt_handles
+            )
+        else:
+            labels = track_persist(labels)
         votes = (
             e.join(
                 labels.select(F.col("node").alias("src"), "lbl"), "src"

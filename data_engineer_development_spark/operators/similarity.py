@@ -383,10 +383,14 @@ def quantized_neardup_pairs(
     spark = vectors.sparkSession
     q = _with_quantized(vectors, id_col, vec_col).filter(F.col("qn") > 0)
     rows = q.select(id_col, "qv", "qn").collect()  # bounded: exactness baseline
-    assert len(rows) <= max_broadcast_rows, (
-        f"quantized_neardup_pairs is the O(N²) truth baseline; "
-        f"{len(rows)} vectors exceed the {max_broadcast_rows} ceiling"
-    )
+    if len(rows) > max_broadcast_rows:
+        # caller-facing contract, not an internal invariant: under
+        # `python -O` an assert strips and the oversized corpus would
+        # proceed into the O(N²) broadcast (ADVICE r12 #1 class)
+        raise ValueError(
+            f"quantized_neardup_pairs is the O(N²) truth baseline; "
+            f"{len(rows)} vectors exceed the {max_broadcast_rows} ceiling"
+        )
     if dims is None:
         dims = max((len(r["qv"]) for r in rows), default=0)
     rows = [r for r in rows if len(r["qv"]) == dims]
@@ -529,7 +533,10 @@ def _seed_codebook(
         cand.orderBy(id_col).limit(k_cells).collect(),
         key=lambda r: r[id_col],
     )
-    assert seed_rows, "semdedup: no usable codebook vectors"
+    if not seed_rows:
+        # caller-facing: an empty/zero-norm corpus is a data problem the
+        # caller must see even under `python -O` (ADVICE r12 #1 class)
+        raise ValueError("semdedup: no usable codebook vectors")
     if dims is None:
         dims = len(seed_rows[0]["qv"])
         seed_rows = [r for r in seed_rows if len(r["qv"]) == dims]

@@ -711,7 +711,10 @@ def combine_gate_tables(verdicts: DataFrame, id_col: str = "vec_id") -> DataFram
 # --------------------------------------------------------------------------
 # Streaming per-domain admission cap — the batch domain_cap rule moved to
 # ingest time: admit each source's documents FIRST-COME until the cap,
-# then reject, with O(1) keyed state (one admitted-count per source).
+# then reject, with O(1) keyed state (one SEEN-count per source — it
+# keeps incrementing past the cap so rk stays the source's global
+# arrival rank and admitted = rk < cap; capping the counter itself
+# would break rk for every post-cap row — ADVICE r13).
 # Note the deliberate semantic difference from the batch curation entry:
 # batch domain_cap selects in deterministic md5 order (a reproducible
 # SAMPLE of the over-filled source); the stream gate cannot see the
@@ -721,7 +724,8 @@ def combine_gate_tables(verdicts: DataFrame, id_col: str = "vec_id") -> DataFram
 # across batches the state count carries, so replays that preserve batch
 # boundaries reproduce verdicts exactly.
 # --------------------------------------------------------------------------
-DOMCAP_STATE_SCHEMA = StructType([StructField("admitted", LongType())])
+#: one int64 per source: rows SEEN so far (not admitted — see above)
+DOMCAP_STATE_SCHEMA = StructType([StructField("seen", LongType())])
 DOMCAP_OUTPUT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -245,3 +245,50 @@ def test_label_propagation_symmetrizes_and_covers_endpoints(spark):
         ).collect()
     }
     assert got2 == lbl
+
+
+def test_label_propagation_large_iterations_checkpoint_mode(spark):
+    """ADVICE r13: past LP_CHECKPOINT_AFTER rounds the loop must stop
+    stacking O(iterations) persisted label frames and switch to the
+    lineage-truncating local checkpoint with free= — peak retention ONE
+    generation. Pins both the answer (same python mirror as the 3-round
+    test, converged well before 9 rounds) and the retention contract
+    (exactly one tracked checkpoint generation, zero new tracked
+    persists beyond the operator's own label frames)."""
+    from collections import Counter
+
+    from data_engineer_development_spark import cache
+    from data_engineer_development_spark.operators.graph import (
+        LP_CHECKPOINT_AFTER,
+        label_propagation,
+    )
+
+    iters = LP_CHECKPOINT_AFTER + 1
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    cache.release_tracked()
+    n_df_before = len(cache._TRACKED)
+    got = {
+        r["node"]: r["lbl"]
+        for r in label_propagation(
+            nodes, edges, "id", "src", "dst", iterations=iters
+        ).collect()
+    }
+    # retention: one live checkpoint generation (superseded ones were
+    # freed via free= inside the loop), no per-round persists tracked
+    assert len(cache._TRACKED_RDDS) == 1
+    assert len(cache._TRACKED) == n_df_before
+    cache.release_tracked()
+
+    sym = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    universe = {1, 2, 3, 9}
+    lbl = {n: n for n in universe}
+    for _ in range(iters):
+        votes = {n: Counter([lbl[n]]) for n in universe}
+        for s, d in sym:
+            votes[d][lbl[s]] += 1
+        lbl = {
+            n: min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for n, c in votes.items()
+        }
+    assert got == lbl

@@ -598,7 +598,13 @@ _PY_EVAL = re.compile(
 #: INTERPRETED path (lambda bodies are excluded from subexpression
 #: elimination; measured 10× on the sf0.1 shingle explode). Filters over
 #: a bare attribute (``size(sh#123)``) are fine and not matched.
-_HOF_SIZE = re.compile(r"size\((?:if|transform|array_distinct)\s*\(")
+#: any lambda-bearing higher-order head (ADVICE r13: an inlined
+#: filter()/aggregate()/flatten()/zip_with() feeding the inferred size()
+#: guard is the same interpreted-per-row hazard as transform())
+_HOF_SIZE = re.compile(
+    r"size\((?:if|transform|array_distinct|filter|aggregate|flatten"
+    r"|zip_with|array_compact|slice)\s*\("
+)
 
 
 def _inlined_size_filter(plan: str) -> bool:

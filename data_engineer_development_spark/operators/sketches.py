@@ -31,7 +31,7 @@ the driver-mandated training-data extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_engineer_development_spark.functions.portable_hash import (
@@ -204,3 +204,111 @@ def cms_join_size(
         .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
     )
     return per_row.agg(F.min("_ip").alias(est_col))
+
+
+#: quantile-sketch default: 4096 equi-width bins → one-sided rank-query
+#: error under ceil(value span / 4096), with a bounded histogram shuffle.
+QUANTILE_BINS = 4096
+
+
+def _rank_targets(spark, probs: list[tuple[int, int]], stats: DataFrame):
+    """(p_num, p_den, k) per prob with k = ceil(p·n), 1-based — the
+    exact-rational rank definition both the estimate and the exact
+    selector share (and both engines reproduce: all operands are
+    non-negative, so Spark's truncating ``div`` equals DuckDB's
+    flooring ``//``). ``stats`` must carry ``_n`` (and is a 1-row
+    broadcast)."""
+    probs_df = spark.createDataFrame(list(probs), "p_num int, p_den int")
+    return probs_df.join(F.broadcast(stats)).select(
+        "p_num",
+        "p_den",
+        F.expr("(p_num * _n + p_den - 1) div p_den").alias("k"),
+        *[c for c in stats.columns if c != "_n"],
+    )
+
+
+def exact_quantiles(
+    vals: DataFrame,
+    value_col: str,
+    probs: list[tuple[int, int]],
+) -> DataFrame:
+    """Exact rank-selection quantiles, distributed: the value at
+    ascending 1-based rank ceil(p·n) for each exact-rational p —
+    computed WITHOUT a global sort of the input. Shape: one
+    value-keyed count aggregation (map-side combinable, |distinct
+    values| rows), the distributed exclusive prefix sum over the count
+    table (``ranking.with_global_cumsum``: range shuffle + narrow Arrow
+    local pass + P-row offsets broadcast — no input-sized window
+    anywhere), then per target rank the MIN value whose inclusive
+    cumulative count covers it (a ≤|probs|-row broadcast inequality
+    join). The classic two-phase distributed selection, composed from
+    the engine's existing scale shapes; integer-exact end to end, so
+    the result is hash-comparable cross-engine. Returns
+    (p_num, p_den, k, exact) — one row per prob."""
+    from data_engineer_development_spark.operators.ranking import (
+        with_global_cumsum,
+    )
+
+    spark = vals.sparkSession
+    tgt = _rank_targets(
+        spark, probs, vals.agg(F.count(F.lit(1)).alias("_n"))
+    )
+    cnt = vals.groupBy(F.col(value_col).alias("val")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = with_global_cumsum(cnt, "c", F.col("val").asc(), cum_col="_ex")
+    return (
+        cum.join(F.broadcast(tgt), F.col("_ex") + F.col("c") >= F.col("k"))
+        .groupBy("p_num", "p_den", "k")
+        .agg(F.min("val").alias("exact"))
+    )
+
+
+def histogram_quantile_estimate(
+    vals: DataFrame,
+    value_col: str,
+    probs: list[tuple[int, int]],
+    bins: int = QUANTILE_BINS,
+) -> DataFrame:
+    """One-sided histogram quantile estimate — the CMS discipline
+    applied to rank queries: bin = ((v − lo)·bins) div (hi − lo + 1)
+    (span + 1 keeps v = hi in the last bin), the ≤``bins``-counter
+    histogram caps every map task's shuffle regardless of input size,
+    the cumulative crossing runs over the BOUNDED histogram (an
+    unpartitioned window over ≤ bins rows — the range_partition_plan
+    class, never the raw input), and the estimate is the crossing
+    bin's maximum representable value: est ≥ exact ALWAYS (one-sided,
+    like CMS counts and Bloom membership) with
+    est − exact < ceil(span / bins). Integer arithmetic throughout;
+    non-negative operands make Spark's ``div`` equal DuckDB's ``//``.
+    Returns (p_num, p_den, k, est) — one row per prob."""
+    v = F.col(value_col)
+    stats = vals.agg(
+        F.min(v).alias("_lo"),
+        F.max(v).alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    binned = vals.join(F.broadcast(stats)).select(
+        F.expr(
+            f"least({bins} - 1, "
+            f"(({value_col} - _lo) * {bins}) div (_hi - _lo + 1))"
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    hcum = hist.withColumn("_cum", F.sum("c").over(wcum))
+    tgt = _rank_targets(vals.sparkSession, probs, stats)
+    return (
+        hcum.join(F.broadcast(tgt), F.col("_cum") >= F.col("k"))
+        .groupBy("p_num", "p_den", "k", "_lo", "_hi")
+        .agg(F.min("bin").alias("_bin"))
+        .select(
+            "p_num",
+            "p_den",
+            "k",
+            F.expr(
+                f"_lo + ((_bin + 1) * (_hi - _lo + 1) + {bins} - 1) "
+                f"div {bins} - 1"
+            ).alias("est"),
+        )
+    )

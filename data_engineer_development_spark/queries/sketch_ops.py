@@ -261,6 +261,99 @@ FROM ex, est
 """
 
 
+# --------------------------------------------------------------------------
+# Quantile sketch vs exact selection — STAGED for r15 registration
+# (VERDICT r13 #8's approx-percentile/exact pair): the histogram
+# quantile estimate (4096 equi-width bins — a bounded shuffle like the
+# CMS grid, crossing over the BOUNDED histogram only) graded per
+# percentile against the EXACT rank-selection value computed
+# distributed: value-keyed counts → the with_global_cumsum prefix sum
+# (range shuffle + narrow Arrow pass + P-row offsets, NO input-sized
+# window or global sort) → min value covering the target rank. Both
+# sides share the exact-rational rank k = ceil(p·n) and are pure
+# integer arithmetic, so est ≥ exact ALWAYS (one-sided, pinned in
+# tests) and the whole row set hash-matches cross-engine. Registration
+# must add the entry to _CARTESIAN_OK (1-row stats / ≤4-row target
+# broadcasts), _UNPARTITIONED_WINDOW_OK (≤4096-bin histogram crossing +
+# the prefix sum's 32-row offsets) and _ARROW_KERNEL_OK (the prefix
+# sum's narrow local pass) in tests/test_plans.py.
+# --------------------------------------------------------------------------
+_QSK_PROBS = [(1, 4), (1, 2), (3, 4), (19, 20)]
+_QSK_BINS = 4096
+
+
+def q_quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators.sketches import (
+        exact_quantiles,
+        histogram_quantile_estimate,
+    )
+
+    # ROUND(x*100) — the family's exact integer-cents idiom (identical
+    # in both engines; a bare double→long cast truncates in Spark but
+    # rounds in DuckDB — one-cent divergence, caught at staging)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    est = histogram_quantile_estimate(li, "cents", _QSK_PROBS, _QSK_BINS)
+    ex = exact_quantiles(li, "cents", _QSK_PROBS)
+    return (
+        est.join(ex, ["p_num", "p_den", "k"])
+        .select(
+            "p_num",
+            "p_den",
+            F.col("k").alias("target_rank"),
+            F.col("exact").alias("exact_cents"),
+            F.col("est").alias("est_cents"),
+            (F.col("est") - F.col("exact")).alias("overestimate"),
+        )
+        .orderBy("p_num", "p_den")
+    )
+
+
+def _quantile_sketch_sql(
+    probs: list[tuple[int, int]] = _QSK_PROBS, bins: int = _QSK_BINS
+) -> str:
+    vals = ", ".join(f"({n}, {d})" for n, d in probs)
+    return f"""
+WITH v AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+s AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n FROM v),
+p(p_num, p_den) AS (VALUES {vals}),
+t AS (SELECT p_num, p_den, (p_num * n + p_den - 1) // p_den AS k, lo, hi
+      FROM p, s),
+b AS (SELECT LEAST({bins} - 1,
+                   ((cents - lo) * {bins}) // (hi - lo + 1)) AS bin
+      FROM v, s),
+h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
+hc AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM h),
+crossing AS (SELECT t.p_num, t.p_den, t.k, t.lo, t.hi,
+                    MIN(hc.bin) AS bin
+             FROM hc JOIN t ON hc.cum >= t.k
+             GROUP BY t.p_num, t.p_den, t.k, t.lo, t.hi),
+est AS (SELECT p_num, p_den, k,
+               lo + ((bin + 1) * (hi - lo + 1) + {bins} - 1)
+                    // {bins} - 1 AS est
+        FROM crossing),
+cnt AS (SELECT cents AS val, COUNT(*) AS c FROM v GROUP BY cents),
+cc AS (SELECT val, c,
+              COALESCE(SUM(c) OVER (ORDER BY val
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS ex
+       FROM cnt),
+exact AS (SELECT t.p_num, t.p_den, t.k, MIN(cc.val) AS exact
+          FROM cc JOIN t ON cc.ex + cc.c >= t.k
+          GROUP BY t.p_num, t.p_den, t.k)
+SELECT e.p_num, e.p_den, CAST(e.k AS BIGINT) AS target_rank,
+       CAST(x.exact AS BIGINT) AS exact_cents,
+       CAST(e.est AS BIGINT) AS est_cents,
+       CAST(e.est - x.exact AS BIGINT) AS overestimate
+FROM est e JOIN exact x
+  ON e.p_num = x.p_num AND e.p_den = x.p_den AND e.k = x.k
+ORDER BY e.p_num, e.p_den
+"""
+
+
 # REGISTERED r14 (staged r13 with tri-SF + ANSI-on parity per the
 # COVERAGE.md inventory discipline; VERDICT r13 #1 leads with these —
 # the genuinely 100 TB-shaped constant-size-shuffle sketches).

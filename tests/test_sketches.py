@@ -171,3 +171,100 @@ def test_cms_join_size_exact_when_no_collisions(spark):
     # 4 distinct keys x 4 rows in a 512-wide grid: all-rows collision
     # probability ~1e-9 per pair, and the grid is deterministic.
     assert est["est_rows"] == 5
+
+
+def test_quantile_sketch_eval_oracle_parity(spark):
+    """Staged r14 (VERDICT r13 #8's approx/exact percentile pair):
+    hash-exact parity at both fixture SFs — the whole row set is
+    integer arithmetic on ROUND(x*100) cents."""
+    from data_engineer_development_spark.queries.sketch_ops import (
+        _quantile_sketch_sql,
+        q_quantile_sketch_eval,
+    )
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark,
+            sf_dir,
+            "quantile_sketch_eval",
+            q_quantile_sketch_eval,
+            _quantile_sketch_sql(),
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+
+def test_quantile_exact_matches_sorted_selection(spark):
+    """exact_quantiles == value at 1-based rank ceil(p*n) of the sorted
+    multiset — crafted input with duplicates and n not divisible by any
+    denominator, so every ceil actually rounds."""
+    from data_engineer_development_spark.operators.sketches import (
+        exact_quantiles,
+    )
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]  # n = 11, dups
+    probs = [(1, 4), (1, 2), (3, 4), (19, 20)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        (r["p_num"], r["p_den"]): (r["k"], r["exact"])
+        for r in exact_quantiles(df, "v", probs).collect()
+    }
+    s = sorted(vals)
+    for num, den in probs:
+        k = -(-num * len(vals) // den)  # ceil
+        assert got[(num, den)] == (k, s[k - 1]), (num, den)
+
+
+def test_quantile_estimate_one_sided_and_bounded(spark):
+    """est >= exact always (the family's one-sided discipline) and the
+    overestimate is under one bin width; a degenerate single-value
+    input collapses both sides to that value."""
+    from data_engineer_development_spark.operators.sketches import (
+        exact_quantiles,
+        histogram_quantile_estimate,
+    )
+    from data_engineer_development_spark.queries.sketch_ops import (
+        q_quantile_sketch_eval,
+    )
+
+    rows = q_quantile_sketch_eval(spark, SF_CORRECT).collect()
+    assert len(rows) == 4
+    lo_hi = None
+    for r in rows:
+        assert r["overestimate"] >= 0
+        assert r["est_cents"] == r["exact_cents"] + r["overestimate"]
+    # bin width bound: span/bins rounded up, recomputed from the data
+    from data_engineer_development_spark.sources import load_table
+    from pyspark.sql import functions as F  # noqa: F811 — local alias
+
+    cents = load_table(spark, SF_CORRECT, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    b = cents.agg(F.min("c").alias("lo"), F.max("c").alias("hi")).collect()[0]
+    width = -(-(b["hi"] - b["lo"] + 1) // 4096)
+    for r in rows:
+        assert r["overestimate"] <= width
+
+    one = spark.createDataFrame([(7,)] * 5, "v long")
+    est = histogram_quantile_estimate(one, "v", [(1, 2)]).collect()[0]
+    exa = exact_quantiles(one, "v", [(1, 2)]).collect()[0]
+    assert est["est"] == exa["exact"] == 7
+
+
+def test_quantile_estimate_broadcasts_controls_and_stays_narrow(spark):
+    """Plan shape: the 1-row stats and <=4-row rank targets ride
+    broadcasts, the exact side's prefix sum runs its narrow Arrow local
+    pass, and no sort of the raw input appears anywhere (distributed
+    selection is the point)."""
+    from data_engineer_development_spark.queries.sketch_ops import (
+        q_quantile_sketch_eval,
+    )
+
+    plan = (
+        q_quantile_sketch_eval(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # bounded control-side joins
+    assert "MapInPandas" in plan  # with_global_cumsum's narrow local pass

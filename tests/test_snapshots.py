@@ -1,0 +1,90 @@
+"""Versioned snapshot log (operators/snapshots.py) — file-level time
+travel semantics, and the staged time_travel_read query's oracle parity."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from conftest import SF_CORRECT, SF_SMOKE
+
+
+def _base() -> str:
+    return os.path.join(tempfile.gettempdir(), f"snap-{uuid.uuid4().hex}")
+
+
+def test_time_travel_read_oracle_parity(spark):
+    """Staged r14 (VERDICT r13 #8's snapshot/time-travel reads):
+    hash-exact parity at both fixture SFs — per-version summaries equal
+    the closed-form slices of the source table, including the v2
+    compaction row (file set changed, logical rows didn't)."""
+    from data_engineer_development_spark.queries.warehouse_ops import (
+        _TIME_TRAVEL_SQL,
+        q_time_travel_read,
+    )
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark,
+            sf_dir,
+            "time_travel_read",
+            q_time_travel_read,
+            _TIME_TRAVEL_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+
+def test_snapshot_add_remove_and_asof_semantics(spark):
+    """A version's reader set is adds<=V minus removes<=V; historical
+    reads keep answering after later versions remove their files; the
+    pre-history read and the empty commit raise named errors."""
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        live_files,
+        read_asof,
+    )
+
+    base = _base()
+    try:
+        a = spark.createDataFrame([(1,), (2,)], "x long")
+        b = spark.createDataFrame([(3,)], "x long")
+        append_snapshot(spark, base, 1, {"a": a})
+        append_snapshot(spark, base, 2, {"b": b}, removes=["a"])
+        assert live_files(spark, base, 1) == ["a"]
+        assert live_files(spark, base, 2) == ["b"]
+        v1 = sorted(r["x"] for r in read_asof(spark, base, 1).collect())
+        v2 = sorted(r["x"] for r in read_asof(spark, base, 2).collect())
+        assert v1 == [1, 2]  # still readable AFTER version 2 removed 'a'
+        assert v2 == [3]
+        # a version number past the log reads the latest state
+        assert sorted(
+            r["x"] for r in read_asof(spark, base, 99).collect()
+        ) == [3]
+        with pytest.raises(ValueError, match="no live files"):
+            read_asof(spark, base, 0)
+        with pytest.raises(ValueError, match="empty version"):
+            append_snapshot(spark, base, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_snapshot_file_ids_are_immutable(spark):
+    """Re-using a file_id must fail loudly at write time (mode 'error')
+    — immutability is what makes every historical version's file set a
+    frozen, consistent snapshot."""
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+    )
+
+    base = _base()
+    try:
+        df = spark.createDataFrame([(1,)], "x long")
+        append_snapshot(spark, base, 1, {"f": df})
+        with pytest.raises(Exception, match="already exists|LOCATION_ALREADY"):
+            append_snapshot(spark, base, 2, {"f": df})
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -32,8 +32,12 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG_SCHEMA = "version long, action string, file_id string"
+
+#: the single column every deletion-vector file carries
+_DV_COL = "_dv_key"
 
 
 def append_snapshot(
@@ -71,30 +75,89 @@ def snapshot_log(spark: SparkSession, base_dir: str) -> DataFrame:
     )
 
 
-def live_files(spark: SparkSession, base_dir: str, version: int) -> list[str]:
-    """File ids live at ``version``: added at or before it and not
-    removed at or before it (ids are never re-added, so set difference
-    is the full semantics). Bounded driver read — one row per file
-    ACTION ever taken, the manifest scale."""
-    acts = (
+def _actions(spark: SparkSession, base_dir: str, version: int) -> list:
+    """Log rows at or before ``version`` — the module's ONLY driver
+    materialization: one row per file ACTION ever taken, the manifest
+    scale (tests/test_collect_audit.py)."""
+    return (
         snapshot_log(spark, base_dir)
         .filter(f"version <= {int(version)}")
         .collect()  # bounded: metadata-scale manifest (one row per file action)
     )
+
+
+def live_files(spark: SparkSession, base_dir: str, version: int) -> list[str]:
+    """File ids live at ``version``: added at or before it and not
+    removed at or before it (ids are never re-added, so set difference
+    is the full semantics)."""
+    acts = _actions(spark, base_dir, version)
     added = {r["file_id"] for r in acts if r["action"] == "add"}
     removed = {r["file_id"] for r in acts if r["action"] == "remove"}
     return sorted(added - removed)
 
 
-def read_asof(spark: SparkSession, base_dir: str, version: int) -> DataFrame:
+def append_deletion_vector(
+    spark: SparkSession,
+    base_dir: str,
+    version: int,
+    file_id: str,
+    keys: DataFrame,
+    key_col: str,
+) -> None:
+    """Row-level delete WITHOUT rewriting the data file (the Delta/
+    Iceberg deletion-vector idea): persist the deleted keys as their own
+    immutable file ``dv/<file_id>@<version>`` and log a ``dv`` action.
+    Readers at or past ``version`` anti-join the file's accumulated
+    vectors; readers BEFORE it still see every row — deletes are as
+    time-travelable as adds. The vector is key-count-sized, so deleting
+    0.1% of a TB-scale file costs MBs, not a file rewrite."""
+    keys.select(F.col(key_col).alias(_DV_COL)).write.mode("error").parquet(
+        os.path.join(base_dir, "dv", f"{file_id}@{version}")
+    )
+    spark.createDataFrame(
+        [(version, "dv", file_id)], _LOG_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(
+        os.path.join(base_dir, "_log")
+    )
+
+
+def read_asof(
+    spark: SparkSession,
+    base_dir: str,
+    version: int,
+    dv_key: str | None = None,
+) -> DataFrame:
     """The table AS OF ``version`` — a parquet read of exactly the live
-    files; no data is copied or rewritten for any historical read."""
-    files = live_files(spark, base_dir, version)
+    files minus rows deleted by the live files' deletion vectors at or
+    before ``version``; no data is copied or rewritten for any
+    historical read. ``dv_key`` names the column the vectors key on and
+    is REQUIRED the moment any applicable ``dv`` action exists (a
+    reader silently ignoring deletes would resurrect rows)."""
+    acts = _actions(spark, base_dir, version)
+    added = {r["file_id"] for r in acts if r["action"] == "add"}
+    removed = {r["file_id"] for r in acts if r["action"] == "remove"}
+    files = sorted(added - removed)
     if not files:
         raise ValueError(
             f"read_asof: no live files at or before version {version} — "
             "nothing was ever committed there"
         )
-    return spark.read.parquet(
+    df = spark.read.parquet(
         *[os.path.join(base_dir, "data", f) for f in files]
+    )
+    dvs = [
+        os.path.join(base_dir, "dv", f"{r['file_id']}@{r['version']}")
+        for r in acts
+        if r["action"] == "dv" and r["file_id"] in added - removed
+    ]
+    if not dvs:
+        return df
+    if dv_key is None:
+        raise ValueError(
+            "read_asof: deletion vectors apply at this version — pass "
+            "dv_key so deleted rows are filtered, not resurrected"
+        )
+    keys = spark.read.parquet(*sorted(dvs)).distinct()
+    return df.join(
+        keys, df[dv_key] == keys[_DV_COL], "left_anti"
     )

@@ -198,6 +198,93 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# MinHash estimator error audit — STAGED for r15 registration: per banded
+# LSH candidate pair, the MinHash Jaccard ESTIMATE (matching signature
+# slots / NUM_PERM — the quantity the sketch is FOR; lsh_candidate_recall
+# grades candidate RECALL, this grades the estimator itself) next to the
+# exact shingle-set Jaccard, with the absolute error. All divisions are
+# single IEEE ops on exact ints (bit-identical cross-engine); a candidate
+# pair sharing a band but zero shingles scores jaccard 0 via the left
+# join, not a dropped row. Bounded by the candidate set — the pair work
+# LSH already capped.
+# --------------------------------------------------------------------------
+def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = track_persist(_docs_with_shingles(spark, sf_dir))
+    sigs = track_persist(
+        D.minhash_signatures(docs, "doc_id", "sh", NUM_PERM)
+    )
+    cands = D.lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS)
+    a = sigs.select(
+        F.col("doc_id").alias("id1"),
+        *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(NUM_PERM)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(NUM_PERM)],
+    )
+    n_match = None
+    for i in range(NUM_PERM):
+        t = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        n_match = t if n_match is None else n_match + t
+    s1 = docs.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+    s2 = docs.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+    return (
+        cands.join(a, "id1")
+        .join(b, "id2")
+        .withColumn("n_match", n_match)
+        .join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("c", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double")
+            / (F.size("sh1") + F.size("sh2") - F.col("c")).cast("double"),
+        )
+        .withColumn(
+            "est_jaccard",
+            F.col("n_match").cast("double") / F.lit(float(NUM_PERM)),
+        )
+        .select(
+            "id1",
+            "id2",
+            "n_match",
+            "est_jaccard",
+            "jaccard",
+            F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("abs_err"),
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+def _minhash_est_error_sql() -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_PERM)
+    )
+    return f"""
+WITH {_DUCK_SHINGLES},
+{duck_lsh_cand_cte()},
+nm AS (SELECT c.id1, c.id2, CAST({match_sum} AS INT) AS n_match
+       FROM cand c JOIN sigs a ON a.doc_id = c.id1
+                   JOIN sigs b ON b.doc_id = c.id2),
+p AS (SELECT doc_id, unnest(sh) AS sg, len(sh) AS n FROM s),
+i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c,
+             any_value(a.n) AS n1, any_value(b.n) AS n2
+      FROM p a JOIN p b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+x AS (SELECT nm.id1, nm.id2, nm.n_match,
+             COALESCE(CAST(i.c AS DOUBLE)
+                      / CAST(i.n1 + i.n2 - i.c AS DOUBLE), 0.0) AS jaccard
+      FROM nm LEFT JOIN i ON i.id1 = nm.id1 AND i.id2 = nm.id2)
+SELECT id1, id2, n_match,
+       CAST(n_match AS DOUBLE) / {NUM_PERM} AS est_jaccard,
+       jaccard,
+       ABS(CAST(n_match AS DOUBLE) / {NUM_PERM} - jaccard) AS abs_err
+FROM x ORDER BY id1, id2
+"""
+
+
 def duck_lsh_cand_cte() -> str:
     """DuckDB CTE fragment (depends on CTE ``s`` from _DUCK_SHINGLES)
     ending in ``cand(id1, id2)`` — the banded MinHash-LSH candidate pairs.

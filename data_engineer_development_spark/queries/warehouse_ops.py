@@ -863,6 +863,70 @@ GROUP BY v.version ORDER BY v.version
 """
 
 
+# --------------------------------------------------------------------------
+# Deletion-vector reads — STAGED for r15 registration (the row-level
+# companion to time_travel_read): one data file holds every order; v2
+# and v3 each DELETE a key slice by appending a key-count-sized vector
+# (operators/snapshots.append_deletion_vector) — the file is never
+# rewritten, deleting 0.1% of a TB-scale file costs MBs. The reader
+# anti-joins the accumulated vectors at or before the requested
+# version, so deletes time-travel exactly like adds: v1 still sees
+# every row AFTER v3 committed. Per-version summaries equal closed-form
+# slices of the source (o_orderkey % 10 >= version - 1).
+# --------------------------------------------------------------------------
+def q_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_engineer_development_spark.functions import dsum
+    from data_engineer_development_spark.operators.snapshots import (
+        append_deletion_vector,
+        append_snapshot,
+        read_asof,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    m = F.col("o_orderkey") % 10
+    base = os.path.join(tempfile.gettempdir(), f"dvr-{uuid.uuid4().hex}")
+    try:
+        append_snapshot(spark, base, 1, {"all": orders})
+        for v, slot in ((2, 0), (3, 1)):
+            append_deletion_vector(
+                spark, base, v, "all",
+                orders.filter(m == slot).select("o_orderkey"),
+                "o_orderkey",
+            )
+        per_version = [
+            read_asof(spark, base, v, dv_key="o_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("o_totalprice", "revenue"),
+            )
+            .select(F.lit(v).alias("version"), "n_rows", "revenue")
+            for v in (1, 2, 3)
+        ]
+        out = per_version[0]
+        for df in per_version[1:]:
+            out = out.unionByName(df)
+        # materialize BEFORE the landing dir vanishes
+        return out.orderBy("version").localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_DELETION_VECTOR_SQL = """
+WITH v(version) AS (VALUES (1), (2), (3))
+SELECT v.version, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+FROM orders JOIN v ON o_orderkey % 10 >= v.version - 1
+GROUP BY v.version ORDER BY v.version
+"""
+
+
 QUERIES = {
     "incremental_agg": q_incremental_agg,
     "scd2_customer_merge": q_scd2_customer_merge,

@@ -1142,3 +1142,36 @@ def test_bm25_topk_parity_mirror_and_plan(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_minhash_est_error_parity_and_banding_floor(spark):
+    """Staged r14: the MinHash estimator audit hash-matches its oracle at
+    both fixture SFs, and its invariants hold — every banded candidate
+    matches at least one full band of signature slots (NUM_PERM/BANDS),
+    the estimate is n_match/NUM_PERM exactly, and abs_err is consistent
+    with the pair's exact Jaccard."""
+    from tests.conftest import SF_SMOKE
+
+    from data_engineer_development_spark.queries.dedup import (
+        BANDS,
+        NUM_PERM,
+        _minhash_est_error_sql,
+        q_minhash_est_error,
+    )
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark,
+            sf_dir,
+            "minhash_est_error",
+            q_minhash_est_error,
+            _minhash_est_error_sql(),
+        )
+        assert ok, f"{sf_dir}: {msg}"
+    rows = q_minhash_est_error(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r["n_match"] >= NUM_PERM // BANDS  # shared band ⇒ floor
+        assert r["est_jaccard"] == r["n_match"] / NUM_PERM
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["jaccard"])) == 0

@@ -88,3 +88,55 @@ def test_snapshot_file_ids_are_immutable(spark):
             append_snapshot(spark, base, 2, {"f": df})
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_deletion_vector_read_oracle_parity(spark):
+    """Staged r14: per-version summaries under accumulated row-level
+    deletion vectors equal closed-form slices of the source at both
+    fixture SFs."""
+    from data_engineer_development_spark.queries.warehouse_ops import (
+        _DELETION_VECTOR_SQL,
+        q_deletion_vector_read,
+    )
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark,
+            sf_dir,
+            "deletion_vector_read",
+            q_deletion_vector_read,
+            _DELETION_VECTOR_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+
+
+def test_deletion_vectors_time_travel_and_require_key(spark):
+    """Deletes are versioned like adds: a v1 reader sees every row AFTER
+    later versions deleted some; a reader that would hit applicable
+    vectors without naming dv_key fails loudly instead of resurrecting
+    deleted rows; deleted keys are actually absent."""
+    import pytest as _pytest
+
+    from data_engineer_development_spark.operators.snapshots import (
+        append_deletion_vector,
+        append_snapshot,
+        read_asof,
+    )
+
+    base = _base()
+    try:
+        df = spark.createDataFrame([(i,) for i in range(10)], "x long")
+        append_snapshot(spark, base, 1, {"f": df})
+        dels = spark.createDataFrame([(2,), (5,)], "x long")
+        append_deletion_vector(spark, base, 2, "f", dels, "x")
+        v1 = sorted(r["x"] for r in read_asof(spark, base, 1).collect())
+        assert v1 == list(range(10))  # pre-delete version intact
+        v2 = sorted(
+            r["x"] for r in read_asof(spark, base, 2, dv_key="x").collect()
+        )
+        assert v2 == [0, 1, 3, 4, 6, 7, 8, 9]
+        with _pytest.raises(ValueError, match="dv_key"):
+            read_asof(spark, base, 2)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

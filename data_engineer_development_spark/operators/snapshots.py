@@ -96,6 +96,49 @@ def live_files(spark: SparkSession, base_dir: str, version: int) -> list[str]:
     return sorted(added - removed)
 
 
+def expire_versions(
+    spark: SparkSession,
+    base_dir: str,
+    floor_version: int,
+    delete: bool = True,
+) -> list[str]:
+    """Retention VACUUM (the Iceberg expire-snapshots move): once the
+    table owner promises no reader will ask for a version BELOW
+    ``floor_version``, every file whose remove action sits at or before
+    the floor is unreachable from any version ≥ floor (live(v ≥ F)
+    requires remove > v ≥ F) and can be physically dropped — along with
+    its deletion vectors, which are moot once the file is gone. Returns
+    the dropped file ids (``delete=False`` = dry-run plan, the
+    compaction_plan shape). Reads at versions ≥ floor are untouched —
+    pinned by test; reads below the floor become invalid, which is the
+    meaning of retention. The log keeps its rows: history METADATA
+    stays auditable after the bytes are gone."""
+    import shutil
+
+    acts = _actions(spark, base_dir, 2**62)
+    dead = sorted(
+        {
+            r["file_id"]
+            for r in acts
+            if r["action"] == "remove" and r["version"] <= floor_version
+        }
+    )
+    if delete:
+        for fid in dead:
+            shutil.rmtree(
+                os.path.join(base_dir, "data", fid), ignore_errors=True
+            )
+        for r in acts:
+            if r["action"] == "dv" and r["file_id"] in set(dead):
+                shutil.rmtree(
+                    os.path.join(
+                        base_dir, "dv", f"{r['file_id']}@{r['version']}"
+                    ),
+                    ignore_errors=True,
+                )
+    return dead
+
+
 def append_deletion_vector(
     spark: SparkSession,
     base_dir: str,

@@ -207,6 +207,66 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# K-fold split balance audit — STAGED for r15 registration: the
+# cross-validation companion to split_leakage_audit (which audits
+# LEAKAGE of a 2-way split; this audits BALANCE of a K-way one). Folds
+# are the deterministic portable-hash assignment md5(doc_id) % K —
+# reproducible on any engine, no RNG state to ship — and the output is
+# each (fold, lang) cell's document/char mass plus its per-mille share
+# of the language (integer div) and the deviation from the ideal
+# 1000/K. A skewed cell here means per-fold eval metrics aren't
+# comparable — the thing to read BEFORE trusting k-fold numbers. One
+# (fold, lang) shuffle + one (lang) shuffle, both map-side combinable;
+# the |langs|-row totals broadcast.
+# --------------------------------------------------------------------------
+_KFOLD_K = 5
+
+
+def q_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = spark_md5_int("cast(doc_id as string)")
+    d = docs.select(
+        F.expr(f"{h} % {_KFOLD_K}").alias("fold"), "lang", "n_chars"
+    )
+    per = d.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    tot = d.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_total"))
+    ideal = 1000 // _KFOLD_K
+    return (
+        per.join(F.broadcast(tot), "lang")
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            "n_chars",
+            F.expr("n_docs * 1000 div lang_total").alias("share_milli"),
+            F.expr(
+                f"abs(n_docs * 1000 div lang_total - {ideal})"
+            ).alias("dev_milli"),
+        )
+        .orderBy("fold", "lang")
+    )
+
+
+_KFOLD_SQL = f"""
+WITH d AS (SELECT {duck_md5_int('CAST(doc_id AS VARCHAR)')} % {_KFOLD_K}
+                  AS fold, lang, n_chars
+           FROM documents),
+per AS (SELECT fold, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM d GROUP BY fold, lang),
+tot AS (SELECT lang, COUNT(*) AS lang_total FROM d GROUP BY lang)
+SELECT per.fold, per.lang, per.n_docs, per.n_chars,
+       per.n_docs * 1000 // tot.lang_total AS share_milli,
+       ABS(per.n_docs * 1000 // tot.lang_total - {1000 // _KFOLD_K})
+         AS dev_milli
+FROM per JOIN tot USING (lang) ORDER BY per.fold, per.lang
+"""
+
+
 QUERIES = {
     "sample_hash_bucket": q_sample_hash_bucket,
     "stratified_sample": q_stratified_sample,

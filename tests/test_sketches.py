@@ -268,3 +268,45 @@ def test_quantile_estimate_broadcasts_controls_and_stays_narrow(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan  # bounded control-side joins
     assert "MapInPandas" in plan  # with_global_cumsum's narrow local pass
+
+
+def test_kfold_balance_parity_and_partitioning(spark):
+    """Staged r14: the k-fold balance audit hash-matches its oracle at
+    both fixture SFs, cells partition each language exactly, and the
+    per-mille shares are the integer-div of the cell over the language
+    total."""
+    from data_engineer_development_spark.queries.sampling import (
+        _KFOLD_K,
+        _KFOLD_SQL,
+        q_kfold_balance,
+    )
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark, sf_dir, "kfold_balance", q_kfold_balance, _KFOLD_SQL
+        )
+        assert ok, f"{sf_dir}: {msg}"
+    rows = q_kfold_balance(spark, SF_CORRECT).collect()
+    assert {r["fold"] for r in rows} <= set(range(_KFOLD_K))
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], 0)
+        by_lang[r["lang"]] += r["n_docs"]
+        assert r["share_milli"] == r["n_docs"] * 1000 // by_lang_total(
+            rows, r["lang"]
+        )
+    from data_engineer_development_spark.sources import load_table
+
+    lang_tot = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_lang == lang_tot  # folds partition every language
+
+
+def by_lang_total(rows, lang):
+    return sum(r["n_docs"] for r in rows if r["lang"] == lang)

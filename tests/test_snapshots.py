@@ -140,3 +140,39 @@ def test_deletion_vectors_time_travel_and_require_key(spark):
             read_asof(spark, base, 2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_expire_versions_drops_only_pre_floor_removed_files(spark):
+    """VACUUM: files removed at or before the floor are physically
+    dropped (with their deletion vectors); reads at or past the floor
+    are untouched; a dry-run plan deletes nothing."""
+    import os
+
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        expire_versions,
+        read_asof,
+    )
+
+    base = _base()
+    try:
+        a = spark.createDataFrame([(1,)], "x long")
+        b = spark.createDataFrame([(2,)], "x long")
+        c = spark.createDataFrame([(3,)], "x long")
+        append_snapshot(spark, base, 1, {"a": a})
+        append_snapshot(spark, base, 2, {"b": b}, removes=["a"])
+        append_snapshot(spark, base, 3, {"c": c})
+        plan = expire_versions(spark, base, 2, delete=False)
+        assert plan == ["a"]
+        assert os.path.exists(os.path.join(base, "data", "a"))  # dry run
+        dropped = expire_versions(spark, base, 2)
+        assert dropped == ["a"]
+        assert not os.path.exists(os.path.join(base, "data", "a"))
+        # reads at/past the floor untouched: v2 = {b}, v3 = {b, c}
+        assert sorted(
+            r["x"] for r in read_asof(spark, base, 3).collect()
+        ) == [2, 3]
+        # 'b' removed at no version, 'c' never removed: nothing else dies
+        assert expire_versions(spark, base, 3) == ["a"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

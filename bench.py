@@ -55,7 +55,12 @@ def main() -> None:
     # valve: repeats stop early if the whole bench nears it, and the emitted
     # JSON records the per-query run count so a degraded run is visible.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
+    # 900 s sufficed through the 173-entry registry; at 193 entries a
+    # min-of-3 sweep runs ~750 s of query wall plus per-query GC/cache
+    # hygiene, so 900 s degraded the tail to min_runs=1 (r14 — degraded
+    # runs are not comparable round-over-round). 2400 s keeps the valve
+    # a true safety net, not the common case.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400"))
     start = time.perf_counter()
     timings: dict[str, float] = {}
     runs_done: dict[str, int] = {}

@@ -53,13 +53,15 @@ def get_spark(
         # compiles thousands of generated classes); once full, silent
         # cold-code flushing + recompile churn inflates late queries 1.5-2x
         # (measured: the bench's alphabetical tail drifted while the same
-        # queries ran at anchor in a fresh JVM). 512 MB is the Spark-dev
-        # recommended size; harmless when unused (reserved, not committed).
+        # queries ran at anchor in a fresh JVM). 512 MB was the Spark-dev
+        # recommended size at a 155-entry registry; at 193 entries x
+        # min-of-3 the sweep compiles ~25% more generated classes, so
+        # reserve 768 MB — harmless when unused (reserved, not committed).
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-                "-XX:ReservedCodeCacheSize=512m",
+                "-XX:ReservedCodeCacheSize=768m",
             ),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

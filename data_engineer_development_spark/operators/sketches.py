@@ -231,6 +231,7 @@ def exact_quantiles(
     vals: DataFrame,
     value_col: str,
     probs: list[tuple[int, int]],
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Exact rank-selection quantiles, distributed: the value at
     ascending 1-based rank ceil(p·n) for each exact-rational p —
@@ -243,16 +244,19 @@ def exact_quantiles(
     cumulative count covers it (a ≤|probs|-row broadcast inequality
     join). The classic two-phase distributed selection, composed from
     the engine's existing scale shapes; integer-exact end to end, so
-    the result is hash-comparable cross-engine. Returns
-    (p_num, p_den, k, exact) — one row per prob."""
+    the result is hash-comparable cross-engine. ``stats`` optionally
+    shares a precomputed 1-row frame carrying ``_n`` (e.g. the
+    histogram estimate's (_lo, _hi, _n)) so a paired eval scans the
+    input once for controls. Returns (p_num, p_den, k, exact) — one
+    row per prob."""
     from data_engineer_development_spark.operators.ranking import (
         with_global_cumsum,
     )
 
     spark = vals.sparkSession
-    tgt = _rank_targets(
-        spark, probs, vals.agg(F.count(F.lit(1)).alias("_n"))
-    )
+    if stats is None:
+        stats = vals.agg(F.count(F.lit(1)).alias("_n"))
+    tgt = _rank_targets(spark, probs, stats).select("p_num", "p_den", "k")
     cnt = vals.groupBy(F.col(value_col).alias("val")).agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -269,29 +273,38 @@ def histogram_quantile_estimate(
     value_col: str,
     probs: list[tuple[int, int]],
     bins: int = QUANTILE_BINS,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """One-sided histogram quantile estimate — the CMS discipline
-    applied to rank queries: bin = ((v − lo)·bins) div (hi − lo + 1)
-    (span + 1 keeps v = hi in the last bin), the ≤``bins``-counter
-    histogram caps every map task's shuffle regardless of input size,
-    the cumulative crossing runs over the BOUNDED histogram (an
-    unpartitioned window over ≤ bins rows — the range_partition_plan
-    class, never the raw input), and the estimate is the crossing
-    bin's maximum representable value: est ≥ exact ALWAYS (one-sided,
-    like CMS counts and Bloom membership) with
-    est − exact < ceil(span / bins). Integer arithmetic throughout;
-    non-negative operands make Spark's ``div`` equal DuckDB's ``//``.
-    Returns (p_num, p_den, k, est) — one row per prob."""
+    applied to rank queries: bin width = ceil(span / bins) with
+    span = hi − lo + 1, bin = (v − lo) div width — DIVISION-FIRST on
+    purpose: the naive ``(v − lo)·bins`` numerator overflows int64 for
+    spans past 2^63/bins (e.g. nanosecond epochs), wrapping negative in
+    non-ANSI Spark while DuckDB raises (review r14); ``v − lo ≤ span``
+    can't overflow and ``(bin + 1)·width ≤ span + bins`` stays safe for
+    any int64 span. The ≤``bins``-counter histogram caps every map
+    task's shuffle regardless of input size, the cumulative crossing
+    runs over the BOUNDED histogram (an unpartitioned window over
+    ≤ bins rows — the range_partition_plan class, never the raw input),
+    and the estimate is the crossing bin's maximum representable value:
+    est ≥ exact ALWAYS (one-sided, like CMS counts and Bloom
+    membership) with est − exact < width = ceil(span / bins). Integer
+    arithmetic throughout; non-negative operands make Spark's ``div``
+    equal DuckDB's ``//``. ``stats`` optionally shares a precomputed
+    1-row (_lo, _hi, _n) frame with :func:`exact_quantiles` so a paired
+    eval scans the input once for controls. Returns
+    (p_num, p_den, k, est) — one row per prob."""
     v = F.col(value_col)
-    stats = vals.agg(
-        F.min(v).alias("_lo"),
-        F.max(v).alias("_hi"),
-        F.count(F.lit(1)).alias("_n"),
-    )
+    if stats is None:
+        stats = vals.agg(
+            F.min(v).alias("_lo"),
+            F.max(v).alias("_hi"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    width = f"((_hi - _lo + {bins}) div {bins})"
     binned = vals.join(F.broadcast(stats)).select(
         F.expr(
-            f"least({bins} - 1, "
-            f"(({value_col} - _lo) * {bins}) div (_hi - _lo + 1))"
+            f"least({bins} - 1, ({value_col} - _lo) div {width})"
         ).alias("bin")
     )
     hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
@@ -306,9 +319,6 @@ def histogram_quantile_estimate(
             "p_num",
             "p_den",
             "k",
-            F.expr(
-                f"_lo + ((_bin + 1) * (_hi - _lo + 1) + {bins} - 1) "
-                f"div {bins} - 1"
-            ).alias("est"),
+            F.expr(f"_lo + (_bin + 1) * {width} - 1").alias("est"),
         )
     )

@@ -124,12 +124,13 @@ def expire_versions(
         }
     )
     if delete:
+        dead_set = set(dead)  # hoisted: one set, not one per action row
         for fid in dead:
             shutil.rmtree(
                 os.path.join(base_dir, "data", fid), ignore_errors=True
             )
         for r in acts:
-            if r["action"] == "dv" and r["file_id"] in set(dead):
+            if r["action"] == "dv" and r["file_id"] in dead_set:
                 shutil.rmtree(
                     os.path.join(
                         base_dir, "dv", f"{r['file_id']}@{r['version']}"
@@ -179,7 +180,8 @@ def read_asof(
     acts = _actions(spark, base_dir, version)
     added = {r["file_id"] for r in acts if r["action"] == "add"}
     removed = {r["file_id"] for r in acts if r["action"] == "remove"}
-    files = sorted(added - removed)
+    live = added - removed  # hoisted: one set, not one per manifest row
+    files = sorted(live)
     if not files:
         raise ValueError(
             f"read_asof: no live files at or before version {version} — "
@@ -191,7 +193,7 @@ def read_asof(
     dvs = [
         os.path.join(base_dir, "dv", f"{r['file_id']}@{r['version']}")
         for r in acts
-        if r["action"] == "dv" and r["file_id"] in added - removed
+        if r["action"] == "dv" and r["file_id"] in live
     ]
     if not dvs:
         return df

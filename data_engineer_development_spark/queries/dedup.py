@@ -235,6 +235,14 @@ def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_match", n_match)
         .join(s1, "id1")
         .join(s2, "id2")
+        # a <3-token doc has an EMPTY shingle set: every sig is NULL, so
+        # all such docs share band key '0' (concat_ws skips NULLs) and
+        # pair up — then NULL==NULL comparisons make n_match NULL and
+        # 0/0 makes jaccard NULL, diverging from the oracle's 0 rows
+        # (review r14, confirmed by repro). An estimator row for a doc
+        # with no shingles is meaningless; drop pairs with either
+        # endpoint empty, mirrored in the oracle's WHERE
+        .filter((F.size("sh1") > 0) & (F.size("sh2") > 0))
         .withColumn("c", F.size(F.array_intersect("sh1", "sh2")))
         .withColumn(
             "jaccard",
@@ -267,7 +275,10 @@ WITH {_DUCK_SHINGLES},
 {duck_lsh_cand_cte()},
 nm AS (SELECT c.id1, c.id2, CAST({match_sum} AS INT) AS n_match
        FROM cand c JOIN sigs a ON a.doc_id = c.id1
-                   JOIN sigs b ON b.doc_id = c.id2),
+                   JOIN sigs b ON b.doc_id = c.id2
+                   JOIN s sa ON sa.doc_id = c.id1
+                   JOIN s sb ON sb.doc_id = c.id2
+       WHERE len(sa.sh) > 0 AND len(sb.sh) > 0),
 p AS (SELECT doc_id, unnest(sh) AS sg, len(sh) AS n FROM s),
 i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c,
              any_value(a.n) AS n1, any_value(b.n) AS n2

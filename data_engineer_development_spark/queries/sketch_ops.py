@@ -288,14 +288,28 @@ def q_quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         histogram_quantile_estimate,
     )
 
+    from data_engineer_development_spark.cache import track_persist
+
     # ROUND(x*100) — the family's exact integer-cents idiom (identical
     # in both engines; a bare double→long cast truncates in Spark but
     # rounds in DuckDB — one-cent divergence, caught at staging)
     li = load_table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
-    est = histogram_quantile_estimate(li, "cents", _QSK_PROBS, _QSK_BINS)
-    ex = exact_quantiles(li, "cents", _QSK_PROBS)
+    # ONE control scan shared by both sides (review r14): the histogram
+    # needs (_lo, _hi, _n) and the exact selector needs _n — without the
+    # shared persisted frame each recomputed its own full-input agg
+    stats = track_persist(
+        li.agg(
+            F.min("cents").alias("_lo"),
+            F.max("cents").alias("_hi"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    est = histogram_quantile_estimate(
+        li, "cents", _QSK_PROBS, _QSK_BINS, stats=stats
+    )
+    ex = exact_quantiles(li, "cents", _QSK_PROBS, stats=stats)
     return (
         est.join(ex, ["p_num", "p_den", "k"])
         .select(
@@ -323,7 +337,7 @@ p(p_num, p_den) AS (VALUES {vals}),
 t AS (SELECT p_num, p_den, (p_num * n + p_den - 1) // p_den AS k, lo, hi
       FROM p, s),
 b AS (SELECT LEAST({bins} - 1,
-                   ((cents - lo) * {bins}) // (hi - lo + 1)) AS bin
+                   (cents - lo) // ((hi - lo + {bins}) // {bins})) AS bin
       FROM v, s),
 h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
 hc AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM h),
@@ -332,8 +346,7 @@ crossing AS (SELECT t.p_num, t.p_den, t.k, t.lo, t.hi,
              FROM hc JOIN t ON hc.cum >= t.k
              GROUP BY t.p_num, t.p_den, t.k, t.lo, t.hi),
 est AS (SELECT p_num, p_den, k,
-               lo + ((bin + 1) * (hi - lo + 1) + {bins} - 1)
-                    // {bins} - 1 AS est
+               lo + (bin + 1) * ((hi - lo + {bins}) // {bins}) - 1 AS est
         FROM crossing),
 cnt AS (SELECT cents AS val, COUNT(*) AS c FROM v GROUP BY cents),
 cc AS (SELECT val, c,

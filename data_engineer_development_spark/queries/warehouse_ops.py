@@ -806,24 +806,52 @@ GROUP BY lang ORDER BY lang
 # snapshot-isolation claim made checkable. The v2 row doubles as the
 # compaction-invariance proof: files changed, the hash didn't.
 # --------------------------------------------------------------------------
-def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _snapshot_versions_summary(
+    spark: SparkSession, sf_dir: str, build, dv_key: str | None = None
+) -> DataFrame:
+    """Shared scaffold for the snapshot-read queries: land a versioned
+    orders table in a throwaway dir via ``build(spark, base, orders)``,
+    then summarize (count, decimal revenue) AS OF versions 1–3 and
+    materialize before the landing dir vanishes."""
     import os
     import shutil
     import tempfile
     import uuid
 
     from data_engineer_development_spark.functions import dsum
-    from data_engineer_development_spark.operators.snapshots import (
-        append_snapshot,
-        read_asof,
-    )
+    from data_engineer_development_spark.operators.snapshots import read_asof
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    m = F.col("o_orderkey") % 4
-    base = os.path.join(tempfile.gettempdir(), f"ttr-{uuid.uuid4().hex}")
+    base = os.path.join(tempfile.gettempdir(), f"snapq-{uuid.uuid4().hex}")
     try:
+        build(spark, base, orders)
+        per_version = [
+            read_asof(spark, base, v, dv_key=dv_key)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("o_totalprice", "revenue"),
+            )
+            .select(F.lit(v).alias("version"), "n_rows", "revenue")
+            for v in (1, 2, 3)
+        ]
+        out = per_version[0]
+        for df in per_version[1:]:
+            out = out.unionByName(df)
+        # materialize BEFORE the landing dir vanishes
+        return out.orderBy("version").localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+    )
+
+    def build(spark, base, orders):
+        m = F.col("o_orderkey") % 4
         append_snapshot(
             spark, base, 1,
             {"f0": orders.filter(m == 0), "f1": orders.filter(m == 1)},
@@ -834,24 +862,8 @@ def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             removes=["f0", "f1"],
         )
         append_snapshot(spark, base, 3, {"f3": orders.filter(m == 3)})
-        per_version = [
-            read_asof(spark, base, v)
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                dsum("o_totalprice", "revenue"),
-            )
-            .select(
-                F.lit(v).alias("version"), "n_rows", "revenue"
-            )
-            for v in (1, 2, 3)
-        ]
-        out = per_version[0]
-        for df in per_version[1:]:
-            out = out.unionByName(df)
-        # materialize BEFORE the landing dir vanishes
-        return out.orderBy("version").localCheckpoint()
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+
+    return _snapshot_versions_summary(spark, sf_dir, build)
 
 
 _TIME_TRAVEL_SQL = """
@@ -875,24 +887,13 @@ GROUP BY v.version ORDER BY v.version
 # slices of the source (o_orderkey % 10 >= version - 1).
 # --------------------------------------------------------------------------
 def q_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    from data_engineer_development_spark.functions import dsum
     from data_engineer_development_spark.operators.snapshots import (
         append_deletion_vector,
         append_snapshot,
-        read_asof,
     )
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
-    )
-    m = F.col("o_orderkey") % 10
-    base = os.path.join(tempfile.gettempdir(), f"dvr-{uuid.uuid4().hex}")
-    try:
+    def build(spark, base, orders):
+        m = F.col("o_orderkey") % 10
         append_snapshot(spark, base, 1, {"all": orders})
         for v, slot in ((2, 0), (3, 1)):
             append_deletion_vector(
@@ -900,22 +901,10 @@ def q_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 orders.filter(m == slot).select("o_orderkey"),
                 "o_orderkey",
             )
-        per_version = [
-            read_asof(spark, base, v, dv_key="o_orderkey")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                dsum("o_totalprice", "revenue"),
-            )
-            .select(F.lit(v).alias("version"), "n_rows", "revenue")
-            for v in (1, 2, 3)
-        ]
-        out = per_version[0]
-        for df in per_version[1:]:
-            out = out.unionByName(df)
-        # materialize BEFORE the landing dir vanishes
-        return out.orderBy("version").localCheckpoint()
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+
+    return _snapshot_versions_summary(
+        spark, sf_dir, build, dv_key="o_orderkey"
+    )
 
 
 _DELETION_VECTOR_SQL = """

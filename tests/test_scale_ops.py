@@ -1175,3 +1175,56 @@ def test_minhash_est_error_parity_and_banding_floor(spark):
         assert r["n_match"] >= NUM_PERM // BANDS  # shared band ⇒ floor
         assert r["est_jaccard"] == r["n_match"] / NUM_PERM
         assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["jaccard"])) == 0
+
+
+def test_minhash_est_error_short_docs_drop_consistently(spark, tmp_path):
+    """Review r14 (confirmed by repro): a <3-token document has an EMPTY
+    shingle set — every minhash sig NULL, so all short docs shared band
+    key '0' and paired up, then NULL==NULL made n_match NULL in Spark
+    while the oracle emitted 0s. Both sides now DROP pairs with an
+    empty-shingle endpoint; pin that on a crafted corpus the fixtures
+    don't contain (engine≡oracle hash, no NULLs, short ids never pair)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineer_development_spark.queries.dedup import (
+        _minhash_est_error_sql,
+        q_minhash_est_error,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import TABLE_NAMES, compare
+
+    d = tmp_path / "sf_short"
+    d.mkdir()
+    for t in TABLE_NAMES:
+        if t != "documents":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "hello world",          # 2 tokens -> empty shingles
+                    "foo bar",              # 2 tokens -> empty shingles
+                    "a b c d e f common",   # near-dup pair with real
+                    "a b c d e g common",   # shingles
+                ],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    ok, msg = compare(
+        spark,
+        str(d),
+        "minhash_est_error",
+        q_minhash_est_error,
+        _minhash_est_error_sql(),
+    )
+    assert ok, msg
+    rows = q_minhash_est_error(spark, str(d)).collect()
+    assert rows, "the real near-dup pair must survive"
+    for r in rows:
+        assert r["n_match"] is not None and r["jaccard"] is not None
+        assert {r["id1"], r["id2"]} <= {3, 4}  # short docs never pair

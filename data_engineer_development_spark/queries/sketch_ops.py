@@ -367,6 +367,141 @@ ORDER BY e.p_num, e.p_den
 """
 
 
+# --------------------------------------------------------------------------
+# ANALYZE-style column statistics — STAGED for r15 registration: the
+# CBO statistics product (per-column row/null counts, min/max, NDV) a
+# warehouse's ANALYZE TABLE emits, computed with the engine's scale
+# shapes and GRADED: NDV comes from the mergeable KMV sketch (k = 256
+# smallest distinct md5s — the distinct_kmv estimator generalized to a
+# multi-column stats sweep) next to the exact distinct count, so the
+# sketch error is measured per column, not assumed. One single-pass
+# aggregation carries every column's count/null/min/max (min/max on the
+# NATIVE type, cast to string only for the uniform output schema —
+# casting first would compare lexicographically); per column one
+# distinct-hash projection feeds both the exact count and the k-min
+# state (TakeOrdered, bounded). At 100 TB the exact-NDV leg is the
+# grading harness you drop, keeping the one-pass stats + k-row sketch.
+# --------------------------------------------------------------------------
+_STATS_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_shipdate",
+]
+_STATS_K = 256
+
+
+def q_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.cache import track_persist
+    from data_engineer_development_spark.functions.portable_hash import (
+        spark_md5_int,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    one = track_persist(
+        li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                e
+                for c in _STATS_COLS
+                for e in (
+                    F.sum(F.col(c).isNull().cast("long")).alias(
+                        f"nulls_{c}"
+                    ),
+                    F.min(F.col(c)).cast("string").alias(f"min_{c}"),
+                    F.max(F.col(c)).cast("string").alias(f"max_{c}"),
+                )
+            ],
+        )
+    )
+    branches = []
+    for c in _STATS_COLS:
+        dh = (
+            li.filter(F.col(c).isNotNull())
+            .select(
+                F.expr(spark_md5_int(f"cast({c} as string)")).alias("h")
+            )
+            .distinct()
+        )
+        kmin = (
+            dh.orderBy("h").limit(_STATS_K).agg(F.max("h").alias("hk"))
+        )
+        nd = dh.agg(F.count(F.lit(1)).alias("ndv_exact"))
+        est = F.when(
+            F.col("ndv_exact") >= _STATS_K,
+            F.floor(
+                F.lit(float(_STATS_K - 1))
+                * F.lit(float(1 << 60))
+                / F.col("hk").cast("double")
+            ),
+        ).otherwise(F.col("ndv_exact"))
+        branches.append(
+            one.select(
+                F.lit(c).alias("col_name"),
+                "n_rows",
+                F.col(f"nulls_{c}").alias("n_nulls"),
+                F.col(f"min_{c}").alias("min_value"),
+                F.col(f"max_{c}").alias("max_value"),
+            )
+            .join(F.broadcast(nd))
+            .join(F.broadcast(kmin))
+            .select(
+                "col_name",
+                "n_rows",
+                "n_nulls",
+                est.cast("bigint").alias("ndv_est"),
+                "ndv_exact",
+                "min_value",
+                "max_value",
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("col_name")
+
+
+def _analyze_stats_sql(
+    cols: list[str] = _STATS_COLS, k: int = _STATS_K
+) -> str:
+    nulls = ", ".join(
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS nulls_{c}, CAST(MIN({c}) AS VARCHAR) AS min_{c}, "
+        f"CAST(MAX({c}) AS VARCHAR) AS max_{c}"
+        for c in cols
+    )
+    parts = [
+        f"one AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {nulls} "
+        "FROM lineitem)"
+    ]
+    finals = []
+    for c in cols:
+        h = duck_md5_int(f"CAST({c} AS VARCHAR)")
+        parts.append(
+            f"d_{c} AS (SELECT DISTINCT {h} AS h FROM lineitem "
+            f"WHERE {c} IS NOT NULL)"
+        )
+        parts.append(
+            f"k_{c} AS (SELECT MAX(h) AS hk FROM "
+            f"(SELECT h FROM d_{c} ORDER BY h LIMIT {k}))"
+        )
+        parts.append(
+            f"n_{c} AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_exact "
+            f"FROM d_{c})"
+        )
+        finals.append(
+            f"SELECT '{c}' AS col_name, one.n_rows, one.nulls_{c} AS "
+            f"n_nulls, CAST(CASE WHEN n_{c}.ndv_exact >= {k} THEN "
+            f"floor({float(k - 1)} * {float(1 << 60)} / "
+            f"CAST(k_{c}.hk AS DOUBLE)) ELSE "
+            f"CAST(n_{c}.ndv_exact AS DOUBLE) END AS BIGINT) AS ndv_est, "
+            f"n_{c}.ndv_exact, one.min_{c} AS min_value, "
+            f"one.max_{c} AS max_value FROM one, n_{c}, k_{c}"
+        )
+    body = "\nUNION ALL\n".join(finals)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT * FROM ({body})\nORDER BY col_name"
+    )
+
+
 # REGISTERED r14 (staged r13 with tri-SF + ANSI-on parity per the
 # COVERAGE.md inventory discipline; VERDICT r13 #1 leads with these —
 # the genuinely 100 TB-shaped constant-size-shuffle sketches).

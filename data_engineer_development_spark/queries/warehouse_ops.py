@@ -916,6 +916,78 @@ GROUP BY v.version ORDER BY v.version
 """
 
 
+# --------------------------------------------------------------------------
+# Bucketed co-located join — STAGED for r15 registration: make the
+# engine's shuffle-elimination layout driver-visible (it exists today
+# only as a plan assert in tests/test_scale_ops.py). Both join sides are
+# written bucketed + sorted by the join key into the session warehouse,
+# so the sort-merge join reads co-located buckets with ZERO Exchange
+# below the join (plan-pinned in tests) — at 100 TB this is THE pattern
+# that pays one layout shuffle once and amortizes it over every future
+# join on the key (the fact⋈fact case broadcast can't cover). The
+# aggregate on top shuffles normally; correctness equals the plain join.
+# --------------------------------------------------------------------------
+def _write_bucketed_sides(spark: SparkSession, sf_dir: str, db: str) -> tuple:
+    """Land both sides bucketed by the join key into database ``db``;
+    returns (orders_b, lineitem_b) table DataFrames. ``db`` must be
+    caller-unique: a FRESH session's catalog doesn't know a prior run's
+    tables, so overwrite into a fixed name dies on the stale warehouse
+    location (LOCATION_ALREADY_EXISTS — found at staging under the
+    driver-mimic session). Shared by the query and its plan test."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(f"{db}.orders_b")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(f"{db}.lineitem_b")
+    )
+    return spark.table(f"{db}.orders_b"), spark.table(f"{db}.lineitem_b")
+
+
+def q_bucketed_join_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from data_engineer_development_spark.functions import dsum
+
+    db = f"bjcq_{uuid.uuid4().hex[:12]}"
+    try:
+        ob, lb = _write_bucketed_sides(spark, sf_dir, db)
+        return (
+            ob.join(lb.hint("merge"), ob.o_orderkey == lb.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                dsum("l_extendedprice", "revenue"),
+            )
+            .orderBy("o_orderpriority")
+            # materialize BEFORE the database (and its files) is dropped
+            .localCheckpoint()
+        )
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+         AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "incremental_agg": q_incremental_agg,
     "scd2_customer_merge": q_scd2_customer_merge,

@@ -310,3 +310,40 @@ def test_kfold_balance_parity_and_partitioning(spark):
 
 def by_lang_total(rows, lang):
     return sum(r["n_docs"] for r in rows if r["lang"] == lang)
+
+
+def test_analyze_table_stats_parity_and_sketch_sanity(spark):
+    """Staged r14: the ANALYZE-style column-stats sweep hash-matches its
+    oracle at both fixture SFs, min/max compare on the native type (the
+    integer column's min must be numeric, not lexicographic), and the
+    KMV NDV estimate is exact below k and within the sketch's relative
+    error above it."""
+    from data_engineer_development_spark.queries.sketch_ops import (
+        _STATS_K,
+        _analyze_stats_sql,
+        q_analyze_table_stats,
+    )
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark,
+            sf_dir,
+            "analyze_table_stats",
+            q_analyze_table_stats,
+            _analyze_stats_sql(),
+        )
+        assert ok, f"{sf_dir}: {msg}"
+    rows = {r["col_name"]: r for r in
+            q_analyze_table_stats(spark, SF_CORRECT).collect()}
+    flag = rows["l_returnflag"]
+    assert flag["ndv_exact"] < _STATS_K
+    assert flag["ndv_est"] == flag["ndv_exact"]  # exact below k
+    ok_ = rows["l_orderkey"]
+    assert int(ok_["min_value"]) <= int(ok_["max_value"])  # native order
+    if ok_["ndv_exact"] >= _STATS_K:
+        rel = abs(ok_["ndv_est"] - ok_["ndv_exact"]) / ok_["ndv_exact"]
+        assert rel < 0.25, rel  # k=256 → ~1/sqrt(k) ≈ 6% expected
+    for r in rows.values():
+        assert r["n_nulls"] == 0  # fixture columns are dense
+        assert r["n_rows"] >= r["ndv_exact"]

@@ -176,3 +176,35 @@ def test_expire_versions_drops_only_pre_floor_removed_files(spark):
         assert expire_versions(spark, base, 3) == ["a"]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_bucketed_join_colocate_parity_and_no_exchange_below_join(spark):
+    """Staged r14: the bucketed co-located join equals the plain join
+    (oracle hash at both fixture SFs) and its JOIN subplan carries zero
+    Exchange — the bucket layout replaces the shuffle."""
+    from data_engineer_development_spark.queries.warehouse_ops import (
+        _BUCKETED_JOIN_SQL,
+        _write_bucketed_sides,
+        q_bucketed_join_colocate,
+    )
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark,
+            sf_dir,
+            "bucketed_join_colocate",
+            q_bucketed_join_colocate,
+            _BUCKETED_JOIN_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+    try:
+        ob, lb = _write_bucketed_sides(spark, SF_CORRECT, "bjcq_plan_test")
+        joined = ob.join(lb.hint("merge"), ob.o_orderkey == lb.l_orderkey)
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bjcq_plan_test CASCADE")

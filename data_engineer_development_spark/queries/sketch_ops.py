@@ -381,6 +381,8 @@ ORDER BY e.p_num, e.p_den
 # distinct-hash projection feeds both the exact count and the k-min
 # state (TakeOrdered, bounded). At 100 TB the exact-NDV leg is the
 # grading harness you drop, keeping the one-pass stats + k-row sketch.
+# Registration must add the entry to _CARTESIAN_OK in tests/test_plans.py
+# (1-row stats × 1-row NDV/k-min crosses per column branch).
 # --------------------------------------------------------------------------
 _STATS_COLS = [
     "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_shipdate",

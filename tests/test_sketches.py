@@ -340,7 +340,18 @@ def test_analyze_table_stats_parity_and_sketch_sanity(spark):
     assert flag["ndv_exact"] < _STATS_K
     assert flag["ndv_est"] == flag["ndv_exact"]  # exact below k
     ok_ = rows["l_orderkey"]
-    assert int(ok_["min_value"]) <= int(ok_["max_value"])  # native order
+    # native-type MIN/MAX, not lexicographic (review r14: int(min) <=
+    # int(max) is vacuous — pin max_value to the true numeric max, which
+    # a cast-before-MAX regression ('9…' lexicographic max) would break)
+    from data_engineer_development_spark.sources import load_table
+    from pyspark.sql import functions as F  # noqa: F811 — local alias
+
+    true_max = (
+        load_table(spark, SF_CORRECT, "lineitem")
+        .agg(F.max("l_orderkey"))
+        .collect()[0][0]
+    )
+    assert int(ok_["max_value"]) == true_max
     if ok_["ndv_exact"] >= _STATS_K:
         rel = abs(ok_["ndv_est"] - ok_["ndv_exact"]) / ok_["ndv_exact"]
         assert rel < 0.25, rel  # k=256 → ~1/sqrt(k) ≈ 6% expected

@@ -198,7 +198,14 @@ def test_bucketed_join_colocate_parity_and_no_exchange_below_join(spark):
             _BUCKETED_JOIN_SQL,
         )
         assert ok, f"{sf_dir}: {msg}"
+    from conftest import fresh_db
+
     try:
+        # fresh_db also clears any orphaned warehouse dir a killed run
+        # left behind — the LOCATION_ALREADY_EXISTS mode the operator's
+        # docstring documents (review r14: a fixed name without the
+        # cleanup reproduces it)
+        fresh_db(spark, "bjcq_plan_test")
         ob, lb = _write_bucketed_sides(spark, SF_CORRECT, "bjcq_plan_test")
         joined = ob.join(lb.hint("merge"), ob.o_orderkey == lb.l_orderkey)
         plan = joined._sc._jvm.PythonSQLUtils.explainString(

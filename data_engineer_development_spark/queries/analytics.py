@@ -442,6 +442,85 @@ ORDER BY c.click_day ASC NULLS FIRST
 """
 
 
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution — STAGED for r15 registration: the
+# equal-split companion to last-touch click_attribution. Every click in
+# the 7 days up to a purchase shares the purchase's value equally; a
+# purchase with no in-window click lands whole on the NULL day (the
+# unattributed bucket, same convention as click_attribution). Credit
+# is EXACT integer micro-cents — value_cents·10000 div n per touch —
+# because per-share IEEE division summed as doubles would be
+# accumulation-order-dependent and unhashable cross-engine. Shapes: one
+# user-keyed equi-join with the time-range residual (SMJ + filter,
+# never cartesian), one per-purchase count, one day-keyed aggregate.
+# --------------------------------------------------------------------------
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.to_date("ts").alias("click_day"),
+    )
+    j = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    n = j.groupBy("p_id").agg(F.count("c_ts").alias("n_touch"))
+    credited = j.join(n, "p_id").select(
+        "click_day",
+        F.expr(
+            "CASE WHEN n_touch = 0 THEN value_cents * 10000 "
+            "ELSE value_cents * 10000 div n_touch END"
+        ).alias("credit_micro"),
+    )
+    return (
+        credited.groupBy("click_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit_micro").alias("credit_micro"),
+        )
+        .orderBy(F.col("click_day").asc_nulls_first())
+    )
+
+
+_LINEAR_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id AS c_user, ts AS c_ts,
+         CAST(date_trunc('day', ts) AS DATE) AS click_day
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.p_id, p.value_cents, c.click_day, c.c_ts
+  FROM p LEFT JOIN c
+    ON p.p_user = c.c_user AND c.c_ts <= p.p_ts
+   AND c.c_ts >= p.p_ts - INTERVAL 7 DAY
+), n AS (
+  SELECT p_id, COUNT(c_ts) AS n_touch FROM j GROUP BY p_id
+), credited AS (
+  SELECT j.click_day,
+         CASE WHEN n.n_touch = 0 THEN j.value_cents * 10000
+              ELSE j.value_cents * 10000 // n.n_touch END AS credit_micro
+  FROM j JOIN n ON j.p_id = n.p_id
+)
+SELECT click_day, COUNT(*) AS n_credits,
+       CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
+FROM credited GROUP BY click_day
+ORDER BY click_day ASC NULLS FIRST
+"""
+
+
 QUERIES = {
     "join_star_broadcast": q_join_star_broadcast,
     "top_unshipped_orders": q_top_unshipped_orders,

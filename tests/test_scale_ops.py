@@ -1228,3 +1228,43 @@ def test_minhash_est_error_short_docs_drop_consistently(spark, tmp_path):
     for r in rows:
         assert r["n_match"] is not None and r["jaccard"] is not None
         assert {r["id1"], r["id2"]} <= {3, 4}  # short docs never pair
+
+
+def test_linear_attribution_parity_and_conservation(spark):
+    """Staged r14: linear multi-touch attribution hash-matches its
+    oracle at both fixture SFs, and credit conserves value up to the
+    per-touch truncation: for each purchase the n equal integer shares
+    lose < n micro-cents, so total credit lies in
+    (total_value_micro − total_touches, total_value_micro]."""
+    from data_engineer_development_spark.queries.analytics import (
+        _LINEAR_ATTRIBUTION_SQL,
+        q_linear_attribution,
+    )
+    from data_engineer_development_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark,
+            sf_dir,
+            "linear_attribution",
+            q_linear_attribution,
+            _LINEAR_ATTRIBUTION_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"
+    rows = q_linear_attribution(spark, SF_CORRECT).collect()
+    total_credit = sum(r["credit_micro"] for r in rows)
+    total_touches = sum(r["n_credits"] for r in rows)
+    total_value = (
+        load_table(spark, SF_CORRECT, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100).cast("long") * 10000
+            ).alias("v")
+        )
+        .collect()[0]["v"]
+    )
+    assert total_value - total_touches < total_credit <= total_value
+    assert any(r["click_day"] is not None for r in rows)

@@ -140,6 +140,25 @@ def expire_versions(
     return dead
 
 
+def orphan_files(spark: SparkSession, base_dir: str) -> list[str]:
+    """Data-file dirs present on disk but referenced by NO add action —
+    debris from a writer that died between landing its data dir and
+    committing the version's log rows (append_snapshot's commit order
+    makes this the only possible inconsistency: log rows never precede
+    data). The other half of table maintenance next to
+    :func:`expire_versions` — that drops files the log says are dead,
+    this reports files the log never knew. Reporting only: physical
+    deletion stays a caller decision (a concurrent writer may be
+    mid-commit, which is exactly what an orphan mid-write looks like)."""
+    acts = _actions(spark, base_dir, 2**62)
+    added = {r["file_id"] for r in acts if r["action"] == "add"}
+    data_dir = os.path.join(base_dir, "data")
+    on_disk = (
+        set(os.listdir(data_dir)) if os.path.isdir(data_dir) else set()
+    )
+    return sorted(on_disk - added)
+
+
 def append_deletion_vector(
     spark: SparkSession,
     base_dir: str,

@@ -215,3 +215,26 @@ def test_bucketed_join_colocate_parity_and_no_exchange_below_join(spark):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql("DROP DATABASE IF EXISTS bjcq_plan_test CASCADE")
+
+
+def test_orphan_files_reports_uncommitted_debris_only(spark):
+    """A data dir landed without its log rows (writer died mid-commit)
+    is reported as an orphan; committed files never are; reporting does
+    not delete anything."""
+    import os
+
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        orphan_files,
+    )
+
+    base = _base()
+    try:
+        df = spark.createDataFrame([(1,)], "x long")
+        append_snapshot(spark, base, 1, {"good": df})
+        # simulate the crash window: data lands, log rows never do
+        df.write.parquet(os.path.join(base, "data", "debris"))
+        assert orphan_files(spark, base) == ["debris"]
+        assert os.path.exists(os.path.join(base, "data", "debris"))  # report only
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -48,6 +48,15 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # Calibration probe (VERDICT r14 #6): a pricing_summary min-of-3
+    # BEFORE and AFTER the sweep, recorded into the artifact, so a
+    # degraded box window is machine-detectable from the artifact alone
+    # (r14's host-level degradation was adjudicated post-hoc by hand).
+    # pricing_summary's idle anchor is stable across every round on
+    # record; a calibration reading far above it marks the sweep
+    # untrustworthy regardless of which queries it inflated.
+    cal_pre = min(run_once("pricing_summary") for _ in range(3))
+
     # FIXED min-of-N policy (default 3): every query gets the same repeat
     # count so per-query numbers are comparable round-over-round — a
     # budget-scaled policy gave early-alphabet queries more repeats (lower
@@ -93,6 +102,7 @@ def main() -> None:
 
     # total = sum of SUCCESSFUL runs only; failures are listed, never summed
     # (a -1 sentinel would *reduce* the headline metric).
+    cal_post = min(run_once("pricing_summary") for _ in range(3))
     payload = {
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 4),
@@ -101,6 +111,8 @@ def main() -> None:
         "failed": failed,
         "repeats": repeats,
         "min_runs": min(runs_done.values(), default=0),
+        "calibration_pre": round(cal_pre, 4),
+        "calibration_post": round(cal_post, 4),
         "sf": sf,
     }
     print(json.dumps(payload))

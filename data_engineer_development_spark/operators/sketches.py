@@ -244,16 +244,22 @@ def exact_quantiles(
     cumulative count covers it (a ≤|probs|-row broadcast inequality
     join). The classic two-phase distributed selection, composed from
     the engine's existing scale shapes; integer-exact end to end, so
-    the result is hash-comparable cross-engine. ``stats`` optionally
-    shares a precomputed 1-row frame carrying ``_n`` (e.g. the
-    histogram estimate's (_lo, _hi, _n)) so a paired eval scans the
-    input once for controls. Returns (p_num, p_den, k, exact) — one
-    row per prob."""
+    the result is hash-comparable cross-engine. NULL values carry no
+    rank: they are filtered out before counting, so ``_n`` is the
+    non-null row count (a NULL counted into ``_n`` would inflate the
+    target rank k while the value-keyed selection never sees it —
+    shifting or emptying the selected quantile, ADVICE r14). ``stats``
+    optionally shares a precomputed 1-row frame carrying ``_n`` (e.g.
+    the histogram estimate's (_lo, _hi, _n)) — a caller-supplied ``_n``
+    MUST likewise count only non-null ``value_col`` rows (use
+    ``F.count(col)``, not ``F.count(lit(1))``). Returns
+    (p_num, p_den, k, exact) — one row per prob."""
     from data_engineer_development_spark.operators.ranking import (
         with_global_cumsum,
     )
 
     spark = vals.sparkSession
+    vals = vals.filter(F.col(value_col).isNotNull())
     if stats is None:
         stats = vals.agg(F.count(F.lit(1)).alias("_n"))
     tgt = _rank_targets(spark, probs, stats).select("p_num", "p_den", "k")
@@ -281,20 +287,28 @@ def histogram_quantile_estimate(
     purpose: the naive ``(v − lo)·bins`` numerator overflows int64 for
     spans past 2^63/bins (e.g. nanosecond epochs), wrapping negative in
     non-ANSI Spark while DuckDB raises (review r14); ``v − lo ≤ span``
-    can't overflow and ``(bin + 1)·width ≤ span + bins`` stays safe for
-    any int64 span. The ≤``bins``-counter histogram caps every map
-    task's shuffle regardless of input size, the cumulative crossing
-    runs over the BOUNDED histogram (an unpartitioned window over
-    ≤ bins rows — the range_partition_plan class, never the raw input),
-    and the estimate is the crossing bin's maximum representable value:
-    est ≥ exact ALWAYS (one-sided, like CMS counts and Bloom
+    can't overflow, and the estimate is clamped to ``least(_hi, ·)``
+    so the raw ``lo + (bin + 1)·width − 1`` — which can reach
+    ``hi + bins`` and wrap negative when hi sits within ``bins`` of
+    int64 max, e.g. a sentinel Long.MAX (ADVICE r14) — never leaves
+    the observed range; the clamp also TIGHTENS the last bin's
+    estimate to the true maximum. The ≤``bins``-counter histogram caps
+    every map task's shuffle regardless of input size, the cumulative
+    crossing runs over the BOUNDED histogram (an unpartitioned window
+    over ≤ bins rows — the range_partition_plan class, never the raw
+    input), and the estimate is the crossing bin's maximum OBSERVABLE
+    value: est ≥ exact ALWAYS (one-sided, like CMS counts and Bloom
     membership) with est − exact < width = ceil(span / bins). Integer
     arithmetic throughout; non-negative operands make Spark's ``div``
-    equal DuckDB's ``//``. ``stats`` optionally shares a precomputed
-    1-row (_lo, _hi, _n) frame with :func:`exact_quantiles` so a paired
-    eval scans the input once for controls. Returns
-    (p_num, p_den, k, est) — one row per prob."""
+    equal DuckDB's ``//``. NULL values are filtered out before binning
+    and counting (same rank contract as :func:`exact_quantiles`);
+    ``stats`` optionally shares a precomputed 1-row (_lo, _hi, _n)
+    frame with :func:`exact_quantiles` so a paired eval scans the
+    input once for controls — a caller-supplied ``_n`` MUST count only
+    non-null ``value_col`` rows. Returns (p_num, p_den, k, est) — one
+    row per prob."""
     v = F.col(value_col)
+    vals = vals.filter(v.isNotNull())
     if stats is None:
         stats = vals.agg(
             F.min(v).alias("_lo"),
@@ -319,6 +333,8 @@ def histogram_quantile_estimate(
             "p_num",
             "p_den",
             "k",
-            F.expr(f"_lo + (_bin + 1) * {width} - 1").alias("est"),
+            F.expr(f"least(_hi, _lo + (_bin + 1) * {width} - 1)").alias(
+                "est"
+            ),
         )
     )

@@ -69,10 +69,18 @@ def append_snapshot(
 
 
 def snapshot_log(spark: SparkSession, base_dir: str) -> DataFrame:
-    """The raw action log as a DataFrame (metadata-scale)."""
-    return spark.read.schema(_LOG_SCHEMA).parquet(
-        os.path.join(base_dir, "_log")
-    )
+    """The raw action log as a DataFrame (metadata-scale). A base_dir
+    whose ``_log`` was never written — e.g. auditing a writer that died
+    before its very first commit, exactly :func:`orphan_files`' use
+    case — reads as an EMPTY log, not a raw PATH_NOT_FOUND
+    AnalysisException (ADVICE r14): zero committed actions is a valid
+    table state, and every downstream surface degrades sensibly from
+    it (live_files → [], orphan_files → all on-disk dirs, read_asof →
+    its named no-live-files ValueError)."""
+    log_dir = os.path.join(base_dir, "_log")
+    if not os.path.isdir(log_dir):
+        return spark.createDataFrame([], _LOG_SCHEMA)
+    return spark.read.schema(_LOG_SCHEMA).parquet(log_dir)
 
 
 def _actions(spark: SparkSession, base_dir: str, version: int) -> list:
@@ -195,7 +203,16 @@ def read_asof(
     before ``version``; no data is copied or rewritten for any
     historical read. ``dv_key`` names the column the vectors key on and
     is REQUIRED the moment any applicable ``dv`` action exists (a
-    reader silently ignoring deletes would resurrect rows)."""
+    reader silently ignoring deletes would resurrect rows).
+
+    Vectors are FILE-SCOPED, the Delta/Iceberg semantics: a vector
+    logged against file A masks only A's rows, never matching-key rows
+    in a sibling file B (ADVICE r14 — the earlier table-wide anti-join
+    silently deleted across files whenever two live files shared key
+    values). The scan stays one multi-path read for the common case:
+    all vector-free live files read together; only files that actually
+    carry vectors get their own branch (read that file dir, anti-join
+    exactly its accumulated vectors, union back)."""
     acts = _actions(spark, base_dir, version)
     added = {r["file_id"] for r in acts if r["action"] == "add"}
     removed = {r["file_id"] for r in acts if r["action"] == "remove"}
@@ -206,22 +223,32 @@ def read_asof(
             f"read_asof: no live files at or before version {version} — "
             "nothing was ever committed there"
         )
-    df = spark.read.parquet(
-        *[os.path.join(base_dir, "data", f) for f in files]
-    )
-    dvs = [
-        os.path.join(base_dir, "dv", f"{r['file_id']}@{r['version']}")
-        for r in acts
-        if r["action"] == "dv" and r["file_id"] in live
-    ]
-    if not dvs:
-        return df
-    if dv_key is None:
+    dv_by_file: dict[str, list[str]] = {}
+    for r in acts:
+        if r["action"] == "dv" and r["file_id"] in live:
+            dv_by_file.setdefault(r["file_id"], []).append(
+                os.path.join(base_dir, "dv", f"{r['file_id']}@{r['version']}")
+            )
+    if dv_by_file and dv_key is None:
         raise ValueError(
             "read_asof: deletion vectors apply at this version — pass "
             "dv_key so deleted rows are filtered, not resurrected"
         )
-    keys = spark.read.parquet(*sorted(dvs)).distinct()
-    return df.join(
-        keys, df[dv_key] == keys[_DV_COL], "left_anti"
-    )
+    plain = [f for f in files if f not in dv_by_file]
+    parts: list[DataFrame] = []
+    if plain:
+        parts.append(
+            spark.read.parquet(
+                *[os.path.join(base_dir, "data", f) for f in plain]
+            )
+        )
+    for fid in sorted(dv_by_file):
+        df_f = spark.read.parquet(os.path.join(base_dir, "data", fid))
+        keys = spark.read.parquet(*sorted(dv_by_file[fid])).distinct()
+        parts.append(
+            df_f.join(keys, df_f[dv_key] == keys[_DV_COL], "left_anti")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

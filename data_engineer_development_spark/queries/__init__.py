@@ -63,35 +63,34 @@ _MODULES = [
 # round). Every pair — all entries, regardless of order — stays verified
 # by tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
-    # r14 head (VERDICT r13 #1 + #2): bpe_train_batched first — its r13
-    # row was the registry's only non-green (rows-only, err "no_oracle");
-    # it is now ORACLE-PAIRED via the unrolled batched-spec CTEs
-    # (queries/extras._bpe_batched_sql) and must be re-driven under the
-    # full hash gate — then the ENTIRE 20-entry staged queue registered
-    # this round (every one with operator + oracle + named tests + tri-SF
-    # ANSI-on parity + an idle BASELINE.md anchor on record since r13).
-    "bpe_train_batched",
-    "tokenizer_vocab_curve", "bm25_topk", "incremental_join",
-    "image_ahash_neardup", "trading_communities", "dedup_modality_overlap",
-    "source_overlap_matrix", "ngram_novelty", "dedup_survivorship",
-    "decontam_span_removal", "emb_top_direction", "token_budget_mix",
-    "length_bucket_batches", "domain_cap", "stream_domain_cap_gate",
-    "retrieval_mrr_eval", "tokenizer_fertility", "cms_freq",
-    "bloom_prune_eval", "join_size_estimate",
+    # r15 head (VERDICT r14 #1 + #5): the full 8-entry staged queue
+    # registered — every one with operator + oracle + named tests +
+    # tri-SF ANSI-on parity since r14 staging — plus the new
+    # snapshot_vacuum_audit (the retention-vacuum query surface VERDICT
+    # r14 #5 asked for). New registrations are never-checked and always
+    # precede rotation.
+    "time_travel_read", "deletion_vector_read", "bucketed_join_colocate",
+    "quantile_sketch_eval", "analyze_table_stats", "minhash_est_error",
+    "kfold_balance", "linear_attribution", "snapshot_vacuum_audit",
     # rotation (stalest driver evidence first, tools/suggest_front.py):
-    # ALL 23 remaining r10-latest entries — after this round the
-    # staleness floor is r11, the VERDICT r13 #3 done-criterion — then
-    # the first 6 of the r11 cohort in registry order.
-    "math_funcs", "join_star_broadcast", "left_join_order_counts",
-    "semi_join_active_customers", "sim_cosine_topk", "sim_neardup",
-    "sim_lsh_buckets", "quality_model_score", "quality_stratified_sample",
-    "stream_quality_gate", "product_type_profit", "nation_price_corr",
-    "mad_value", "quality_gopher_rules", "text_diversity",
-    "mix_temperature", "salted_skew_join", "dpp_partition_join",
-    "sim_ivf_topk", "sim_ivf_multiprobe", "ann_recall_eval",
-    "hard_negative_mining", "emb_jl_distortion",
-    "incremental_agg", "scd2_customer_merge", "rule_quarantine",
-    "price_histogram", "stateful_sessions", "manifest_source",
+    # 41 of the 44-entry r11-latest cohort (VERDICT r14 #3) — the
+    # remaining three (null_safe_join, cube_status_priority, date_funcs)
+    # rotate first in r16, lifting the staleness floor to r12.
+    "kv_store_roundtrip", "multimodal_features", "multimodal_resize",
+    "multimodal_metadata", "column_prune_filter", "funnel_signup_purchase",
+    "retention_cohorts", "latest_event_per_user", "salted_agg_event_types",
+    "top_unshipped_orders", "local_supplier_volume",
+    "anti_join_dormant_customers", "agg_stats_per_nation",
+    "window_topk_per_segment", "window_running_total",
+    "rollup_status_priority", "set_operations", "asof_last_purchase",
+    "tumbling_hourly", "sliding_hourly", "session_windows",
+    "daily_buckets", "stream_dedup_users", "stream_enrich_join",
+    "dedup_exact", "dedup_jaccard", "dedup_minhash_sigs",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "semantic_dedup", "semdedup_recall_eval", "stream_neardup_gate",
+    "semdedup_incremental", "gate_recall_eval", "dedup_incremental",
+    "emb_centroid_by_label", "forecast_revenue", "late_shipment_priority",
+    "ntile_deciles", "winsorized_stats",
 ]
 
 

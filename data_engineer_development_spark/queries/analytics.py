@@ -535,9 +535,12 @@ QUERIES = {
     "set_operations": q_set_operations,
     "asof_last_purchase": q_asof_last_purchase,
     "click_attribution": q_click_attribution,
+    # registered r15 (staged r14, tri-SF + ANSI-on parity on record)
+    "linear_attribution": q_linear_attribution,
 }
 
 ORACLE = {
+    "linear_attribution": _LINEAR_ATTRIBUTION_SQL,
     "join_star_broadcast": _JOIN_STAR_BROADCAST_SQL,
     "top_unshipped_orders": _TOP_UNSHIPPED_ORDERS_SQL,
     "local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,

@@ -452,9 +452,12 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    # registered r15 (staged r14, tri-SF + ANSI-on parity on record)
+    "minhash_est_error": q_minhash_est_error,
 }
 
 ORACLE = {
+    "minhash_est_error": _minhash_est_error_sql(),
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_jaccard": _DEDUP_JACCARD_SQL,
     "dedup_containment": _DEDUP_CONTAINMENT_SQL,

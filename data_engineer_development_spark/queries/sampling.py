@@ -274,9 +274,12 @@ QUERIES = {
     # registered r14 (staged r13, tri-SF + ANSI-on parity on record)
     "domain_cap": q_domain_cap,
     "stream_domain_cap_gate": q_stream_domain_cap_gate,
+    # registered r15 (staged r14, tri-SF + ANSI-on parity on record)
+    "kfold_balance": q_kfold_balance,
 }
 
 ORACLE = {
+    "kfold_balance": _KFOLD_SQL,
     "domain_cap": _DOMAIN_CAP_SQL,
     "stream_domain_cap_gate": _STREAM_DOMAIN_CAP_SQL,
     "sample_hash_bucket": _SAMPLE_HASH_SQL,

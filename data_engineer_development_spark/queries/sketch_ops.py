@@ -303,7 +303,10 @@ def q_quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.agg(
             F.min("cents").alias("_lo"),
             F.max("cents").alias("_hi"),
-            F.count(F.lit(1)).alias("_n"),
+            # count(col), not count(1): the operators' rank contract is
+            # NON-NULL rows (cents is non-null here, but the shared-stats
+            # frame must honor the contract it hands over — ADVICE r14)
+            F.count("cents").alias("_n"),
         )
     )
     est = histogram_quantile_estimate(
@@ -346,7 +349,8 @@ crossing AS (SELECT t.p_num, t.p_den, t.k, t.lo, t.hi,
              FROM hc JOIN t ON hc.cum >= t.k
              GROUP BY t.p_num, t.p_den, t.k, t.lo, t.hi),
 est AS (SELECT p_num, p_den, k,
-               lo + (bin + 1) * ((hi - lo + {bins}) // {bins}) - 1 AS est
+               LEAST(hi, lo + (bin + 1) * ((hi - lo + {bins}) // {bins}) - 1)
+                 AS est
         FROM crossing),
 cnt AS (SELECT cents AS val, COUNT(*) AS c FROM v GROUP BY cents),
 cc AS (SELECT val, c,
@@ -511,10 +515,15 @@ QUERIES: dict = {
     "cms_freq": q_cms_freq,
     "bloom_prune_eval": q_bloom_prune_eval,
     "join_size_estimate": q_join_size_estimate,
+    # registered r15 (staged r14, tri-SF + ANSI-on parity on record)
+    "quantile_sketch_eval": q_quantile_sketch_eval,
+    "analyze_table_stats": q_analyze_table_stats,
 }
 
 ORACLE: dict = {
     "cms_freq": _cms_sql(),
     "bloom_prune_eval": _bloom_sql(),
     "join_size_estimate": _join_size_sql(),
+    "quantile_sketch_eval": _quantile_sketch_sql(),
+    "analyze_table_stats": _analyze_stats_sql(),
 }

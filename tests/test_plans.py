@@ -465,6 +465,9 @@ _CARTESIAN_OK = {
     "retrieval_mrr_eval",   # contains the brute-force truth side
     "join_size_estimate",   # bounded 4×512-cell CMS grid cross (sketch ⋈
                             # sketch is constant-size by construction)
+    "quantile_sketch_eval",  # 1-row stats / ≤4-row target broadcasts
+    "analyze_table_stats",   # 1-row stats × 1-row NDV/k-min crosses per
+                             # column branch
 }
 
 
@@ -489,6 +492,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "token_budget_mix",       # with_grouped_cumsum's 32-row offsets cumsum
     "length_bucket_batches",  # with_grouped_cumsum's 32-row offsets cumsum
     "domain_cap",             # with_grouped_cumsum's 32-row offsets cumsum
+    "quantile_sketch_eval",   # ≤4096-bin histogram crossing + the exact
+                              # selector's prefix-sum 32-row offsets
 }
 
 
@@ -583,6 +588,7 @@ _ARROW_KERNEL_OK = {
     "retrieval_mrr_eval",     # seq_dot UDF (brute-force truth side)
     "image_ahash_neardup",    # mapInPandas codec (real P6 decode→aHash)
     "dedup_modality_overlap",  # block-NL quantized truth set (mapInPandas)
+    "quantile_sketch_eval",    # with_global_cumsum's narrow local pass
 }
 
 _PY_EVAL = re.compile(

@@ -358,3 +358,44 @@ def test_analyze_table_stats_parity_and_sketch_sanity(spark):
     for r in rows.values():
         assert r["n_nulls"] == 0  # fixture columns are dense
         assert r["n_rows"] >= r["ndv_exact"]
+
+
+def test_quantiles_ignore_nulls_and_clamp_to_observed_max(spark):
+    """ADVICE r14: (1) NULL value rows carry no rank — both quantile
+    sides filter them out, so results equal the NULL-free input's (a
+    NULL counted into _n would inflate k and shift or empty the
+    selection); (2) the histogram estimate is clamped to least(_hi, ·),
+    so the last crossing bin estimates the true maximum instead of
+    overshooting past it (and can never wrap near int64 max)."""
+    from data_engineer_development_spark.operators.sketches import (
+        exact_quantiles,
+        histogram_quantile_estimate,
+    )
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    probs = [(1, 2), (19, 20)]
+    clean = spark.createDataFrame([(v,) for v in vals], "v long")
+    dirty = spark.createDataFrame(
+        [(v,) for v in vals] + [(None,)] * 7, "v long"
+    )
+    for fn in (exact_quantiles, histogram_quantile_estimate):
+        a = {
+            (r["p_num"], r["p_den"]): tuple(r)
+            for r in fn(clean, "v", probs).collect()
+        }
+        b = {
+            (r["p_num"], r["p_den"]): tuple(r)
+            for r in fn(dirty, "v", probs).collect()
+        }
+        assert a == b, fn.__name__
+    # clamp: p=1 targets the max; the raw last-bin formula overshoots
+    # (lo + (bin+1)*width - 1 > hi unless the span divides evenly),
+    # least(_hi, .) pins it to the observed maximum exactly
+    est = histogram_quantile_estimate(clean, "v", [(1, 1)], bins=7)
+    assert est.collect()[0]["est"] == max(vals)
+    # near-int64-max sentinel: the unclamped product wrapped negative
+    big = spark.createDataFrame(
+        [(2**63 - 2,), (2**63 - 100,)], "v long"
+    )
+    r = histogram_quantile_estimate(big, "v", [(1, 1)], bins=4096).collect()
+    assert r[0]["est"] == 2**63 - 2

@@ -238,3 +238,86 @@ def test_orphan_files_reports_uncommitted_debris_only(spark):
         assert os.path.exists(os.path.join(base, "data", "debris"))  # report only
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_deletion_vectors_are_file_scoped(spark):
+    """ADVICE r14 (medium): a vector logged against file A masks only
+    A's rows — a sibling live file B sharing key values keeps every
+    row. The earlier table-wide anti-join deleted x=1 from BOTH files;
+    file-scoped semantics (the Delta/Iceberg contract the docstring
+    claims) keep B's x=1 alive."""
+    from data_engineer_development_spark.operators.snapshots import (
+        append_deletion_vector,
+        append_snapshot,
+        read_asof,
+    )
+
+    base = _base()
+    try:
+        a = spark.createDataFrame([(1, "a"), (2, "a")], "x long, src string")
+        b = spark.createDataFrame([(1, "b"), (3, "b")], "x long, src string")
+        append_snapshot(spark, base, 1, {"fa": a, "fb": b})
+        dels = spark.createDataFrame([(1,)], "x long")
+        append_deletion_vector(spark, base, 2, "fa", dels, "x")
+        rows = sorted(
+            (r["x"], r["src"])
+            for r in read_asof(spark, base, 2, dv_key="x").collect()
+        )
+        # fa loses x=1; fb's x=1 SURVIVES (file-scoped, not table-wide)
+        assert rows == [(1, "b"), (2, "a"), (3, "b")]
+        # v1 still sees all four rows
+        assert len(read_asof(spark, base, 1).collect()) == 4
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_never_committed_table_reads_as_empty_log(spark):
+    """ADVICE r14: a base_dir whose _log was never written is a valid
+    zero-commit table state — snapshot_log is empty, live_files is [],
+    orphan_files reports the debris (its exact first-commit-crash use
+    case), and read_asof raises its NAMED no-live-files error instead
+    of a raw PATH_NOT_FOUND AnalysisException."""
+    import os
+
+    from data_engineer_development_spark.operators.snapshots import (
+        live_files,
+        orphan_files,
+        read_asof,
+        snapshot_log,
+    )
+
+    base = _base()
+    try:
+        # writer died before its very first commit: data dir, no _log
+        spark.createDataFrame([(1,)], "x long").write.parquet(
+            os.path.join(base, "data", "debris")
+        )
+        assert snapshot_log(spark, base).count() == 0
+        assert live_files(spark, base, 99) == []
+        assert orphan_files(spark, base) == ["debris"]
+        with pytest.raises(ValueError, match="no live files"):
+            read_asof(spark, base, 99)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_snapshot_vacuum_audit_oracle_parity(spark):
+    """Registered r15 (VERDICT r14 #5): hash-exact parity at both
+    fixture SFs — expired files report zero recoverable rows, live
+    files' read-back equals the closed-form %4 slices (the vacuum
+    dropped exactly the unreachable bytes and nothing else)."""
+    from data_engineer_development_spark.queries.warehouse_ops import (
+        _VACUUM_AUDIT_SQL,
+        q_snapshot_vacuum_audit,
+    )
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark,
+            sf_dir,
+            "snapshot_vacuum_audit",
+            q_snapshot_vacuum_audit,
+            _VACUUM_AUDIT_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"

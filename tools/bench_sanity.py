@@ -77,6 +77,18 @@ def main() -> int:
               f"repeats {new.get('repeats')} (budget valve tripped)")
 
     anchors = _anchors()
+    # Calibration brackets (VERDICT r14 #6): bench.py records a
+    # pricing_summary min-of-3 before and after the sweep; either side
+    # far above the anchor marks the whole sweep machine-detectably
+    # degraded — flag it as a single artifact-level finding.
+    cal_anchor = anchors.get("pricing_summary")
+    for side in ("calibration_pre", "calibration_post"):
+        cal = new.get(side)
+        if cal is not None and cal_anchor and cal / cal_anchor > FLAG_RATIO:
+            print(f"FLAG: {side} {cal:.2f}s = {cal / cal_anchor:.2f}x the "
+                  f"pricing_summary anchor {cal_anchor:.2f}s — the box was "
+                  "degraded during this sweep; treat every flag below as "
+                  "environmental until re-measured on a clean box")
     missing = sorted(set(q) - set(anchors))
     if missing:
         print(f"FLAG: {len(missing)} queries lack a BASELINE.md anchor: "

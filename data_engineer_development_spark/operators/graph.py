@@ -328,3 +328,70 @@ def label_propagation(
             .select("node", F.col("b.l").alias("lbl"))
         )
     return labels
+
+
+def count_triangles(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Exact triangle count via DEGREE-ORDERED ORIENTATION — the standard
+    distributed-scale algorithm (Cohen's MapReduce formulation; the
+    Suri–Vassilvitskii "last reducer" fix): orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one, enumerate
+    wedges u→v, u→w only from each node's OUT-neighborhood, and close
+    them against the oriented edge set. Orientation bounds every node's
+    out-degree by O(√m) regardless of how skewed the raw degree
+    distribution is — the celebrity node that would generate deg²
+    wedges under naive enumeration generates almost none, because high-
+    degree endpoints RECEIVE edges rather than emit them. Total wedge
+    work is O(m^1.5) worst-case and far less on real graphs; every step
+    is an equi-join or aggregate on node keys (AQE handles residual
+    skew), nothing collects to the driver.
+
+    Input may contain duplicates, self-loops, or both directions of an
+    edge — canonicalized to distinct undirected a<b pairs first. Each
+    triangle is counted exactly once (its three edges map to exactly one
+    (u→v, u→w, v→w) oriented wedge-closure). Returns a 1-row frame
+    (n_nodes, n_edges, n_triangles), all BIGINT.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))  # drops self-loops
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # total order (degree, id) — ties broken by id, so orientation is
+    # deterministic and acyclic
+    withdeg = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o1 = oriented.select(F.col("u").alias("w_u"), F.col("v").alias("w_v1"))
+    o2 = oriented.select(F.col("u").alias("w_u"), F.col("v").alias("w_v2"))
+    # wedges from each out-neighborhood, half-enumerated (v1 < v2); the
+    # closing edge may run in either orientation between v1 and v2
+    wedges = o1.join(o2, "w_u").filter(F.col("w_v1") < F.col("w_v2"))
+    closure = oriented.select(
+        F.least("u", "v").alias("w_v1"), F.greatest("u", "v").alias("w_v2")
+    )
+    tri = wedges.join(closure, ["w_v1", "w_v2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = e.agg(F.count(F.lit(1)).alias("n_edges")).join(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return stats.join(tri).select("n_nodes", "n_edges", "n_triangles")

@@ -20,6 +20,7 @@ from data_engineer_development_spark.queries import (
     behavior,
     corpus_ops,
     dedup,
+    dq,
     extras,
     passage_ops,
     pipeline_e2e,
@@ -42,7 +43,7 @@ _MODULES = [
     text_analysis, core, scalar_ops, behavior, analytics,
     timeseries, dedup, similarity, corpus_ops, relational_ext,
     relational_more, quality_rules, scale_patterns,
-    training_mix, sampling, extras, contrastive, sketch_ops,
+    training_mix, sampling, extras, contrastive, sketch_ops, dq,
 ]
 
 # The driver samples the FIRST 50 registry keys each round for its

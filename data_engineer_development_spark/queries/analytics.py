@@ -521,6 +521,119 @@ ORDER BY click_day ASC NULLS FIRST
 """
 
 
+# --------------------------------------------------------------------------
+# Market-basket association rules — STAGED for r16 registration: the
+# classic co-purchase mining workload (support / confidence / lift over
+# part pairs within orders). Pair generation reuses the capped per-order
+# fanout discipline (≤32 distinct parts per order, deterministic, never
+# binds on the fixtures) and is the ONLY super-linear step — bounded
+# C(32,2) per basket; everything after runs on the PAIR-AGGREGATE table
+# (support counts), orders of magnitude smaller than the input. Each
+# ratio is a single IEEE division (or one multiply each side then one
+# division) on exact ints — bit-identical cross-engine. A pair yields
+# BOTH directed rules (x→y and y→x share support but differ in
+# confidence). Registration must add the entry to _CARTESIAN_OK in
+# tests/test_plans.py (the 1-row basket-count N broadcast).
+# --------------------------------------------------------------------------
+_AR_MINSUP = 2
+_AR_CAP = 32
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineer_development_spark.cache import track_persist
+
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    lp = track_persist(
+        lp.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("o").orderBy("p"))
+        )
+        .filter(F.col("rn") <= _AR_CAP)
+        .drop("rn")
+    )
+    n_baskets = lp.agg(
+        F.count_distinct(F.col("o")).alias("n_baskets")
+    )
+    item = lp.groupBy(F.col("p").alias("item")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    pairs = (
+        lp.select("o", F.col("p").alias("x"))
+        .join(lp.select("o", F.col("p").alias("y")), "o")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= _AR_MINSUP)
+    )
+    rules = pairs.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"),
+        "n_both",
+    ).unionByName(
+        pairs.select(
+            F.col("y").alias("antecedent"), F.col("x").alias("consequent"),
+            "n_both",
+        )
+    )
+    return (
+        rules.join(
+            item.select(F.col("item").alias("antecedent"),
+                        F.col("n_item").alias("n_ante")),
+            "antecedent",
+        )
+        .join(
+            item.select(F.col("item").alias("consequent"),
+                        F.col("n_item").alias("n_cons")),
+            "consequent",
+        )
+        .join(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_ante",
+            "n_cons",
+            (F.col("n_both").cast("double") / F.col("n_ante").cast("double"))
+            .alias("confidence"),
+            (
+                (F.col("n_both") * F.col("n_baskets")).cast("double")
+                / (F.col("n_ante") * F.col("n_cons")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+_ASSOC_RULES_SQL = f"""
+WITH lp0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+lp AS (SELECT o, p FROM
+         (SELECT o, p, ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn
+          FROM lp0)
+       WHERE rn <= {_AR_CAP}),
+nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM lp),
+item AS (SELECT p AS item, CAST(COUNT(*) AS BIGINT) AS n_item
+         FROM lp GROUP BY p),
+pairs AS (SELECT a.p AS x, b.p AS y, CAST(COUNT(*) AS BIGINT) AS n_both
+          FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+          GROUP BY a.p, b.p HAVING COUNT(*) >= {_AR_MINSUP}),
+rules AS (SELECT x AS antecedent, y AS consequent, n_both FROM pairs
+          UNION ALL
+          SELECT y, x, n_both FROM pairs)
+SELECT r.antecedent, r.consequent, r.n_both,
+       ia.n_item AS n_ante, ic.n_item AS n_cons,
+       CAST(r.n_both AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+       CAST(r.n_both * nb.n_baskets AS DOUBLE)
+         / CAST(ia.n_item * ic.n_item AS DOUBLE) AS lift
+FROM rules r
+JOIN item ia ON ia.item = r.antecedent
+JOIN item ic ON ic.item = r.consequent
+CROSS JOIN nb
+ORDER BY r.antecedent, r.consequent
+"""
+
+
 QUERIES = {
     "join_star_broadcast": q_join_star_broadcast,
     "top_unshipped_orders": q_top_unshipped_orders,

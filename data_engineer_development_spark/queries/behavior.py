@@ -333,6 +333,204 @@ FROM l3 GROUP BY lbl ORDER BY community
 """
 
 
+# --------------------------------------------------------------------------
+# Batch gap sessionization — STAGED for r16 registration: the classic
+# event-table operator the engine so far covers only in streaming form
+# (streaming/windows.session_windows is state-store sessionization at
+# ingest; this is the WAREHOUSE replay over history — rebuilding every
+# session ever, e.g. to backfill a metric the stream never computed).
+# Per user, a new session starts when the gap since the previous event
+# exceeds 30 min; sessions then reduce to per-user stats. Every window
+# is PARTITIONED BY user_id (the scale contract: one hash shuffle on
+# the user key, each user's slice sorts independently — never a global
+# sort), and time arithmetic stays in int64 microseconds
+# (unix_micros / epoch_us) so both engines agree bit-for-bit.
+# --------------------------------------------------------------------------
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn("prev_us", F.lag("us").over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_us").isNull()
+            | ((F.col("us") - F.col("prev_us")) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_ev").alias("n_events"),
+            F.max("n_ev").alias("max_session_events"),
+            F.sum("dur_us").alias("active_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+m AS (SELECT user_id, event_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL THEN 1
+                  WHEN us - LAG(us) OVER w > {_SESSION_GAP_US} THEN 1
+                  ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+per AS (SELECT user_id, sid, COUNT(*) AS n_ev, MAX(us) - MIN(us) AS dur_us
+        FROM s GROUP BY user_id, sid)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+       CAST(SUM(dur_us) AS BIGINT) AS active_us
+FROM per GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Triangle count — STAGED for r16 registration: graph-structure analytics
+# over the part co-purchase graph (parts sharing an order are connected;
+# triangles measure clustering, the base signal for community density and
+# recommendation strength). The ENGINE side runs degree-ordered
+# orientation (operators/graph.count_triangles — O(m^1.5) worst-case
+# wedge work, celebrity-skew-proof by construction); the oracle counts
+# the same triangles by brute three-way self-join, tractable only at
+# fixture scale — the quadratic lives in DuckDB, never in the engine
+# (the image_ahash_neardup discipline). Edge generation caps each
+# order's distinct parts at the 32 lowest (deterministic; never binds on
+# the fixtures — sf0.1 max is 17 — but bounds the per-order C(L,2)
+# fanout against a pathological mega-order at 100 TB), mirrored exactly
+# in the oracle. Registration must add the entry to _CARTESIAN_OK in
+# tests/test_plans.py (the 1-row n_nodes × n_edges × n_triangles stat
+# crosses at the top of count_triangles — never data-scale).
+# --------------------------------------------------------------------------
+_TRI_CAP = 32
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_engineer_development_spark.operators.graph import (
+        count_triangles,
+    )
+
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    capped = (
+        lp.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("o").orderBy("p"))
+        )
+        .filter(F.col("rn") <= _TRI_CAP)
+        .drop("rn")
+    )
+    edges = (
+        capped.select("o", F.col("p").alias("src"))
+        .join(capped.select("o", F.col("p").alias("dst")), "o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return count_triangles(edges)
+
+
+_TRIANGLE_SQL = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+cap AS (SELECT o, p FROM
+          (SELECT o, p, ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn
+           FROM lp)
+        WHERE rn <= {_TRI_CAP}),
+e AS (SELECT DISTINCT a.p AS x, b.p AS y
+      FROM cap a JOIN cap b ON a.o = b.o AND a.p < b.p),
+deg AS (SELECT n FROM (SELECT x AS n FROM e UNION ALL SELECT y FROM e)
+        GROUP BY n),
+tri AS (SELECT COUNT(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+        JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles
+FROM tri
+"""
+
+
+# --------------------------------------------------------------------------
+# Event transition matrix — STAGED for r16 registration: the first-order
+# Markov view of user behavior (P(next event type | current), the
+# population-level sequence model behind churn prediction and
+# next-action recommendation). Per user, each event pairs with its
+# successor via lead() over a PARTITIONED window (one user_id shuffle,
+# the behavior-family contract); the transition counts then collapse to
+# a ≤|types|² matrix — 25 rows here — so the probability division
+# happens on a control-plane-sized frame. p is one IEEE division of two
+# exact int64 counts, bit-identical cross-engine.
+# --------------------------------------------------------------------------
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    steps = ev.withColumn("nxt", F.lead("event_type").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    cnt = steps.groupBy(
+        F.col("event_type").alias("cur"), F.col("nxt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    return (
+        cnt.join(tot, "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            "n_cur",
+            (F.col("n").cast("double") / F.col("n_cur").cast("double"))
+            .alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+s AS (SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS nxt
+      FROM e),
+cnt AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM s
+        WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS n_cur FROM cnt GROUP BY cur)
+SELECT c.cur, c.nxt, c.n, t.n_cur,
+       CAST(c.n AS DOUBLE) / CAST(t.n_cur AS DOUBLE) AS p
+FROM cnt c JOIN tot t ON t.cur = c.cur
+ORDER BY c.cur, c.nxt
+"""
+
+
 QUERIES = {
     "funnel_signup_purchase": q_funnel_signup_purchase,
     "retention_cohorts": q_retention_cohorts,

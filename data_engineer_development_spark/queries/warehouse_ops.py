@@ -1082,6 +1082,78 @@ ORDER BY f.file_id
 """
 
 
+# --------------------------------------------------------------------------
+# CDC latest-wins apply — STAGED for r16 registration: the MERGE INTO /
+# change-data-capture materialization every lakehouse needs (Debezium →
+# Delta/Iceberg ingestion): given an ordered changelog of
+# insert/update/delete ops per key, produce the CURRENT table state —
+# the row with the highest sequence number wins, a trailing delete
+# erases the key. Distinct from scd2_customer_merge (which RETAINS
+# history as validity ranges); this collapses history to the head.
+# Changelog derived closed-form from orders (I for every key at seq 1,
+# U at seq 2 for keys %5=0 adding 1000 cents, D at seq 3 for keys
+# %7=0), so the surviving state is exactly checkable. Engine shape:
+# one hash shuffle — groupBy(key).agg(max_by(payload, seq)) is a
+# partial-aggregable reduction (map-side combine halves the shuffle;
+# an equivalent row_number window would sort every partition instead);
+# the oracle uses the window formulation, proving the two agree.
+# --------------------------------------------------------------------------
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ins = o.select(
+        "k", "pr", F.lit(1).alias("seq"), F.lit("I").alias("op"), "cents"
+    )
+    upd = o.filter(F.col("k") % 5 == 0).select(
+        "k", "pr", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        (F.col("cents") + 1000).alias("cents"),
+    )
+    dels = o.filter(F.col("k") % 7 == 0).select(
+        "k", "pr", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+        F.lit(0).cast("long").alias("cents"),
+    )
+    log = ins.unionByName(upd).unionByName(dels)
+    latest = (
+        log.groupBy("k")
+        .agg(F.max_by(F.struct("op", "pr", "cents"), "seq").alias("b"))
+        .select("k", F.col("b.op").alias("op"), F.col("b.pr").alias("pr"),
+                F.col("b.cents").alias("cents"))
+    )
+    return (
+        latest.filter(F.col("op") != "D")
+        .groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("balance_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_CDC_APPLY_SQL = """
+WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pr,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+log AS (
+    SELECT k, pr, 1 AS seq, 'I' AS op, cents FROM o
+    UNION ALL
+    SELECT k, pr, 2, 'U', cents + 1000 FROM o WHERE k % 5 = 0
+    UNION ALL
+    SELECT k, pr, 3, 'D', CAST(0 AS BIGINT) FROM o WHERE k % 7 = 0),
+latest AS (SELECT k, pr, op, cents,
+                  ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+           FROM log)
+SELECT pr AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS balance_cents
+FROM latest WHERE rn = 1 AND op <> 'D'
+GROUP BY pr ORDER BY pr
+"""
+
+
 QUERIES = {
     "incremental_agg": q_incremental_agg,
     "scd2_customer_merge": q_scd2_customer_merge,

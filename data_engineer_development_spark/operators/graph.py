@@ -353,6 +353,12 @@ def count_triangles(
     (u→v, u→w, v→w) oriented wedge-closure). Returns a 1-row frame
     (n_nodes, n_edges, n_triangles), all BIGINT.
     """
+    # Deliberately NOT persisted: e and oriented appear as repeated
+    # identical subtrees, which Spark's ReuseExchange collapses into one
+    # physical shuffle each — persisting instead FORCES materialization
+    # and breaks pipelining (A/B-measured at sf0.1: persist(e) 17.3 s,
+    # persist both 12.0 s, no persist 8.7 s on the 1.16M-edge
+    # co-purchase graph).
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),

@@ -254,3 +254,48 @@ def test_event_transitions_rows_are_a_stochastic_matrix(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["n"] for r in rows) == n_events - n_users
+
+
+def test_staged_plans_carry_no_silent_scale_killers(spark):
+    """Pre-registration plan sweep (the registered-surface sweep in
+    test_plans.py picks these up only at r16 registration): every
+    window PARTITIONED, no row-at-a-time Python anywhere, and the only
+    nested-loop joins are triangle_count's and assoc_rules' documented
+    1-row stat crosses (their _CARTESIAN_OK entries-to-be)."""
+    from data_engineer_development_spark.queries.analytics import (
+        q_assoc_rules,
+    )
+    from data_engineer_development_spark.queries.behavior import (
+        q_event_transitions,
+        q_sessionize_events,
+        q_triangle_count,
+    )
+    from data_engineer_development_spark.queries.dq import q_dq_expectations
+    from data_engineer_development_spark.queries.warehouse_ops import (
+        q_cdc_apply,
+    )
+    from tests.test_plans import _unpartitioned_windows
+
+    cartesian_ok = {"triangle_count", "assoc_rules"}
+    bad = []
+    for name, fn in [
+        ("sessionize_events", q_sessionize_events),
+        ("cdc_apply", q_cdc_apply),
+        ("dq_expectations", q_dq_expectations),
+        ("triangle_count", q_triangle_count),
+        ("assoc_rules", q_assoc_rules),
+        ("event_transitions", q_event_transitions),
+    ]:
+        qe = fn(spark, SF_CORRECT)._jdf.queryExecution()
+        physical = qe.executedPlan().toString()
+        optimized = qe.optimizedPlan().toString()
+        if _unpartitioned_windows(optimized):
+            bad.append(f"{name}: unpartitioned window")
+        if "BatchEvalPython" in physical:
+            bad.append(f"{name}: row-at-a-time Python UDF")
+        if name not in cartesian_ok and (
+            "CartesianProduct" in physical
+            or "BroadcastNestedLoopJoin" in physical
+        ):
+            bad.append(f"{name}: cartesian/nested-loop")
+    assert not bad, bad

@@ -1036,12 +1036,20 @@ def q_snapshot_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         live = live_files(spark, base, 2**62)
         parts = []
         if dropped:
+            # JVM literal, not createDataFrame: a Python-rows frame costs
+            # a multi-second Python-RDD task when this union executes
+            # (operators/snapshots._log_rows_df documents the measurement)
             parts.append(
-                spark.createDataFrame(
-                    [(fid, "expired", 0) for fid in dropped],
-                    "file_id string, status string, n_rows long",
-                ).select(
-                    "file_id", "status", "n_rows",
+                spark.range(1)
+                .select(
+                    F.explode(
+                        F.array(*[F.lit(fid) for fid in dropped])
+                    ).alias("file_id")
+                )
+                .select(
+                    "file_id",
+                    F.lit("expired").alias("status"),
+                    F.lit(0).cast("long").alias("n_rows"),
                     F.lit(0.0).alias("revenue"),
                 )
             )

@@ -511,6 +511,93 @@ def _analyze_stats_sql(
 # REGISTERED r14 (staged r13 with tri-SF + ANSI-on parity per the
 # COVERAGE.md inventory discipline; VERDICT r13 #1 leads with these —
 # the genuinely 100 TB-shaped constant-size-shuffle sketches).
+# --------------------------------------------------------------------------
+# Per-group exact quantiles — STAGED for r16 registration: the GROUPED
+# generalization of exact_quantiles (quantile_sketch_eval grades the
+# global selector; real warehouse asks are per-segment: median price by
+# return flag). Same two-phase distributed selection, but the prefix
+# sum PARTITIONS BY the group key, so it's a window over the VALUE-
+# KEYED COUNT TABLE (|distinct values per group| rows — never the raw
+# input) and each group's slice sorts independently. Rank targets are
+# exact rationals k = ceil(p·n_g) per group; integer arithmetic end to
+# end, so rows hash cross-engine. The probs dimension is a JVM literal
+# (the _log_rows_df lesson — no Python-rows frames on the hot path).
+# Registration must add the entry to _CARTESIAN_OK in tests/test_plans.py
+# (the |groups|×|probs| rank-target cross — 3×2 rows here).
+# --------------------------------------------------------------------------
+_GQ_PROBS = [(1, 2), (9, 10)]
+
+
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("val"),
+    )
+    cnt = li.groupBy("grp", "val").agg(F.count(F.lit(1)).alias("c"))
+    n_g = li.groupBy("grp").agg(F.count(F.lit(1)).alias("n_g"))
+    probs = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).cast("int").alias("p_num"),
+                            F.lit(d).cast("int").alias("p_den"),
+                        )
+                        for n, d in _GQ_PROBS
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    tgt = n_g.join(F.broadcast(probs)).select(
+        "grp",
+        "p_num",
+        "p_den",
+        F.expr("(p_num * n_g + p_den - 1) div p_den").alias("k"),
+    )
+    w = Window.partitionBy("grp").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cnt.withColumn("cum", F.sum("c").over(w))
+    return (
+        cum.alias("c")
+        .join(
+            F.broadcast(tgt).alias("t"),
+            (F.col("c.grp") == F.col("t.grp")) & (F.col("cum") >= F.col("k")),
+        )
+        .groupBy(F.col("c.grp").alias("grp"), "p_num", "p_den", "k")
+        .agg(F.min("val").alias("q"))
+        .orderBy("grp", "p_num", "p_den")
+    )
+
+
+_GROUPED_QUANTILES_SQL = f"""
+WITH v AS (SELECT l_returnflag AS grp,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS val
+           FROM lineitem),
+cnt AS (SELECT grp, val, COUNT(*) AS c FROM v GROUP BY grp, val),
+ng AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g FROM v GROUP BY grp),
+p(p_num, p_den) AS (VALUES {', '.join(f'({n}, {d})' for n, d in _GQ_PROBS)}),
+tgt AS (SELECT grp, p_num, p_den,
+               (p_num * n_g + p_den - 1) // p_den AS k
+        FROM ng CROSS JOIN p),
+cum AS (SELECT grp, val,
+               SUM(c) OVER (PARTITION BY grp ORDER BY val
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM cnt)
+SELECT t.grp, t.p_num, t.p_den, CAST(t.k AS BIGINT) AS k,
+       CAST(MIN(c.val) AS BIGINT) AS q
+FROM cum c JOIN tgt t ON t.grp = c.grp AND c.cum >= t.k
+GROUP BY t.grp, t.p_num, t.p_den, t.k
+ORDER BY t.grp, t.p_num, t.p_den
+"""
+
+
 QUERIES: dict = {
     "cms_freq": q_cms_freq,
     "bloom_prune_eval": q_bloom_prune_eval,

@@ -271,12 +271,17 @@ def test_staged_plans_carry_no_silent_scale_killers(spark):
         q_triangle_count,
     )
     from data_engineer_development_spark.queries.dq import q_dq_expectations
+    from data_engineer_development_spark.queries.sketch_ops import (
+        q_grouped_quantiles,
+    )
     from data_engineer_development_spark.queries.warehouse_ops import (
         q_cdc_apply,
     )
     from tests.test_plans import _unpartitioned_windows
 
-    cartesian_ok = {"triangle_count", "assoc_rules"}
+    # triangle/assoc: documented 1-row stat crosses; grouped_quantiles:
+    # the |groups|×|probs| rank-target cross (3×2 rows)
+    cartesian_ok = {"triangle_count", "assoc_rules", "grouped_quantiles"}
     bad = []
     for name, fn in [
         ("sessionize_events", q_sessionize_events),
@@ -285,6 +290,7 @@ def test_staged_plans_carry_no_silent_scale_killers(spark):
         ("triangle_count", q_triangle_count),
         ("assoc_rules", q_assoc_rules),
         ("event_transitions", q_event_transitions),
+        ("grouped_quantiles", q_grouped_quantiles),
     ]:
         qe = fn(spark, SF_CORRECT)._jdf.queryExecution()
         physical = qe.executedPlan().toString()
@@ -299,3 +305,82 @@ def test_staged_plans_carry_no_silent_scale_killers(spark):
         ):
             bad.append(f"{name}: cartesian/nested-loop")
     assert not bad, bad
+
+
+def test_count_triangles_matches_bruteforce_on_random_graphs(spark):
+    """Property check (seeded enumeration, no Spark-per-example
+    hypothesis overhead): on a batch of small random graphs the
+    orientation count equals the itertools brute force — the
+    whole-algorithm analogue of the crafted K4/star pins."""
+    import itertools
+    import random
+
+    from data_engineer_development_spark.operators.graph import (
+        count_triangles,
+    )
+
+    rng = random.Random(42)
+    for trial in range(6):
+        n = rng.randint(4, 11)
+        density = rng.choice([0.2, 0.4, 0.7])
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(n)
+            if a < b and rng.random() < density
+        ]
+        if not edges:
+            continue
+        eset = set(edges)
+        expected = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if (a, b) in eset and (a, c) in eset and (b, c) in eset
+        )
+        # feed noisy duplicates/reversals too
+        noisy = edges + [(b, a) for a, b in edges if rng.random() < 0.5]
+        got = count_triangles(
+            spark.createDataFrame(noisy, "src long, dst long")
+        ).collect()[0]["n_triangles"]
+        assert got == expected, (trial, n, density, expected, got)
+
+
+def test_grouped_quantiles_oracle_parity(spark):
+    from data_engineer_development_spark.queries.sketch_ops import (
+        _GROUPED_QUANTILES_SQL,
+        q_grouped_quantiles,
+    )
+
+    _parity(
+        spark, "grouped_quantiles", q_grouped_quantiles,
+        _GROUPED_QUANTILES_SQL,
+    )
+
+
+def test_grouped_quantiles_match_per_group_sorted_selection(spark):
+    """Each (group, p) row equals the value at 1-based rank ceil(p*n_g)
+    of THAT group's sorted multiset — recomputed here by literally
+    sorting each group's values driver-side at the small fixture SF."""
+    from data_engineer_development_spark.queries.sketch_ops import (
+        _GQ_PROBS,
+        q_grouped_quantiles,
+    )
+    from data_engineer_development_spark.sources import load_table
+
+    got = {
+        (r["grp"], r["p_num"], r["p_den"]): (r["k"], r["q"])
+        for r in q_grouped_quantiles(spark, SF_SMOKE).collect()
+    }
+    vals: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", F.round(F.col("l_extendedprice") * 100)
+                .cast("long").alias("v"))
+        .collect()
+    ):
+        vals.setdefault(r["l_returnflag"], []).append(r["v"])
+    for grp, vs in vals.items():
+        vs.sort()
+        for num, den in _GQ_PROBS:
+            k = -(-num * len(vs) // den)
+            assert got[(grp, num, den)] == (k, vs[k - 1]), (grp, num, den)

@@ -1,3 +1,6 @@
+from data_engineer_development_spark.functions.frames import (  # noqa: F401
+    jvm_rows_df,
+)
 from data_engineer_development_spark.functions.scalars import (  # noqa: F401
     dsum,
     davg,

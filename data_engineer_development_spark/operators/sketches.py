@@ -218,7 +218,12 @@ def _rank_targets(spark, probs: list[tuple[int, int]], stats: DataFrame):
     non-negative, so Spark's truncating ``div`` equals DuckDB's
     flooring ``//``). ``stats`` must carry ``_n`` (and is a 1-row
     broadcast)."""
-    probs_df = spark.createDataFrame(list(probs), "p_num int, p_den int")
+    # JVM literal, not createDataFrame: this frame executes inside every
+    # quantile run and a Python-rows frame pays the multi-second
+    # Python-RDD worker round-trip (functions.frames / review r15)
+    from data_engineer_development_spark.functions import jvm_rows_df
+
+    probs_df = jvm_rows_df(spark, "p_num int, p_den int", list(probs))
     return probs_df.join(F.broadcast(stats)).select(
         "p_num",
         "p_den",
@@ -287,12 +292,14 @@ def histogram_quantile_estimate(
     purpose: the naive ``(v − lo)·bins`` numerator overflows int64 for
     spans past 2^63/bins (e.g. nanosecond epochs), wrapping negative in
     non-ANSI Spark while DuckDB raises (review r14); ``v − lo ≤ span``
-    can't overflow, and the estimate is clamped to ``least(_hi, ·)``
-    so the raw ``lo + (bin + 1)·width − 1`` — which can reach
-    ``hi + bins`` and wrap negative when hi sits within ``bins`` of
-    int64 max, e.g. a sentinel Long.MAX (ADVICE r14) — never leaves
-    the observed range; the clamp also TIGHTENS the last bin's
-    estimate to the true maximum. The ≤``bins``-counter histogram caps
+    can't overflow, and the estimate is computed OVERFLOW-FREE as
+    ``lo + bin·width + least(width − 1, (hi − lo) − bin·width)`` —
+    algebraically ``min(hi, lo + (bin+1)·width − 1)``, but with every
+    intermediate bounded by ``hi``: the crossing bin comes from the
+    histogram, so ``bin·width ≤ hi − lo`` always (review r15 — a
+    ``least(hi, raw)`` clamp still evaluated the raw term first,
+    which wraps past int64 when hi sits near Long.MAX). The form also
+    TIGHTENS the last bin's estimate to the true maximum. The ≤``bins``-counter histogram caps
     every map task's shuffle regardless of input size, the cumulative
     crossing runs over the BOUNDED histogram (an unpartitioned window
     over ≤ bins rows — the range_partition_plan class, never the raw
@@ -333,8 +340,9 @@ def histogram_quantile_estimate(
             "p_num",
             "p_den",
             "k",
-            F.expr(f"least(_hi, _lo + (_bin + 1) * {width} - 1)").alias(
-                "est"
-            ),
+            F.expr(
+                f"_lo + _bin * {width} + "
+                f"least({width} - 1, (_hi - _lo) - _bin * {width})"
+            ).alias("est"),
         )
     )

@@ -47,25 +47,12 @@ def _log_rows_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
     ONE log row vs 0.26 s for a JVM literal plan — the entire write
     dominance of the snapshot e2e queries traced to exactly this), so
     the commit path builds the rows as an exploded struct-array literal
-    instead: one JVM-only task, no Python execution anywhere."""
-    if not rows:
-        return spark.range(0).select(
-            F.col("id").alias("version"),
-            F.lit("").alias("action"),
-            F.lit("").alias("file_id"),
-        )
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(v)).cast("long").alias("version"),
-                F.lit(a).alias("action"),
-                F.lit(f).alias("file_id"),
-            )
-            for v, a, f in rows
-        ]
-    )
-    return (
-        spark.range(1).select(F.explode(arr).alias("r")).select("r.*")
+    instead (functions.frames.jvm_rows_df): one JVM-only task, no
+    Python execution anywhere."""
+    from data_engineer_development_spark.functions import jvm_rows_df
+
+    return jvm_rows_df(
+        spark, _LOG_SCHEMA, [(int(v), a, f) for v, a, f in rows]
     )
 
 

@@ -600,9 +600,22 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cons",
             (F.col("n_both").cast("double") / F.col("n_ante").cast("double"))
             .alias("confidence"),
+            # division-first: the int64 products n_both·n_baskets /
+            # n_ante·n_cons overflow at 100 TB basket counts (review
+            # r15 — the r14 histogram-binning overflow class). The
+            # denominators are canonicalized least/greatest so BOTH
+            # rule directions run the identical three-op IEEE sequence
+            # — lift stays bit-exactly symmetric (a naive
+            # (n/na)·(N/nc) rounds differently per direction)
             (
-                (F.col("n_both") * F.col("n_baskets")).cast("double")
-                / (F.col("n_ante") * F.col("n_cons")).cast("double")
+                (
+                    F.col("n_both").cast("double")
+                    / F.least("n_ante", "n_cons").cast("double")
+                )
+                * (
+                    F.col("n_baskets").cast("double")
+                    / F.greatest("n_ante", "n_cons").cast("double")
+                )
             ).alias("lift"),
         )
         .orderBy("antecedent", "consequent")
@@ -627,8 +640,10 @@ rules AS (SELECT x AS antecedent, y AS consequent, n_both FROM pairs
 SELECT r.antecedent, r.consequent, r.n_both,
        ia.n_item AS n_ante, ic.n_item AS n_cons,
        CAST(r.n_both AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
-       CAST(r.n_both * nb.n_baskets AS DOUBLE)
-         / CAST(ia.n_item * ic.n_item AS DOUBLE) AS lift
+       (CAST(r.n_both AS DOUBLE)
+          / CAST(LEAST(ia.n_item, ic.n_item) AS DOUBLE))
+         * (CAST(nb.n_baskets AS DOUBLE)
+              / CAST(GREATEST(ia.n_item, ic.n_item) AS DOUBLE)) AS lift
 FROM rules r
 JOIN item ia ON ia.item = r.antecedent
 JOIN item ic ON ic.item = r.consequent

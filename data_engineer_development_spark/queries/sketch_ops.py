@@ -349,7 +349,9 @@ crossing AS (SELECT t.p_num, t.p_den, t.k, t.lo, t.hi,
              FROM hc JOIN t ON hc.cum >= t.k
              GROUP BY t.p_num, t.p_den, t.k, t.lo, t.hi),
 est AS (SELECT p_num, p_den, k,
-               LEAST(hi, lo + (bin + 1) * ((hi - lo + {bins}) // {bins}) - 1)
+               lo + bin * ((hi - lo + {bins}) // {bins})
+                  + LEAST(((hi - lo + {bins}) // {bins}) - 1,
+                          (hi - lo) - bin * ((hi - lo + {bins}) // {bins}))
                  AS est
         FROM crossing),
 cnt AS (SELECT cents AS val, COUNT(*) AS c FROM v GROUP BY cents),
@@ -535,25 +537,18 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("val"),
     )
-    cnt = li.groupBy("grp", "val").agg(F.count(F.lit(1)).alias("c"))
-    n_g = li.groupBy("grp").agg(F.count(F.lit(1)).alias("n_g"))
-    probs = (
-        spark.range(1)
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(n).cast("int").alias("p_num"),
-                            F.lit(d).cast("int").alias("p_den"),
-                        )
-                        for n, d in _GQ_PROBS
-                    ]
-                )
-            ).alias("r")
-        )
-        .select("r.*")
+    from data_engineer_development_spark.cache import track_persist
+
+    # ONE input scan (review r15): n_g re-derives from the value-keyed
+    # count table instead of a second full-input aggregate — the same
+    # shared-control-scan discipline as q_quantile_sketch_eval
+    cnt = track_persist(
+        li.groupBy("grp", "val").agg(F.count(F.lit(1)).alias("c"))
     )
+    n_g = cnt.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    from data_engineer_development_spark.functions import jvm_rows_df
+
+    probs = jvm_rows_df(spark, "p_num int, p_den int", _GQ_PROBS)
     tgt = n_g.join(F.broadcast(probs)).select(
         "grp",
         "p_num",

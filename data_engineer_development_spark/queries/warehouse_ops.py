@@ -1034,19 +1034,17 @@ def q_snapshot_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_snapshot(spark, base, 3, {"f3": orders.filter(m == 3)})
         dropped = expire_versions(spark, base, 2)
         live = live_files(spark, base, 2**62)
+        from data_engineer_development_spark.functions import jvm_rows_df
+
         parts = []
         if dropped:
             # JVM literal, not createDataFrame: a Python-rows frame costs
             # a multi-second Python-RDD task when this union executes
-            # (operators/snapshots._log_rows_df documents the measurement)
+            # (functions.frames documents the measurement)
             parts.append(
-                spark.range(1)
-                .select(
-                    F.explode(
-                        F.array(*[F.lit(fid) for fid in dropped])
-                    ).alias("file_id")
-                )
-                .select(
+                jvm_rows_df(
+                    spark, "file_id string", [(fid,) for fid in dropped]
+                ).select(
                     "file_id",
                     F.lit("expired").alias("status"),
                     F.lit(0).cast("long").alias("n_rows"),
@@ -1058,7 +1056,12 @@ def q_snapshot_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.read.parquet(os.path.join(base, "data", fid))
                 .agg(
                     F.count(F.lit(1)).alias("n_rows"),
-                    dsum("o_totalprice", "revenue"),
+                    # coalesce mirrors the oracle's COALESCE(SUM(..),0):
+                    # a live file with zero rows must read revenue 0.0,
+                    # not NULL (review r15)
+                    F.coalesce(
+                        dsum("o_totalprice", "revenue"), F.lit(0.0)
+                    ).alias("revenue"),
                 )
                 .select(
                     F.lit(fid).alias("file_id"),

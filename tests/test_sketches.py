@@ -390,12 +390,20 @@ def test_quantiles_ignore_nulls_and_clamp_to_observed_max(spark):
         assert a == b, fn.__name__
     # clamp: p=1 targets the max; the raw last-bin formula overshoots
     # (lo + (bin+1)*width - 1 > hi unless the span divides evenly),
-    # least(_hi, .) pins it to the observed maximum exactly
+    # the bounded form pins it to the observed maximum exactly
     est = histogram_quantile_estimate(clean, "v", [(1, 1)], bins=7)
     assert est.collect()[0]["est"] == max(vals)
-    # near-int64-max sentinel: the unclamped product wrapped negative
+    # near-int64-max sentinel with a WIDE span (review r15: the narrow
+    # {max-2, max-100} case had width 1 and never overflowed, so it
+    # passed even with the broken least(hi, raw) clamp whose raw term
+    # lo + (bin+1)*width - 1 wraps past int64 here: width = 245,
+    # crossing bin 4081, raw = 2^63 + 88)
     big = spark.createDataFrame(
-        [(2**63 - 2,), (2**63 - 100,)], "v long"
+        [(2**63 - 1 - 1_000_000,), (2**63 - 1,)], "v long"
     )
-    r = histogram_quantile_estimate(big, "v", [(1, 1)], bins=4096).collect()
-    assert r[0]["est"] == 2**63 - 2
+    rows = histogram_quantile_estimate(
+        big, "v", [(1, 2), (1, 1)], bins=4096
+    ).collect()
+    by_p = {(r["p_num"], r["p_den"]): r["est"] for r in rows}
+    assert by_p[(1, 1)] == 2**63 - 1  # est(max) == observed max, no wrap
+    assert 0 < by_p[(1, 2)] <= 2**63 - 1  # one-sided, in range

@@ -34,7 +34,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_LOG_SCHEMA = "version long, action string, file_id string"
+#: ``schema`` is the committed file's Spark schema (simpleString) for
+#: ``add`` actions, '' otherwise — captured at COMMIT time so readers
+#: detect schema divergence from the manifest alone, never by opening
+#: parquet footers (the Iceberg metadata-tracked-schema move)
+_LOG_SCHEMA = "version long, action string, file_id string, schema string"
 
 #: the single column every deletion-vector file carries
 _DV_COL = "_dv_key"
@@ -52,7 +56,7 @@ def _log_rows_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
     from data_engineer_development_spark.functions import jvm_rows_df
 
     return jvm_rows_df(
-        spark, _LOG_SCHEMA, [(int(v), a, f) for v, a, f in rows]
+        spark, _LOG_SCHEMA, [(int(v), a, f, s) for v, a, f, s in rows]
     )
 
 
@@ -76,9 +80,10 @@ def append_snapshot(
         # mode("error"): file_ids are immutable — a re-used id is a
         # caller bug that must fail loudly, not silently append
         df.write.mode("error").parquet(os.path.join(base_dir, "data", fid))
-    rows = [(version, "add", fid) for fid in sorted(adds)] + [
-        (version, "remove", fid) for fid in sorted(removes)
-    ]
+    rows = [
+        (version, "add", fid, adds[fid].schema.simpleString())
+        for fid in sorted(adds)
+    ] + [(version, "remove", fid, "") for fid in sorted(removes)]
     _log_rows_df(spark, rows).coalesce(1).write.mode("append").parquet(
         os.path.join(base_dir, "_log")
     )
@@ -201,9 +206,9 @@ def append_deletion_vector(
     keys.select(F.col(key_col).alias(_DV_COL)).write.mode("error").parquet(
         os.path.join(base_dir, "dv", f"{file_id}@{version}")
     )
-    _log_rows_df(spark, [(version, "dv", file_id)]).coalesce(1).write.mode(
-        "append"
-    ).parquet(os.path.join(base_dir, "_log"))
+    _log_rows_df(spark, [(version, "dv", file_id, "")]).coalesce(
+        1
+    ).write.mode("append").parquet(os.path.join(base_dir, "_log"))
 
 
 def read_asof(
@@ -211,6 +216,7 @@ def read_asof(
     base_dir: str,
     version: int,
     dv_key: str | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """The table AS OF ``version`` — a parquet read of exactly the live
     files minus rows deleted by the live files' deletion vectors at or
@@ -226,7 +232,20 @@ def read_asof(
     values). The scan stays one multi-path read for the common case:
     all vector-free live files read together; only files that actually
     carry vectors get their own branch (read that file dir, anti-join
-    exactly its accumulated vectors, union back)."""
+    exactly its accumulated vectors, union back).
+
+    ``merge_schema=True`` is SCHEMA EVOLUTION at read time (the
+    Delta/Iceberg add-column story): live files may carry different
+    column sets — typically pre-evolution files missing columns later
+    versions added — and the reader presents the UNION schema with
+    NULLs where a file predates a column (parquet ``mergeSchema`` on
+    the multi-path scan; ``unionByName(allowMissingColumns)`` across
+    the deletion-vector branches). The default stays STRICT: live
+    files' COMMIT-TIME schemas (logged per add action) are compared
+    from the already-collected manifest — zero parquet footers opened
+    — and divergence raises a named error instead of Spark's silent
+    single-file schema inference, which would NULL-fill or drop the
+    evolved column depending on which file won inference."""
     acts = _actions(spark, base_dir, version)
     added = {r["file_id"] for r in acts if r["action"] == "add"}
     removed = {r["file_id"] for r in acts if r["action"] == "remove"}
@@ -237,6 +256,18 @@ def read_asof(
             f"read_asof: no live files at or before version {version} — "
             "nothing was ever committed there"
         )
+    if not merge_schema:
+        live_schemas = {
+            r["schema"]
+            for r in acts
+            if r["action"] == "add" and r["file_id"] in live
+        }
+        if len(live_schemas) > 1:
+            raise ValueError(
+                "read_asof: live files carry divergent committed schemas "
+                f"({sorted(live_schemas)}) — pass merge_schema=True to "
+                "read the union schema with NULLs for pre-evolution files"
+            )
     dv_by_file: dict[str, list[str]] = {}
     for r in acts:
         if r["action"] == "dv" and r["file_id"] in live:
@@ -249,20 +280,21 @@ def read_asof(
             "dv_key so deleted rows are filtered, not resurrected"
         )
     plain = [f for f in files if f not in dv_by_file]
+    reader = spark.read.option("mergeSchema", str(merge_schema).lower())
     parts: list[DataFrame] = []
     if plain:
         parts.append(
-            spark.read.parquet(
+            reader.parquet(
                 *[os.path.join(base_dir, "data", f) for f in plain]
             )
         )
     for fid in sorted(dv_by_file):
-        df_f = spark.read.parquet(os.path.join(base_dir, "data", fid))
+        df_f = reader.parquet(os.path.join(base_dir, "data", fid))
         keys = spark.read.parquet(*sorted(dv_by_file[fid])).distinct()
         parts.append(
             df_f.join(keys, df_f[dv_key] == keys[_DV_COL], "left_anti")
         )
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=merge_schema)
     return out

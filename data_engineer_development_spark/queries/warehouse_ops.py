@@ -1094,6 +1094,73 @@ ORDER BY f.file_id
 
 
 # --------------------------------------------------------------------------
+# Snapshot schema-evolution read — STAGED for r16 registration: the
+# add-column evolution story INSIDE the versioned reader (the existing
+# schema_evolution_read query proves read-time merge over a plain
+# landing dir; this proves it through the snapshot manifest + time
+# travel): v1 commits a file WITHOUT o_orderpriority (the
+# pre-evolution schema), v2 commits a file WITH it. read_asof(v2,
+# merge_schema=True) presents the union schema — pre-evolution rows
+# read NULL priority, bucketed here as '(pre-evolution)' — while the
+# strict default keeps failing loudly on divergent schemas (pinned in
+# tests). Summary equals the closed-form %2 split of orders.
+# --------------------------------------------------------------------------
+def q_snapshot_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_engineer_development_spark.functions import dsum
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        read_asof,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = os.path.join(tempfile.gettempdir(), f"snape-{uuid.uuid4().hex}")
+    try:
+        m = F.col("o_orderkey") % 2
+        append_snapshot(
+            spark, base, 1,
+            {"f_old": orders.filter(m == 0).select(
+                "o_orderkey", "o_totalprice")},
+        )
+        append_snapshot(
+            spark, base, 2,
+            {"f_new": orders.filter(m == 1).select(
+                "o_orderkey", "o_totalprice", "o_orderpriority")},
+        )
+        out = (
+            read_asof(spark, base, 2, merge_schema=True)
+            .groupBy(
+                F.coalesce(
+                    F.col("o_orderpriority"), F.lit("(pre-evolution)")
+                ).alias("priority")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("o_totalprice", "revenue"),
+            )
+            .orderBy("priority")
+        )
+        # materialize BEFORE the landing dir vanishes
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_SNAPSHOT_EVOLUTION_SQL = """
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+            ELSE '(pre-evolution)' END AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # CDC latest-wins apply — STAGED for r16 registration: the MERGE INTO /
 # change-data-capture materialization every lakehouse needs (Debezium →
 # Delta/Iceberg ingestion): given an ordered changelog of

@@ -64,34 +64,32 @@ _MODULES = [
 # round). Every pair — all entries, regardless of order — stays verified
 # by tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
-    # r15 head (VERDICT r14 #1 + #5): the full 8-entry staged queue
+    # r16 head (VERDICT r15 #1): the full 8-entry staged queue
     # registered — every one with operator + oracle + named tests +
-    # tri-SF ANSI-on parity since r14 staging — plus the new
-    # snapshot_vacuum_audit (the retention-vacuum query surface VERDICT
-    # r14 #5 asked for). New registrations are never-checked and always
-    # precede rotation.
-    "time_travel_read", "deletion_vector_read", "bucketed_join_colocate",
-    "quantile_sketch_eval", "analyze_table_stats", "minhash_est_error",
-    "kfold_balance", "linear_attribution", "snapshot_vacuum_audit",
+    # tri-SF ANSI-on parity since r15 staging. New registrations are
+    # never-checked and always precede rotation.
+    "snapshot_evolution_read", "cdc_apply", "sessionize_events",
+    "triangle_count", "event_transitions", "assoc_rules",
+    "grouped_quantiles", "dq_expectations",
     # rotation (stalest driver evidence first, tools/suggest_front.py):
-    # 41 of the 44-entry r11-latest cohort (VERDICT r14 #3) — the
-    # remaining three (null_safe_join, cube_status_priority, date_funcs)
-    # rotate first in r16, lifting the staleness floor to r12.
-    "kv_store_roundtrip", "multimodal_features", "multimodal_resize",
-    "multimodal_metadata", "column_prune_filter", "funnel_signup_purchase",
-    "retention_cohorts", "latest_event_per_user", "salted_agg_event_types",
-    "top_unshipped_orders", "local_supplier_volume",
-    "anti_join_dormant_customers", "agg_stats_per_nation",
-    "window_topk_per_segment", "window_running_total",
-    "rollup_status_priority", "set_operations", "asof_last_purchase",
-    "tumbling_hourly", "sliding_hourly", "session_windows",
-    "daily_buckets", "stream_dedup_users", "stream_enrich_join",
-    "dedup_exact", "dedup_jaccard", "dedup_minhash_sigs",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
-    "semantic_dedup", "semdedup_recall_eval", "stream_neardup_gate",
-    "semdedup_incremental", "gate_recall_eval", "dedup_incremental",
-    "emb_centroid_by_label", "forecast_revenue", "late_shipment_priority",
-    "ntile_deciles", "winsorized_stats",
+    # the three r11-latest entries first (VERDICT r15 #3 — lifts the
+    # staleness floor to r12), then the r12 cohort stalest-first.
+    "null_safe_join", "cube_status_priority", "date_funcs",
+    "civil_pipeline_e2e", "substring_dedup", "phrase_search",
+    "heavy_hitters", "vocab_coverage", "bpe_pair_counts",
+    "dictionary_encode", "event_anomaly", "snapshot_diff",
+    "fk_integrity", "er_candidate_pairs", "temporal_dim_join",
+    "stream_foreachbatch_upsert", "multimodal_frame_sample",
+    "multimodal_audio_features", "multimodal_image_ahash",
+    "text_normalize", "text_familiarity", "text_length_trim",
+    "supplier_pagerank", "click_attribution", "stream_stream_join",
+    "gapfill_daily", "stream_dedup_within_watermark",
+    "rolling_median_value", "dedup_containment",
+    "stream_neardup_gate_event_ttl", "semdedup_sharded",
+    "dedup_clusters", "dedup_cleaned_corpus", "contamination_check",
+    "emb_quantize", "distinct_kmv", "kmv_merge", "tfidf_top_terms",
+    "pii_mask", "exists_high_quantity", "scalar_subquery_pricey_parts",
+    "grouping_sets_lineitem",
 ]
 
 

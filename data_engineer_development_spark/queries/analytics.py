@@ -668,9 +668,12 @@ QUERIES = {
     "click_attribution": q_click_attribution,
     # registered r15 (staged r14, tri-SF + ANSI-on parity on record)
     "linear_attribution": q_linear_attribution,
+    # registered r16 (staged r15, tri-SF + ANSI-on parity on record)
+    "assoc_rules": q_assoc_rules,
 }
 
 ORACLE = {
+    "assoc_rules": _ASSOC_RULES_SQL,
     "linear_attribution": _LINEAR_ATTRIBUTION_SQL,
     "join_star_broadcast": _JOIN_STAR_BROADCAST_SQL,
     "top_unshipped_orders": _TOP_UNSHIPPED_ORDERS_SQL,

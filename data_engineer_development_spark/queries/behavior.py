@@ -539,9 +539,18 @@ QUERIES = {
     "supplier_pagerank": q_supplier_pagerank,
     # registered r14 (staged r13, tri-SF + ANSI-on parity on record)
     "trading_communities": q_trading_communities,
+    # registered r16 (staged r15, tri-SF + ANSI-on parity on record):
+    # the warehouse behavior-replay trio — batch sessionization, the
+    # triangle clustering signal, and the first-order transition matrix
+    "sessionize_events": q_sessionize_events,
+    "triangle_count": q_triangle_count,
+    "event_transitions": q_event_transitions,
 }
 
 ORACLE = {
+    "sessionize_events": _SESSIONIZE_SQL,
+    "triangle_count": _TRIANGLE_SQL,
+    "event_transitions": _EVENT_TRANSITIONS_SQL,
     "trading_communities": _trading_communities_sql(),
     "funnel_signup_purchase": _FUNNEL_SQL,
     "retention_cohorts": _RETENTION_SQL,

@@ -113,8 +113,7 @@ FROM rows_out ORDER BY check_name
 """
 
 
-#: registered r16 candidates only — dicts stay empty until registration
-#: so the driver window math is untouched this round.
-QUERIES: dict = {}
+# registered r16 (staged r15, tri-SF + ANSI-on parity on record)
+QUERIES: dict = {"dq_expectations": q_dq_expectations}
 
-ORACLE: dict = {}
+ORACLE: dict = {"dq_expectations": _DQ_SQL}

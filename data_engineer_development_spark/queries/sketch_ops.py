@@ -600,9 +600,12 @@ QUERIES: dict = {
     # registered r15 (staged r14, tri-SF + ANSI-on parity on record)
     "quantile_sketch_eval": q_quantile_sketch_eval,
     "analyze_table_stats": q_analyze_table_stats,
+    # registered r16 (staged r15, tri-SF + ANSI-on parity on record)
+    "grouped_quantiles": q_grouped_quantiles,
 }
 
 ORACLE: dict = {
+    "grouped_quantiles": _GROUPED_QUANTILES_SQL,
     "cms_freq": _cms_sql(),
     "bloom_prune_eval": _bloom_sql(),
     "join_size_estimate": _join_size_sql(),

@@ -1256,9 +1256,16 @@ QUERIES = {
     "bucketed_join_colocate": q_bucketed_join_colocate,
     # registered r15 (built this round — VERDICT r14 #5's vacuum surface)
     "snapshot_vacuum_audit": q_snapshot_vacuum_audit,
+    # registered r16 (staged r15, tri-SF + ANSI-on parity on record):
+    # schema evolution over the versioned snapshot log, and CDC
+    # latest-wins MERGE semantics
+    "snapshot_evolution_read": q_snapshot_evolution_read,
+    "cdc_apply": q_cdc_apply,
 }
 
 ORACLE = {
+    "snapshot_evolution_read": _SNAPSHOT_EVOLUTION_SQL,
+    "cdc_apply": _CDC_APPLY_SQL,
     "incremental_join": _INCREMENTAL_JOIN_SQL,
     "time_travel_read": _TIME_TRAVEL_SQL,
     "deletion_vector_read": _DELETION_VECTOR_SQL,

@@ -13,19 +13,37 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def jvm_rows_df(
     spark: SparkSession, schema: str, rows: list[tuple]
 ) -> DataFrame:
     """``createDataFrame(rows, schema)`` semantics without the Python
-    RDD: ``schema`` is the usual ``"name type, name type"`` DDL string
-    (simple types), rows are Python tuples baked in as literals. An
-    empty ``rows`` yields a correctly-typed empty frame."""
-    cols = []
-    for part in schema.split(","):
-        name, typ = part.strip().split(None, 1)
-        cols.append((name, typ.strip()))
+    RDD: ``schema`` is the usual ``"name type, name type"`` DDL string,
+    rows are Python tuples baked in as literals. An empty ``rows``
+    yields a correctly-typed empty frame.
+
+    The DDL goes through the real parser (``StructType.fromDDL``), so
+    parameterized types — ``decimal(10,2)``, ``map<string,long>``,
+    ``struct<...>`` — split correctly; a naive comma split would
+    silently shred them into bogus columns (ADVICE r15). Each row must
+    match the schema arity exactly, mirroring ``createDataFrame``'s
+    fail-at-construction contract rather than a silent ``zip``
+    truncation. Values must be ``F.lit``-able (scalars, Decimal,
+    lists); dict/map values raise Spark's UNSUPPORTED_FEATURE at plan
+    time — a map-bearing frame belongs on the Arrow createDataFrame
+    path, not here."""
+    cols = [
+        (f.name, f.dataType.simpleString())
+        for f in StructType.fromDDL(schema).fields
+    ]
+    for i, row in enumerate(rows):
+        if len(row) != len(cols):
+            raise ValueError(
+                f"jvm_rows_df: row {i} has {len(row)} values, "
+                f"schema has {len(cols)} columns ({schema!r})"
+            )
     if not rows:
         return spark.range(0).select(
             *[F.lit(None).cast(t).alias(n) for n, t in cols]

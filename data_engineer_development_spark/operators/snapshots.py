@@ -97,11 +97,23 @@ def snapshot_log(spark: SparkSession, base_dir: str) -> DataFrame:
     AnalysisException (ADVICE r14): zero committed actions is a valid
     table state, and every downstream surface degrades sensibly from
     it (live_files → [], orphan_files → all on-disk dirs, read_asof →
-    its named no-live-files ValueError)."""
+    its named no-live-files ValueError).
+
+    The never-committed probe catches the READER's PATH_NOT_FOUND
+    rather than pre-checking with ``os.path`` (ADVICE r15): an
+    ``isdir`` probe is always False for non-local URIs (``s3a://``,
+    ``hdfs://``), which would make an EXISTING remote table silently
+    masquerade as empty — the reader's own resolution is
+    filesystem-correct for every scheme."""
     log_dir = os.path.join(base_dir, "_log")
-    if not os.path.isdir(log_dir):
-        return _log_rows_df(spark, [])
-    return spark.read.schema(_LOG_SCHEMA).parquet(log_dir)
+    try:
+        return spark.read.schema(_LOG_SCHEMA).parquet(log_dir)
+    except Exception as e:  # noqa: BLE001 — filtered to PATH_NOT_FOUND below
+        from pyspark.errors import AnalysisException
+
+        if isinstance(e, AnalysisException) and "PATH_NOT_FOUND" in str(e):
+            return _log_rows_df(spark, [])
+        raise
 
 
 def _actions(spark: SparkSession, base_dir: str, version: int) -> list:
@@ -257,16 +269,25 @@ def read_asof(
             "nothing was ever committed there"
         )
     if not merge_schema:
+        # Logs written before the schema column existed read NULL for
+        # it (parquet schema merge NULL-fills) — normalize those to the
+        # explicit "unknown" sentinel '' and EXCLUDE them from the
+        # divergence comparison (ADVICE r15: a {None, str} set crashed
+        # sorted(), and an all-None set silently disabled the check
+        # while looking enabled). Unknown-schema files can't prove
+        # divergence manifest-only; divergence among KNOWN schemas
+        # still fails loudly.
         live_schemas = {
-            r["schema"]
+            r["schema"] or ""
             for r in acts
             if r["action"] == "add" and r["file_id"] in live
         }
-        if len(live_schemas) > 1:
+        known = sorted(s for s in live_schemas if s)
+        if len(known) > 1:
             raise ValueError(
                 "read_asof: live files carry divergent committed schemas "
-                f"({sorted(live_schemas)}) — pass merge_schema=True to "
-                "read the union schema with NULLs for pre-evolution files"
+                f"({known}) — pass merge_schema=True to read the union "
+                "schema with NULLs for pre-evolution files"
             )
     dv_by_file: dict[str, list[str]] = {}
     for r in acts:

@@ -321,3 +321,58 @@ def test_snapshot_vacuum_audit_oracle_parity(spark):
             _VACUUM_AUDIT_SQL,
         )
         assert ok, f"{sf_dir}: {msg}"
+
+
+def test_legacy_log_without_schema_column_reads_strict(spark):
+    """ADVICE r15: logs written before the 4-column _LOG_SCHEMA read
+    NULL for the schema column. Strict (merge_schema=False) reads over
+    a mixed old/new log must neither TypeError on sorted({None, str})
+    nor silently disable the divergence check — unknown schemas are
+    excluded, KNOWN divergence still raises."""
+    import pyspark.sql.functions as F
+
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        read_asof,
+    )
+
+    base = _base()
+    try:
+        # v1: a LEGACY commit — 3-column log row, no schema column
+        df1 = spark.range(3).select(F.col("id").alias("k"))
+        df1.write.parquet(os.path.join(base, "data", "f1"))
+        spark.sql(
+            "SELECT CAST(1 AS LONG) AS version, 'add' AS action, "
+            "'f1' AS file_id"
+        ).coalesce(1).write.mode("append").parquet(
+            os.path.join(base, "_log")
+        )
+        # all-legacy table: strict read works (nothing known to diverge)
+        assert read_asof(spark, base, 1).count() == 3
+
+        # v2: a NEW-format commit with the SAME schema
+        append_snapshot(
+            spark,
+            base,
+            2,
+            adds={"f2": spark.range(2).select(F.col("id").alias("k"))},
+        )
+        # mixed {NULL, known}: strict read must not TypeError
+        assert read_asof(spark, base, 2).count() == 5
+
+        # v3: a KNOWN divergent schema — strict still fails loudly
+        append_snapshot(
+            spark,
+            base,
+            3,
+            adds={
+                "f3": spark.range(1).select(
+                    F.col("id").alias("k"), F.lit("x").alias("extra")
+                )
+            },
+        )
+        with pytest.raises(ValueError, match="divergent committed"):
+            read_asof(spark, base, 3)
+        assert read_asof(spark, base, 3, merge_schema=True).count() == 6
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

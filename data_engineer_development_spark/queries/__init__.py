@@ -71,6 +71,8 @@ _FRONT = [
     "snapshot_evolution_read", "cdc_apply", "sessionize_events",
     "triangle_count", "event_transitions", "assoc_rules",
     "grouped_quantiles", "dq_expectations",
+    # built in-round r16 (VERDICT r15 #6's compaction loop closure)
+    "compaction_apply",
     # rotation (stalest driver evidence first, tools/suggest_front.py):
     # the three r11-latest entries first (VERDICT r15 #3 — lifts the
     # staleness floor to r12), then the r12 cohort stalest-first.
@@ -89,7 +91,6 @@ _FRONT = [
     "dedup_clusters", "dedup_cleaned_corpus", "contamination_check",
     "emb_quantize", "distinct_kmv", "kmv_merge", "tfidf_top_terms",
     "pii_mask", "exists_high_quantity", "scalar_subquery_pricey_parts",
-    "grouping_sets_lineitem",
 ]
 
 

@@ -376,3 +376,121 @@ def test_legacy_log_without_schema_column_reads_strict(spark):
         assert read_asof(spark, base, 3, merge_schema=True).count() == 6
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_plan_compaction_packs_next_fit_and_drops_singletons(spark):
+    """plan_compaction groups the live LISTING next-fit in file_id
+    order; a trailing group left with one member is dropped (rewriting
+    one file buys nothing)."""
+    import pyspark.sql.functions as F
+
+    from data_engineer_development_spark.operators.snapshots import (
+        live_file_sizes,
+        plan_compaction,
+    )
+
+    base = _base()
+    try:
+        from data_engineer_development_spark.operators.snapshots import (
+            append_snapshot,
+        )
+
+        # four files of increasing row counts → increasing byte sizes
+        append_snapshot(
+            spark, base, 1,
+            {
+                f"f{i}": spark.range(n).select(F.col("id").alias("k"))
+                for i, n in enumerate([10, 10, 10, 20000])
+            },
+        )
+        sizes = dict(live_file_sizes(spark, base, 1))
+        assert set(sizes) == {"f0", "f1", "f2", "f3"}
+        assert sizes["f3"] > sizes["f0"] > 0
+
+        # target bigger than everything → one group of all four
+        total = sum(sizes.values())
+        assert plan_compaction(spark, base, 1, total + 1) == [
+            ["f0", "f1", "f2", "f3"]
+        ]
+        # target equal to f3's prior cumsum → f3 crosses into its own
+        # group → a singleton → dropped
+        assert plan_compaction(
+            spark, base, 1, sizes["f0"] + sizes["f1"] + sizes["f2"]
+        ) == [["f0", "f1", "f2"]]
+        with pytest.raises(ValueError, match="target_bytes"):
+            plan_compaction(spark, base, 1, 0)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_apply_compaction_atomic_commit_and_time_travel(spark):
+    """apply_compaction rewrites each group as ONE new file in ONE
+    commit: logical content invariant, file count shrinks, readers at
+    the pre-compaction version still see the OLD file set, and invalid
+    plans (empty, overlapping, singleton, non-live member) fail loudly
+    without committing."""
+    import pyspark.sql.functions as F
+
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        apply_compaction,
+        live_files,
+        read_asof,
+    )
+
+    base = _base()
+    try:
+        append_snapshot(
+            spark, base, 1,
+            {
+                f"f{i}": spark.range(i * 10, i * 10 + 10).select(
+                    F.col("id").alias("k")
+                )
+                for i in range(4)
+            },
+        )
+        new = apply_compaction(spark, base, 2, [["f0", "f1"], ["f2", "f3"]])
+        assert new == ["compact2_0", "compact2_1"]
+        assert live_files(spark, base, 2) == ["compact2_0", "compact2_1"]
+        # pre-compaction version: old file set, untouched
+        assert live_files(spark, base, 1) == ["f0", "f1", "f2", "f3"]
+        rows_v1 = sorted(r["k"] for r in read_asof(spark, base, 1).collect())
+        rows_v2 = sorted(r["k"] for r in read_asof(spark, base, 2).collect())
+        assert rows_v1 == rows_v2 == list(range(40))
+
+        with pytest.raises(ValueError, match="empty plan"):
+            apply_compaction(spark, base, 3, [])
+        with pytest.raises(ValueError, match="singleton"):
+            apply_compaction(spark, base, 3, [["compact2_0"]])
+        with pytest.raises(ValueError, match="more than one group"):
+            apply_compaction(
+                spark, base, 3,
+                [["compact2_0", "compact2_1"], ["compact2_1", "compact2_0"]],
+            )
+        with pytest.raises(ValueError, match="not live"):
+            apply_compaction(spark, base, 3, [["f0", "f1"]])
+        # none of the failed applies committed anything
+        assert live_files(spark, base, 99) == ["compact2_0", "compact2_1"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compaction_apply_oracle_parity(spark):
+    """Registered r16 (VERDICT r15 #6): hash-exact parity at both
+    fixture SFs — v1 and v2 carry identical logical content with file
+    counts 6 → 2."""
+    from data_engineer_development_spark.queries.warehouse_ops import (
+        _COMPACTION_APPLY_SQL,
+        q_compaction_apply,
+    )
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(
+            spark,
+            sf_dir,
+            "compaction_apply",
+            q_compaction_apply,
+            _COMPACTION_APPLY_SQL,
+        )
+        assert ok, f"{sf_dir}: {msg}"

@@ -346,3 +346,84 @@ def histogram_quantile_estimate(
             ).alias("est"),
         )
     )
+
+
+def grouped_histogram_quantiles(
+    counts: DataFrame,
+    grp_col: str,
+    val_col: str,
+    weight_col: str,
+    probs: list[tuple[int, int]],
+    bins: int = QUANTILE_BINS,
+) -> DataFrame:
+    """Per-GROUP one-sided histogram quantile estimates over a
+    value-keyed count table (the approx-percentile-per-group surface,
+    staged r16 — the grouped counterpart of
+    :func:`histogram_quantile_estimate`, sharing its division-first
+    binning and overflow-free estimate form; see that docstring for the
+    int64 reasoning). Takes ``counts`` = (grp, val, weight) — the same
+    one-scan aggregate the exact selector uses, so a paired eval scans
+    the input once — and returns (grp, p_num, p_den, k, est) with
+    k = ceil(p·n_g) per group and est ≥ exact always (one-sided,
+    est − exact < ceil(span_g / bins)).
+
+    Scale shape: per-group (_lo, _hi, n_g) is a grouped agg on the
+    COUNT TABLE; the histogram is ≤ |groups|·bins counters (map-side
+    combinable); the cumulative crossing windows PARTITION BY group
+    over the bounded histogram — no input-sized window, no
+    unpartitioned window, no global sort anywhere."""
+    g, v, c = F.col(grp_col), F.col(val_col), F.col(weight_col)
+    counts = counts.filter(v.isNotNull())
+    stats = counts.groupBy(g.alias("_g")).agg(
+        F.min(v).alias("_lo"),
+        F.max(v).alias("_hi"),
+        F.sum(c).alias("_n"),
+    )
+    width = f"((_hi - _lo + {bins}) div {bins})"
+    binned = counts.join(
+        F.broadcast(stats), g == F.col("_g")
+    ).select(
+        "_g",
+        F.expr(f"least({bins} - 1, ({val_col} - _lo) div {width})").alias(
+            "bin"
+        ),
+        c.alias("_c"),
+    )
+    hist = binned.groupBy("_g", "bin").agg(F.sum("_c").alias("_hc"))
+    wcum = (
+        Window.partitionBy("_g")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hcum = hist.withColumn("_cum", F.sum("_hc").over(wcum))
+    from data_engineer_development_spark.functions import jvm_rows_df
+
+    probs_df = jvm_rows_df(
+        counts.sparkSession, "p_num int, p_den int", list(probs)
+    )
+    tgt = stats.join(F.broadcast(probs_df)).select(
+        F.col("_g").alias("_tg"),
+        "p_num",
+        "p_den",
+        F.expr("(p_num * _n + p_den - 1) div p_den").alias("k"),
+        "_lo",
+        "_hi",
+    )
+    return (
+        hcum.join(
+            F.broadcast(tgt),
+            (F.col("_g") == F.col("_tg")) & (F.col("_cum") >= F.col("k")),
+        )
+        .groupBy("_g", "p_num", "p_den", "k", "_lo", "_hi")
+        .agg(F.min("bin").alias("_bin"))
+        .select(
+            F.col("_g").alias(grp_col),
+            "p_num",
+            "p_den",
+            "k",
+            F.expr(
+                f"_lo + _bin * {width} + least({width} - 1, "
+                f"(_hi - _lo) - _bin * {width})"
+            ).alias("est"),
+        )
+    )

@@ -66,24 +66,50 @@ def append_snapshot(
     version: int,
     adds: dict[str, DataFrame] | None = None,
     removes: list[str] | None = None,
+    dvs: dict[str, DataFrame] | None = None,
+    dv_key: str | None = None,
 ) -> None:
     """Write one snapshot version: materialize each added DataFrame as a
     new immutable file directory, then append the version's add/remove
     actions to the log in one batch (the log append is the COMMIT — a
     reader never sees a half-written version because data dirs land
-    before their log rows exist)."""
+    before their log rows exist).
+
+    ``dvs`` maps surviving file_ids to key frames deleted from them at
+    this version (``dv_key`` names the key column) — logged in the SAME
+    batch as the adds/removes, so a multi-action version (the CDC MERGE
+    shape: rewrite + delete + insert) is atomic at the manifest; the
+    single-action :func:`append_deletion_vector` remains for standalone
+    deletes."""
     adds = adds or {}
     removes = removes or []
-    if not adds and not removes:
-        raise ValueError("append_snapshot: empty version (no adds/removes)")
+    dvs = dvs or {}
+    if dvs and dv_key is None:
+        raise ValueError("append_snapshot: dvs given without dv_key")
+    overlap = set(dvs) & set(removes)
+    if overlap:
+        raise ValueError(
+            f"append_snapshot: dv on removed file(s) {sorted(overlap)} — "
+            "a vector on a file this version removes can never apply"
+        )
+    if not adds and not removes and not dvs:
+        raise ValueError("append_snapshot: empty version (no actions)")
     for fid, df in adds.items():
         # mode("error"): file_ids are immutable — a re-used id is a
         # caller bug that must fail loudly, not silently append
         df.write.mode("error").parquet(os.path.join(base_dir, "data", fid))
-    rows = [
-        (version, "add", fid, adds[fid].schema.simpleString())
-        for fid in sorted(adds)
-    ] + [(version, "remove", fid, "") for fid in sorted(removes)]
+    for fid, keys in dvs.items():
+        keys.select(F.col(dv_key).alias(_DV_COL)).write.mode(
+            "error"
+        ).parquet(os.path.join(base_dir, "dv", f"{fid}@{version}"))
+    rows = (
+        [
+            (version, "add", fid, adds[fid].schema.simpleString())
+            for fid in sorted(adds)
+        ]
+        + [(version, "remove", fid, "") for fid in sorted(removes)]
+        + [(version, "dv", fid, "") for fid in sorted(dvs)]
+    )
     _log_rows_df(spark, rows).coalesce(1).write.mode("append").parquet(
         os.path.join(base_dir, "_log")
     )
@@ -410,3 +436,136 @@ def apply_compaction(
     }
     append_snapshot(spark, base_dir, version, adds=adds, removes=flat)
     return sorted(adds)
+
+
+def merge_cdc(
+    spark: SparkSession,
+    base_dir: str,
+    version: int,
+    upserts: DataFrame | None,
+    delete_keys: DataFrame | None,
+    key_col: str,
+    prefix: str = "m",
+) -> dict:
+    """MERGE a CDC batch into the versioned table as ONE atomic commit
+    (the Debezium→lakehouse apply step, materialized through the
+    snapshot log instead of a table rewrite):
+
+    - **updates** (upsert keys matching a live file) rewrite exactly the
+      files they touch copy-on-write — old file removed, new file
+      ``{prefix}{version}_{fid}`` added with the new row versions;
+    - **inserts** (upsert keys matching NO live file) land together in
+      one new file ``{prefix}{version}_ins``;
+    - **deletes** against files NOT already being rewritten become
+      deletion vectors (no rewrite — key-count-sized); deletes against
+      rewritten files fold into the rewrite itself.
+
+    All actions commit in one log batch (append_snapshot's dvs form),
+    so readers see the whole MERGE or none of it, and reads AS OF any
+    earlier version are untouched. Returns {"rewritten": [...],
+    "inserted": [...], "dv": [...]} for auditing.
+
+    Scale shape: affected-file detection joins the CHANGE KEYS against
+    a key-column-pruned read of the live files (at 100 TB, manifest
+    min/max key stats would prune the candidate file list before any
+    data read — the same pruning read_asof does at file granularity);
+    rewrite cost is exactly the affected files' bytes, never the table.
+    """
+    key = F.col(key_col)
+    up_keys = (
+        upserts.select(key.alias("_k")).distinct() if upserts is not None
+        else None
+    )
+    del_keys = (
+        delete_keys.select(key.alias("_k")).distinct()
+        if delete_keys is not None
+        else None
+    )
+    if up_keys is None and del_keys is None:
+        raise ValueError("merge_cdc: empty batch (no upserts, no deletes)")
+    if up_keys is not None and del_keys is not None:
+        clash = up_keys.join(del_keys, "_k").limit(1).count()
+        if clash:
+            raise ValueError(
+                "merge_cdc: a key appears in both upserts and deletes — "
+                "ambiguous batch order; resolve upstream (latest-wins "
+                "collapse, queries/warehouse_ops.q_cdc_apply)"
+            )
+    live = live_files(spark, base_dir, version - 1)
+    tagged = None
+    for fid in live:
+        part = (
+            spark.read.parquet(os.path.join(base_dir, "data", fid))
+            .select(key.alias("_k"))
+            .withColumn("_fid", F.lit(fid))
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+
+    def _route(keys: DataFrame | None) -> dict[str, DataFrame]:
+        """{fid: keys present in fid} for keys matching a live file."""
+        if keys is None or tagged is None:
+            return {}
+        fids = [
+            r["_fid"]
+            for r in tagged.join(keys, "_k")
+            .select("_fid")
+            .distinct()
+            .collect()  # bounded: ≤ live-file count (manifest scale)
+        ]
+        return {
+            fid: tagged.filter(F.col("_fid") == fid)
+            .join(keys, "_k")
+            .select(F.col("_k").alias(key_col))
+            for fid in sorted(fids)
+        }
+
+    upd_by_file = _route(up_keys)
+    del_by_file = _route(del_keys)
+
+    adds: dict[str, DataFrame] = {}
+    removes: list[str] = []
+    for fid in sorted(upd_by_file):
+        old = spark.read.parquet(os.path.join(base_dir, "data", fid))
+        survivors = old.join(up_keys, old[key_col] == up_keys["_k"],
+                             "left_anti")
+        if fid in del_by_file:
+            # deletes on a file being rewritten fold into the rewrite
+            survivors = survivors.join(
+                del_keys, survivors[key_col] == del_keys["_k"], "left_anti"
+            )
+        fkeys = tagged.filter(F.col("_fid") == fid).select("_k")
+        replaced = upserts.join(
+            fkeys, upserts[key_col] == fkeys["_k"], "left_semi"
+        )
+        adds[f"{prefix}{version}_{fid}"] = survivors.unionByName(replaced)
+        removes.append(fid)
+    inserted: list[str] = []
+    if upserts is not None:
+        matched = (
+            tagged.select("_k").distinct() if tagged is not None else None
+        )
+        ins = (
+            upserts.join(
+                matched, upserts[key_col] == matched["_k"], "left_anti"
+            )
+            if matched is not None
+            else upserts
+        )
+        if ins.limit(1).count():
+            fid = f"{prefix}{version}_ins"
+            adds[fid] = ins
+            inserted.append(fid)
+    dvs = {
+        fid: keys
+        for fid, keys in del_by_file.items()
+        if fid not in upd_by_file
+    }
+    append_snapshot(
+        spark, base_dir, version,
+        adds=adds, removes=removes, dvs=dvs, dv_key=key_col,
+    )
+    return {
+        "rewritten": sorted(upd_by_file),
+        "inserted": inserted,
+        "dv": sorted(dvs),
+    }

@@ -73,6 +73,9 @@ _FRONT = [
     "grouped_quantiles", "dq_expectations",
     # built in-round r16 (VERDICT r15 #6's compaction loop closure)
     "compaction_apply",
+    # folded in-round r16 (VERDICT r15 #7): dial-union schemas are new
+    # to the driver, so both folds re-earn their rows at the head
+    "stream_neardup_gate", "sim_ivf_topk",
     # rotation (stalest driver evidence first, tools/suggest_front.py):
     # the three r11-latest entries first (VERDICT r15 #3 — lifts the
     # staleness floor to r12), then the r12 cohort stalest-first.
@@ -87,10 +90,10 @@ _FRONT = [
     "supplier_pagerank", "click_attribution", "stream_stream_join",
     "gapfill_daily", "stream_dedup_within_watermark",
     "rolling_median_value", "dedup_containment",
-    "stream_neardup_gate_event_ttl", "semdedup_sharded",
+    "semdedup_sharded",
     "dedup_clusters", "dedup_cleaned_corpus", "contamination_check",
     "emb_quantize", "distinct_kmv", "kmv_merge", "tfidf_top_terms",
-    "pii_mask", "exists_high_quantity", "scalar_subquery_pricey_parts",
+    "pii_mask", "exists_high_quantity",
 ]
 
 

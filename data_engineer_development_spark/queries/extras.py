@@ -300,6 +300,23 @@ def q_sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, nprobe=_IVF_NPROBE)
 
 
+def q_sim_ivf_dials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOLDED IVF entry — r16 (VERDICT r15 #7, COVERAGE.md rotation
+    policy rule 4): the 1-probe and multiprobe rows collapse into one
+    parameterized entry, each dial's full plan executed and tagged by
+    its ``nprobe`` — same driver-graded surface, one rotation slot."""
+    parts = [
+        _ivf_topk(spark, sf_dir, nprobe=p).select(
+            F.lit(p).alias("nprobe"), "query_id", "rk", "neighbor_id",
+            "cosine",
+        )
+        for p in (1, _IVF_NPROBE)
+    ]
+    return parts[0].unionByName(parts[1]).orderBy(
+        "nprobe", "query_id", "rk"
+    )
+
+
 def _ivf_ctes(nprobe: int) -> str:
     """Shared WITH-chain: IVF assignment → in-cell ranked candidates
     (reused by the multiprobe and recall-eval oracles). Mirrors
@@ -342,6 +359,14 @@ _IVF_MULTI_SQL = f"""
 WITH {_ivf_ctes(_IVF_NPROBE)}
 SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= {_IVF_TOPK}
 ORDER BY query_id, rk
+"""
+
+# folded-entry oracle: both dial oracles verbatim, nprobe-tagged
+_IVF_DIALS_SQL = f"""
+SELECT 1 AS nprobe, * FROM ({_IVF_SQL}) one
+UNION ALL
+SELECT {_IVF_NPROBE} AS nprobe, * FROM ({_IVF_MULTI_SQL}) multi
+ORDER BY nprobe, query_id, rk
 """
 
 
@@ -561,8 +586,9 @@ ORDER BY promo_id, o_orderkey
 # in rounds 3-4), and the driver samples the registry's first 50 keys
 QUERIES = {
     "token_count_bpe": q_token_count_bpe,
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "sim_ivf_multiprobe": q_sim_ivf_multiprobe,
+    # folded r16 (VERDICT r15 #7): sim_ivf_topk now unions the 1-probe
+    # and multiprobe dials under an nprobe column (was two entries)
+    "sim_ivf_topk": q_sim_ivf_dials,
     "ann_recall_eval": q_ann_recall_eval,
     "range_join_promos": q_range_join_promos,
     "pivot_status": q_pivot_status,
@@ -583,8 +609,7 @@ ORACLE = {
     "cube_status_priority": _CUBE_SQL,
     "date_funcs": _DATE_FUNCS_SQL,
     "token_count_bpe": _TOKEN_BPE_SQL,
-    "sim_ivf_topk": _IVF_SQL,
-    "sim_ivf_multiprobe": _IVF_MULTI_SQL,
+    "sim_ivf_topk": _IVF_DIALS_SQL,
     "ann_recall_eval": _ANN_RECALL_SQL,
 }
 

@@ -889,19 +889,56 @@ FROM u
 """
 
 
-# stream_neardup_gate's REGISTERED shape is the banded tables=2 gate as of
-# r11 (VERDICT r10 #2): the r10 audit measured recall 0.38–0.48 single-table
-# → 0.63–0.72 at tables=2, and gate_recall_eval pins the single-table miss
-# mode driver-checkably. The single-table variant stays available as
-# q_stream_neardup_gate (code + tests + _STREAM_NDGATE_SQL).
+# --------------------------------------------------------------------------
+# FOLDED gate entry — r16 (VERDICT r15 #7, COVERAGE.md rotation policy
+# rule 4): the registry's two gate dial rows (banded tables=2, the r11
+# default; event-time-TTL self-expiry, registered r12) collapse into ONE
+# parameterized entry whose output unions both dials under a `dial`
+# column. Each dial still executes its own REAL streaming run (two
+# run_to_memory_sink stream starts — the kernels, state layouts, and
+# no-data-batch behavior are exactly the old entries'), so folding costs
+# zero driver-graded surface while freeing a rotation slot. The oracle
+# wraps each old oracle verbatim as a dial-tagged subquery.
+# --------------------------------------------------------------------------
+def q_stream_neardup_gate_dials(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cols = ["vec_id", "dup_of", "admitted"]
+    banded = (
+        q_stream_neardup_gate_banded(spark, sf_dir)
+        .select(F.lit("banded2").alias("dial"), *cols)
+    )
+    ettl = (
+        q_stream_neardup_gate_event_ttl(spark, sf_dir)
+        .select(F.lit("event_ttl").alias("dial"), *cols)
+    )
+    return banded.unionByName(ettl).orderBy("dial", "vec_id")
+
+
+_STREAM_NDGATE_DIALS_SQL = f"""
+SELECT 'banded2' AS dial, vec_id, dup_of, admitted
+FROM ({_STREAM_NDGATE_BANDED_SQL}) b
+UNION ALL
+SELECT 'event_ttl' AS dial, vec_id, dup_of, admitted
+FROM ({_STREAM_NDGATE_SQL}) s
+ORDER BY dial, vec_id
+"""
+
+
+# stream_neardup_gate's REGISTERED shape is the dial-folded union as of
+# r16 (banded tables=2 — the r11 default, VERDICT r10 #2's measured
+# recall dial — plus the r12 event-time-TTL run, both executed for
+# real). The single-table variant stays available as
+# q_stream_neardup_gate (code + tests + _STREAM_NDGATE_SQL), the
+# unfolded builders as q_stream_neardup_gate_banded /
+# q_stream_neardup_gate_event_ttl.
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_neardup": q_sim_neardup,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "semantic_dedup": q_semantic_dedup,
     "semdedup_recall_eval": q_semdedup_recall_eval,
-    "stream_neardup_gate": q_stream_neardup_gate_banded,
-    "stream_neardup_gate_event_ttl": q_stream_neardup_gate_event_ttl,
+    "stream_neardup_gate": q_stream_neardup_gate_dials,
     "semdedup_incremental": q_semdedup_incremental,
     "semdedup_sharded": q_semdedup_sharded,
     "gate_recall_eval": q_gate_recall_eval,
@@ -916,10 +953,10 @@ ORACLE = {
     "sim_lsh_buckets": _lsh_buckets_sql(),
     "semantic_dedup": _SEMDEDUP_SQL,
     "semdedup_recall_eval": _SEMDEDUP_RECALL_SQL,
-    "stream_neardup_gate": _STREAM_NDGATE_BANDED_SQL,
-    # single-table batch greedy: exact for the event-TTL entry because
-    # its run is single-data-batch (see the builder's block comment)
-    "stream_neardup_gate_event_ttl": _STREAM_NDGATE_SQL,
+    # both dials' batch duals, dial-tagged; the event_ttl side's
+    # single-table greedy is exact because its run is single-data-batch
+    # (see q_stream_neardup_gate_event_ttl's block comment)
+    "stream_neardup_gate": _STREAM_NDGATE_DIALS_SQL,
     "semdedup_incremental": _SEMDEDUP_INCR_SQL,
     "semdedup_sharded": _SEMDEDUP_SHARDED_SQL,
     "gate_recall_eval": _GATE_RECALL_SQL,

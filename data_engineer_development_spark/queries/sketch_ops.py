@@ -593,6 +593,133 @@ ORDER BY t.grp, t.p_num, t.p_den
 """
 
 
+# --------------------------------------------------------------------------
+# Per-group approx percentiles, GRADED — STAGED for r17 registration
+# (VERDICT r15 #8's grouped_quantiles-backed approx pair): the grouped
+# histogram sketch (operators/sketches.grouped_histogram_quantiles —
+# ≤|groups|·1024 counters, group-partitioned crossing window, division-
+# first binning) evaluated per (group, percentile) against the exact
+# grouped selection, BOTH sides sharing the one value-keyed count-table
+# scan. est ≥ exact always (one-sided, pinned in tests); overestimate is
+# bounded by the per-group bin width. Registration must add the entry to
+# _CARTESIAN_OK in tests/test_plans.py (the |groups|×|probs| prob-grid
+# cross on the stats frame — 3×2 rows here).
+# --------------------------------------------------------------------------
+_AGP_PROBS = [(1, 2), (19, 20)]
+_AGP_BINS = 1024
+
+
+def q_approx_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_engineer_development_spark.cache import track_persist
+    from data_engineer_development_spark.functions import jvm_rows_df
+    from data_engineer_development_spark.operators.sketches import (
+        grouped_histogram_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("val"),
+    )
+    # ONE input scan: the value-keyed count table feeds the sketch side,
+    # the exact selection, and the per-group n_g
+    cnt = track_persist(
+        li.groupBy("grp", "val").agg(F.count(F.lit(1)).alias("c"))
+    )
+    est = grouped_histogram_quantiles(
+        cnt, "grp", "val", "c", _AGP_PROBS, _AGP_BINS
+    )
+    # exact side: the grouped two-phase selection (q_grouped_quantiles'
+    # shape, same count table)
+    n_g = cnt.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    probs = jvm_rows_df(spark, "p_num int, p_den int", _AGP_PROBS)
+    tgt = n_g.join(F.broadcast(probs)).select(
+        "grp", "p_num", "p_den",
+        F.expr("(p_num * n_g + p_den - 1) div p_den").alias("k"),
+    )
+    w = Window.partitionBy("grp").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cnt.withColumn("cum", F.sum("c").over(w))
+    exact = (
+        cum.alias("c")
+        .join(
+            F.broadcast(tgt).alias("t"),
+            (F.col("c.grp") == F.col("t.grp")) & (F.col("cum") >= F.col("k")),
+        )
+        .groupBy(F.col("c.grp").alias("grp"), "p_num", "p_den", "k")
+        .agg(F.min("val").alias("exact"))
+    )
+    return (
+        est.join(exact, ["grp", "p_num", "p_den", "k"])
+        .select(
+            "grp", "p_num", "p_den",
+            F.col("k").alias("target_rank"),
+            F.col("exact").alias("exact_cents"),
+            F.col("est").alias("est_cents"),
+            (F.col("est") - F.col("exact")).alias("overestimate"),
+        )
+        .orderBy("grp", "p_num", "p_den")
+    )
+
+
+_AGP_VALS = ", ".join(f"({n}, {d})" for n, d in _AGP_PROBS)
+_APPROX_GROUP_PCTL_SQL = f"""
+WITH v AS (SELECT l_returnflag AS grp,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS val
+           FROM lineitem),
+cnt AS (SELECT grp, val, COUNT(*) AS c FROM v GROUP BY grp, val),
+s AS (SELECT grp, MIN(val) AS lo, MAX(val) AS hi,
+             CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY grp),
+p(p_num, p_den) AS (VALUES {_AGP_VALS}),
+t AS (SELECT grp, p_num, p_den, (p_num * n + p_den - 1) // p_den AS k,
+             lo, hi
+      FROM s CROSS JOIN p),
+b AS (SELECT c.grp,
+             LEAST({_AGP_BINS} - 1,
+                   (c.val - s.lo) // ((s.hi - s.lo + {_AGP_BINS}) // {_AGP_BINS}))
+               AS bin,
+             c.c
+      FROM cnt c JOIN s ON s.grp = c.grp),
+h AS (SELECT grp, bin, SUM(c) AS hc FROM b GROUP BY grp, bin),
+hc AS (SELECT grp, bin,
+              SUM(hc) OVER (PARTITION BY grp ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum
+       FROM h),
+crossing AS (SELECT t.grp, t.p_num, t.p_den, t.k, t.lo, t.hi,
+                    MIN(hc.bin) AS bin
+             FROM hc JOIN t ON hc.grp = t.grp AND hc.cum >= t.k
+             GROUP BY t.grp, t.p_num, t.p_den, t.k, t.lo, t.hi),
+est AS (SELECT grp, p_num, p_den, k,
+               lo + bin * ((hi - lo + {_AGP_BINS}) // {_AGP_BINS})
+                  + LEAST(((hi - lo + {_AGP_BINS}) // {_AGP_BINS}) - 1,
+                          (hi - lo)
+                          - bin * ((hi - lo + {_AGP_BINS}) // {_AGP_BINS}))
+                 AS est
+        FROM crossing),
+cc AS (SELECT grp, val, c,
+              SUM(c) OVER (PARTITION BY grp ORDER BY val
+                           ROWS UNBOUNDED PRECEDING) AS cum
+       FROM cnt),
+exact AS (SELECT t.grp, t.p_num, t.p_den, t.k, MIN(cc.val) AS exact
+          FROM cc JOIN t ON cc.grp = t.grp AND cc.cum >= t.k
+          GROUP BY t.grp, t.p_num, t.p_den, t.k)
+SELECT_PLACEHOLDER
+"""
+_APPROX_GROUP_PCTL_SQL = _APPROX_GROUP_PCTL_SQL.replace(
+    "SELECT_PLACEHOLDER",
+    """SELECT e.grp, e.p_num, e.p_den, CAST(e.k AS BIGINT) AS target_rank,
+       CAST(x.exact AS BIGINT) AS exact_cents,
+       CAST(e.est AS BIGINT) AS est_cents,
+       CAST(e.est - x.exact AS BIGINT) AS overestimate
+FROM est e JOIN exact x
+  ON e.grp = x.grp AND e.p_num = x.p_num AND e.p_den = x.p_den
+     AND e.k = x.k
+ORDER BY e.grp, e.p_num, e.p_den""",
+)
+
+
 QUERIES: dict = {
     "cms_freq": q_cms_freq,
     "bloom_prune_eval": q_bloom_prune_eval,

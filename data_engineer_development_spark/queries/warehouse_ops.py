@@ -1315,6 +1315,109 @@ GROUP BY pr ORDER BY pr
 """
 
 
+# --------------------------------------------------------------------------
+# CDC MERGE into the snapshot log — STAGED for r17 registration (VERDICT
+# r15 #8: cdc_apply x snapshots — MERGE materialized as versioned
+# commits). One CDC batch against a 4-file versioned orders table
+# exercises all three MERGE materializations in ONE atomic commit
+# (operators/snapshots.merge_cdc): updates (%4==1 keys divisible by 13,
+# +1.00) rewrite exactly file s1 copy-on-write; deletes (%4==2 keys
+# divisible by 17) become a deletion vector on s2 — no rewrite; inserts
+# (re-keyed copies of %4==3 keys divisible by 19, +2^40) land in one new
+# file. v1 is read AFTER the merge committed (time-travel invariance)
+# and v2's summary equals the closed-form post-merge slice; file counts
+# 4 -> 5 are the routing contract (s1 rewritten in place of itself,
+# +ins). At 100 TB: rewrite cost = the affected files' bytes, delete
+# cost = key-count-sized vectors, never the table.
+# --------------------------------------------------------------------------
+_CDC_INS_OFFSET = 1 << 40
+
+
+def q_cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_engineer_development_spark.functions import dsum
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        live_files,
+        merge_cdc,
+        read_asof,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = os.path.join(tempfile.gettempdir(), f"snapm-{uuid.uuid4().hex}")
+    try:
+        k = F.col("o_orderkey")
+        m = k % 4
+        append_snapshot(
+            spark, base, 1,
+            {f"s{i}": orders.filter(m == i) for i in range(4)},
+        )
+        updates = orders.filter((m == 1) & (k % 13 == 0)).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+        )
+        inserts = orders.filter((m == 3) & (k % 19 == 0)).withColumn(
+            "o_orderkey", k + F.lit(_CDC_INS_OFFSET)
+        )
+        deletes = orders.filter((m == 2) & (k % 17 == 0)).select(
+            "o_orderkey"
+        )
+        merge_cdc(
+            spark, base, 2,
+            updates.unionByName(inserts), deletes, "o_orderkey",
+        )
+        per_version = [
+            read_asof(spark, base, v, dv_key="o_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("o_totalprice", "revenue"),
+            )
+            .select(
+                F.lit(v).alias("version"),
+                F.lit(len(live_files(spark, base, v)))
+                .cast("long")
+                .alias("n_files"),
+                "n_rows",
+                "revenue",
+            )
+            for v in (1, 2)
+        ]
+        out = per_version[0].unionByName(per_version[1])
+        # materialize BEFORE the landing dir vanishes
+        return out.orderBy("version").localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# v1 = the whole table; v2 = the table with the three change classes
+# applied closed-form (update +1.00 on %4==1 & %13==0, %4==2 & %17==0
+# deleted, %4==3 & %19==0 duplicated under re-keys)
+_CDC_MERGE_SNAPSHOT_SQL = f"""
+WITH v2 AS (
+  SELECT CASE WHEN o_orderkey % 4 = 1 AND o_orderkey % 13 = 0
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS p
+  FROM orders
+  WHERE NOT (o_orderkey % 4 = 2 AND o_orderkey % 17 = 0)
+  UNION ALL
+  SELECT o_totalprice FROM orders
+  WHERE o_orderkey % 4 = 3 AND o_orderkey % 19 = 0
+)
+SELECT 1 AS version, CAST(4 AS BIGINT) AS n_files, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+FROM orders
+UNION ALL
+SELECT 2 AS version, CAST(5 AS BIGINT) AS n_files, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(p AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+FROM v2
+ORDER BY version
+"""
+
+
 QUERIES = {
     "incremental_agg": q_incremental_agg,
     "scd2_customer_merge": q_scd2_customer_merge,

@@ -448,8 +448,8 @@ _CARTESIAN_OK = {
     "sim_cosine_topk",      # brute-force baseline by definition
     "sim_neardup",          # block-nested-loop kernel, auto-switches to LSH
     "ann_recall_eval",      # contains the brute-force truth side
-    "sim_ivf_topk",         # centroid broadcast fan-out (K rows)
-    "sim_ivf_multiprobe",   # same centroid broadcast fan-out
+    "sim_ivf_topk",         # centroid broadcast fan-out (K rows; the
+                            # r16 folded entry runs both probe dials)
     "hard_negative_mining",  # same K-row centroid broadcast fan-out
     "emb_jl_distortion",    # id-capped ≤500-row sample self-cross (the
                             # distortion eval is bounded by construction)
@@ -468,6 +468,13 @@ _CARTESIAN_OK = {
     "quantile_sketch_eval",  # 1-row stats / ≤4-row target broadcasts
     "analyze_table_stats",   # 1-row stats × 1-row NDV/k-min crosses per
                              # column branch
+    "triangle_count",        # 1-row n_nodes × n_edges × n_triangles stat
+                             # cross at the top of count_triangles —
+                             # never data-scale (registered r16)
+    "assoc_rules",           # 1-row n_baskets total broadcast onto the
+                             # bounded rule list (registered r16)
+    "grouped_quantiles",     # ≤|groups×probs|-row target grid cross on
+                             # control-plane frames (registered r16)
 }
 
 
@@ -568,7 +575,7 @@ _ARROW_KERNEL_OK = {
     "multimodal_frame_sample", "multimodal_audio_features",
     "multimodal_image_ahash",                       # mapInPandas codecs
     "sim_cosine_topk", "sim_ivf_topk",                     # seq_dot UDF
-    "sim_ivf_multiprobe", "ann_recall_eval",               # seq_dot UDF
+    "ann_recall_eval",                                     # seq_dot UDF
     "hard_negative_mining",                                # seq_dot UDF
     "sim_neardup",                                  # block-NL mapInPandas
     "semantic_dedup",  # per-cell pair matrix in numpy (applyInPandas) —

@@ -1,0 +1,231 @@
+"""Round-16 staged candidates (r17 registration queue): CDC MERGE
+materialized as atomic versioned commits, and per-group approx
+percentiles graded against exact grouped selection — oracle parity at
+both fixture SFs plus each operator's semantic invariants."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from conftest import SF_CORRECT, SF_SMOKE
+from pyspark.sql import functions as F
+
+
+def _parity(spark, name, fn, sql):
+    from tests.oracle_harness import compare
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        ok, msg = compare(spark, sf_dir, name, fn, sql)
+        assert ok, f"{sf_dir}: {msg}"
+
+
+def test_cdc_merge_snapshot_oracle_parity(spark):
+    from data_engineer_development_spark.queries.warehouse_ops import (
+        _CDC_MERGE_SNAPSHOT_SQL,
+        q_cdc_merge_snapshot,
+    )
+
+    _parity(
+        spark,
+        "cdc_merge_snapshot",
+        q_cdc_merge_snapshot,
+        _CDC_MERGE_SNAPSHOT_SQL,
+    )
+
+
+def test_merge_cdc_routes_all_three_materializations(spark):
+    """One merge_cdc commit: update keys rewrite ONLY their file,
+    delete keys on an untouched file become a deletion vector (no
+    rewrite), unmatched keys land in one insert file, pre-merge reads
+    are invariant, and an upsert∩delete key clash fails loudly before
+    committing."""
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        live_files,
+        merge_cdc,
+        read_asof,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), f"mcdc-{uuid.uuid4().hex}")
+    try:
+        rows = spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+        )
+        append_snapshot(
+            spark, base, 1,
+            {
+                "lo": rows.filter("k < 10"),
+                "hi": rows.filter("k >= 10"),
+            },
+        )
+        # updates hit only 'lo'; deletes hit only 'hi'; inserts are new
+        updates = spark.range(2, 5).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("val")
+        )
+        inserts = spark.range(100, 103).select(
+            F.col("id").alias("k"), F.lit(7).cast("long").alias("val")
+        )
+        deletes = spark.range(15, 17).select(F.col("id").alias("k"))
+        res = merge_cdc(
+            spark, base, 2, updates.unionByName(inserts), deletes, "k"
+        )
+        assert res == {
+            "rewritten": ["lo"],
+            "inserted": ["m2_ins"],
+            "dv": ["hi"],
+        }
+        assert live_files(spark, base, 2) == ["hi", "m2_lo", "m2_ins"] or (
+            live_files(spark, base, 2) == sorted(["hi", "m2_lo", "m2_ins"])
+        )
+        v2 = {
+            r["k"]: r["val"]
+            for r in read_asof(spark, base, 2, dv_key="k").collect()
+        }
+        # updated
+        assert all(v2[k] == -1 for k in (2, 3, 4))
+        # deleted
+        assert 15 not in v2 and 16 not in v2
+        # inserted
+        assert all(v2[k] == 7 for k in (100, 101, 102))
+        # untouched survivors
+        assert v2[0] == 0 and v2[11] == 110
+        assert len(v2) == 20 - 2 + 3
+        # pre-merge version invariant
+        v1 = {
+            r["k"]: r["val"]
+            for r in read_asof(spark, base, 1, dv_key="k").collect()
+        }
+        assert len(v1) == 20 and v1[15] == 150 and v1[3] == 30
+
+        with pytest.raises(ValueError, match="both upserts and deletes"):
+            merge_cdc(
+                spark, base, 3,
+                spark.range(1).select(
+                    F.col("id").alias("k"), F.lit(0).alias("val")
+                ),
+                spark.range(1).select(F.col("id").alias("k")),
+                "k",
+            )
+        with pytest.raises(ValueError, match="empty batch"):
+            merge_cdc(spark, base, 3, None, None, "k")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_append_snapshot_dvs_commit_atomically_and_validate(spark):
+    """append_snapshot's dvs form: dv without dv_key and dv-on-removed
+    both fail loudly; a combined add+remove+dv version reads correctly
+    and the dv rows share the version's single log batch."""
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        read_asof,
+        snapshot_log,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), f"advs-{uuid.uuid4().hex}")
+    try:
+        rows = spark.range(10).select(F.col("id").alias("k"))
+        append_snapshot(spark, base, 1, {"a": rows.filter("k < 5"),
+                                         "b": rows.filter("k >= 5")})
+        with pytest.raises(ValueError, match="without dv_key"):
+            append_snapshot(
+                spark, base, 2, dvs={"a": rows.filter("k = 0")}
+            )
+        with pytest.raises(ValueError, match="removed file"):
+            append_snapshot(
+                spark, base, 2,
+                removes=["a"],
+                dvs={"a": rows.filter("k = 0")},
+                dv_key="k",
+            )
+        append_snapshot(
+            spark, base, 2,
+            adds={"c": spark.range(100, 102).select(F.col("id").alias("k"))},
+            removes=["b"],
+            dvs={"a": rows.filter("k = 0")},
+            dv_key="k",
+        )
+        got = sorted(
+            r["k"] for r in read_asof(spark, base, 2, dv_key="k").collect()
+        )
+        assert got == [1, 2, 3, 4, 100, 101]
+        v2 = snapshot_log(spark, base).filter("version = 2").collect()
+        assert sorted((r["action"], r["file_id"]) for r in v2) == [
+            ("add", "c"), ("dv", "a"), ("remove", "b"),
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_approx_group_percentiles_oracle_parity(spark):
+    from data_engineer_development_spark.queries.sketch_ops import (
+        _APPROX_GROUP_PCTL_SQL,
+        q_approx_group_percentiles,
+    )
+
+    _parity(
+        spark,
+        "approx_group_percentiles",
+        q_approx_group_percentiles,
+        _APPROX_GROUP_PCTL_SQL,
+    )
+
+
+def test_grouped_histogram_estimate_one_sided_and_bounded(spark):
+    """Per (group, percentile): est ≥ exact ALWAYS (one-sided, the
+    sketch-family contract) and est − exact < the group's bin width
+    ceil(span_g / bins)."""
+    from data_engineer_development_spark.queries.sketch_ops import (
+        _AGP_BINS,
+        q_approx_group_percentiles,
+    )
+    from data_engineer_development_spark.sources import load_table
+
+    out = q_approx_group_percentiles(spark, SF_CORRECT).collect()
+    assert out, "no rows"
+    spans = {
+        r["grp"]: r["span"]
+        for r in load_table(spark, SF_CORRECT, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("grp")
+        .agg((F.max("cents") - F.min("cents") + 1).alias("span"))
+        .collect()
+    }
+    for r in out:
+        assert r["overestimate"] >= 0, r
+        width = -(-spans[r["grp"]] // _AGP_BINS)  # ceil
+        assert r["overestimate"] < width, (r, width)
+
+
+def test_grouped_histogram_quantiles_null_and_exactness(spark):
+    """NULL values carry no rank; a group whose values all fit distinct
+    bins estimates exactly (overestimate 0 when every value is its own
+    bin ceiling)."""
+    from data_engineer_development_spark.operators.sketches import (
+        grouped_histogram_quantiles,
+    )
+
+    cnt = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("a", None, 5), ("b", 10, 3)],
+        "g string, v int, c int",
+    )
+    got = {
+        (r["g"], r["p_num"], r["p_den"]): (r["k"], r["est"])
+        for r in grouped_histogram_quantiles(
+            cnt, "g", "v", "c", [(1, 2)], bins=16
+        ).collect()
+    }
+    # group a: n=2 (NULL row excluded), k=1, est covers value 1 exactly
+    # (span 2, width 1 → bin per value)
+    assert got[("a", 1, 2)] == (1, 1)
+    # group b: single value, k=2 of n=3, est = the value
+    assert got[("b", 1, 2)] == (2, 10)

@@ -229,3 +229,43 @@ def test_grouped_histogram_quantiles_null_and_exactness(spark):
     assert got[("a", 1, 2)] == (1, 1)
     # group b: single value, k=2 of n=3, est = the value
     assert got[("b", 1, 2)] == (2, 10)
+
+
+def test_snapshot_maintenance_plan_oracle_parity(spark):
+    from data_engineer_development_spark.queries.warehouse_ops import (
+        _SNAPSHOT_MAINTENANCE_SQL,
+        q_snapshot_maintenance_plan,
+    )
+
+    _parity(
+        spark,
+        "snapshot_maintenance_plan",
+        q_snapshot_maintenance_plan,
+        _SNAPSHOT_MAINTENANCE_SQL,
+    )
+
+
+def test_maintenance_plan_is_dry_run(spark):
+    """The plan must not delete anything: after q's fixture logic runs
+    against a persistent base, expirable files still exist on disk.
+    (Re-built inline since the query cleans its temp dir.)"""
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        expire_versions,
+        live_files,
+        read_asof,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), f"dry-{uuid.uuid4().hex}")
+    try:
+        rows = spark.range(10).select(F.col("id").alias("k"))
+        append_snapshot(spark, base, 1, {"a": rows})
+        append_snapshot(spark, base, 2, {"b": rows}, removes=["a"])
+        dead = expire_versions(spark, base, 2, delete=False)
+        assert dead == ["a"]
+        assert os.path.isdir(os.path.join(base, "data", "a"))
+        # a version-1 read still works after the dry run
+        assert read_asof(spark, base, 1).count() == 10
+        assert live_files(spark, base, 2) == ["b"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -57,10 +57,14 @@ _ALLOWED = {
                                  "row min() over a column-pruned scan, "
                                  "memoized per fixture (ADVICE r12: the "
                                  "outlier is derived, not hardcoded)"),
-    "operators/snapshots.py": (1, "live_files manifest collect — one row "
+    "operators/snapshots.py": (2, "live_files manifest collect — one row "
                                   "per file ACTION ever logged (metadata "
                                   "scale, the compaction_plan listing "
-                                  "granularity), never data rows"),
+                                  "granularity), never data rows; "
+                                  "merge_cdc's affected-file routing "
+                                  "collect — distinct file_ids matched by "
+                                  "change keys, ≤ live-file count "
+                                  "(manifest scale, r16)"),
     "queries/corpus_ops.py": (1, "emb_top_direction Gram collect — ≤ d² "
                                  "= 4096 cells regardless of corpus size "
                                  "(the one corpus-scale stage is the "

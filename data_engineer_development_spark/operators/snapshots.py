@@ -465,6 +465,12 @@ def merge_cdc(
     earlier version are untouched. Returns {"rewritten": [...],
     "inserted": [...], "dv": [...]} for auditing.
 
+    Contract: ``key_col`` must be UNIQUE across the live files (the
+    standard MERGE target precondition — Delta's MERGE likewise rejects
+    multi-matches). A key present in several live files would have its
+    replacement row written into EVERY file it matches; dedup the
+    target (dedup_exact / cdc_apply latest-wins) before merging.
+
     Scale shape: affected-file detection joins the CHANGE KEYS against
     a key-column-pruned read of the live files (at 100 TB, manifest
     min/max key stats would prune the candidate file list before any

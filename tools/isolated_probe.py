@@ -43,6 +43,20 @@ def main() -> None:
     spark = get_spark(app_name="isolated_probe")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+    # staged (not-yet-registered) candidates resolve by their builder
+    # name q_<name> in any query module, so anchors can be recorded
+    # before registration (the r16 staging workflow)
+    from data_engineer_development_spark import queries as _qpkg
+
+    for name in args:
+        if name not in queries:
+            for m in _qpkg._MODULES:
+                fn = getattr(m, f"q_{name}", None)
+                if fn is not None:
+                    queries[name] = fn
+                    break
+            else:
+                raise SystemExit(f"isolated_probe: unknown query {name!r}")
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()

@@ -528,10 +528,27 @@ def merge_cdc(
     upd_by_file = _route(up_keys)
     del_by_file = _route(del_keys)
 
+    # a rewrite must read its file THROUGH the file's accumulated
+    # deletion vectors — a raw read would resurrect rows deleted at an
+    # earlier version the moment the file is rewritten (caught by the
+    # staged split-invariance test: batch N deletes by DV, batch N+1
+    # rewrites the same file for an unrelated update)
+    dv_paths: dict[str, list[str]] = {}
+    for r in _actions(spark, base_dir, version - 1):
+        if r["action"] == "dv":
+            dv_paths.setdefault(r["file_id"], []).append(
+                os.path.join(base_dir, "dv", f"{r['file_id']}@{r['version']}")
+            )
+
     adds: dict[str, DataFrame] = {}
     removes: list[str] = []
     for fid in sorted(upd_by_file):
         old = spark.read.parquet(os.path.join(base_dir, "data", fid))
+        if fid in dv_paths:
+            gone = spark.read.parquet(*sorted(dv_paths[fid])).distinct()
+            old = old.join(
+                gone, old[key_col] == gone[_DV_COL], "left_anti"
+            )
         survivors = old.join(up_keys, old[key_col] == up_keys["_k"],
                              "left_anti")
         if fid in del_by_file:

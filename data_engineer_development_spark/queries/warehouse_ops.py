@@ -1502,6 +1502,168 @@ ORDER BY item
 """
 
 
+# --------------------------------------------------------------------------
+# STREAMING CDC into the snapshot log — STAGED for r17 registration (the
+# incremental half of VERDICT r15 #8's "CDC x snapshots" ask): a change
+# stream (op-tagged rows: updates, deletes, inserts) applied to the
+# versioned table by merge_cdc PER MICRO-BATCH inside foreachBatch —
+# every batch is one atomic versioned commit, so a reader at any moment
+# sees a consistent prefix of the stream, the versioned history records
+# the ingestion, and a restart resumes from the checkpoint (the Delta
+# streaming-MERGE shape). The change set is keyed UNIQUELY (each key
+# appears once), which makes the final table content invariant to how
+# the stream splits into batches — exactly what lets a deterministic
+# closed-form oracle pair a nondeterministic batch schedule. The change
+# files land pre-split (repartition(4), maxFilesPerTrigger=1) so the run
+# really exercises multi-batch sequencing, not a single mega-batch.
+# Updates live only in f0, deletes only in f2: cross-batch splits chain
+# rewrite-on-rewrite and DV-on-DV respectively, both proven split-safe.
+# --------------------------------------------------------------------------
+def q_stream_cdc_merge_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_engineer_development_spark.functions import dsum
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        merge_cdc,
+        read_asof,
+        snapshot_log,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    run = uuid.uuid4().hex
+    base = os.path.join(tempfile.gettempdir(), f"scdc-{run}")
+    chg_dir = os.path.join(tempfile.gettempdir(), f"scdc-chg-{run}")
+    ckpt_base = (
+        "/dev/shm" if os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    ckpt = os.path.join(ckpt_base, f"scdc-ckpt-{run}")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        k = F.col("o_orderkey")
+        m = k % 4
+        append_snapshot(
+            spark, base, 1,
+            {"f0": orders.filter(m == 0), "f2": orders.filter(m == 2)},
+        )
+        changes = (
+            orders.filter((m == 0) & (k % 13 == 0))
+            .select(
+                k.alias("o_orderkey"),
+                (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+                F.lit("U").alias("op"),
+            )
+            .unionByName(
+                orders.filter((m == 2) & (k % 17 == 0)).select(
+                    k.alias("o_orderkey"),
+                    F.lit(None).cast("double").alias("o_totalprice"),
+                    F.lit("D").alias("op"),
+                )
+            )
+            .unionByName(
+                orders.filter(k % 2 == 1).select(
+                    "o_orderkey", "o_totalprice", F.lit("U").alias("op")
+                )
+            )
+        )
+        changes.repartition(2).write.parquet(chg_dir)
+
+        # sequential foreachBatch + single availableNow run: a closure
+        # counter seeded from the committed head assigns versions with
+        # no per-batch manifest read (a restartable deployment would
+        # re-derive it from the log, which stays the source of truth)
+        head0 = (
+            snapshot_log(spark, base)
+            .agg(F.max("version").alias("v"))
+            .collect()[0]["v"]
+        )
+        next_version = [int(head0) + 1]
+
+        def apply_batch(batch_df, batch_id: int) -> None:
+            sess = batch_df.sparkSession
+            # ONE presence aggregate, not a limit-count per side: every
+            # per-batch job pays the full scheduling constant
+            pres = batch_df.agg(
+                F.sum((F.col("op") != "D").cast("int")).alias("u"),
+                F.sum((F.col("op") == "D").cast("int")).alias("d"),
+            ).collect()[0]
+            has_ups, has_dels = bool(pres["u"]), bool(pres["d"])
+            if not has_ups and not has_dels:
+                return
+            ups = batch_df.filter(F.col("op") != "D").drop("op")
+            dels = batch_df.filter(F.col("op") == "D").select("o_orderkey")
+            merge_cdc(
+                sess, base, next_version[0],
+                ups if has_ups else None,
+                dels if has_dels else None,
+                "o_orderkey",
+            )
+            next_version[0] += 1
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chg_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        def _summary(version: int, label: str) -> DataFrame:
+            return (
+                read_asof(spark, base, version, dv_key="o_orderkey")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    dsum("o_totalprice", "revenue"),
+                )
+                .select(F.lit(label).alias("state"), "n_rows", "revenue")
+            )
+
+        out = _summary(1, "base").unionByName(_summary(2**61, "head"))
+        # materialize BEFORE the landing dirs vanish
+        return out.orderBy("state").localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(chg_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# base = the %4 in {0,2} slice; head = base with the stream applied
+# closed-form (update +1.00 on %4==0 & %13==0, %4==2 & %17==0 deleted,
+# every odd key inserted)
+_STREAM_CDC_MERGE_SQL = """
+WITH head AS (
+  SELECT CASE WHEN o_orderkey % 4 = 0 AND o_orderkey % 13 = 0
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS p
+  FROM orders
+  WHERE o_orderkey % 4 IN (0, 2)
+    AND NOT (o_orderkey % 4 = 2 AND o_orderkey % 17 = 0)
+  UNION ALL
+  SELECT o_totalprice FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT 'base' AS state, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+FROM orders WHERE o_orderkey % 4 IN (0, 2)
+UNION ALL
+SELECT 'head' AS state, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(p AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+FROM head
+ORDER BY state
+"""
+
+
 QUERIES = {
     "incremental_agg": q_incremental_agg,
     "scd2_customer_merge": q_scd2_customer_merge,

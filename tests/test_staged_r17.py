@@ -269,3 +269,76 @@ def test_maintenance_plan_is_dry_run(spark):
         assert live_files(spark, base, 2) == ["b"]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_cdc_merge_snapshot_oracle_parity(spark):
+    from data_engineer_development_spark.queries.warehouse_ops import (
+        _STREAM_CDC_MERGE_SQL,
+        q_stream_cdc_merge_snapshot,
+    )
+
+    _parity(
+        spark,
+        "stream_cdc_merge_snapshot",
+        q_stream_cdc_merge_snapshot,
+        _STREAM_CDC_MERGE_SQL,
+    )
+
+
+def test_stream_cdc_merge_is_split_invariant_and_versioned(spark):
+    """The SAME change set applied as one batch and as many batches
+    yields identical head content (the unique-key split-invariance
+    contract), and the multi-batch run leaves a multi-version history —
+    each micro-batch one atomic commit."""
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        merge_cdc,
+        read_asof,
+        snapshot_log,
+    )
+
+    def build(n_batches: int) -> tuple[dict, int]:
+        base = os.path.join(
+            tempfile.gettempdir(), f"splt-{uuid.uuid4().hex}"
+        )
+        try:
+            rows = spark.range(10).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+            )
+            append_snapshot(spark, base, 1, {"a": rows})
+            # changes: update k in {1,2}, delete k=3, insert k in {50,51}
+            ups = spark.createDataFrame(
+                [(1, -1), (2, -2), (50, 500), (51, 510)], "k long, val long"
+            )
+            dels = spark.range(3, 4).select(F.col("id").alias("k"))
+            batches: list[tuple] = []
+            if n_batches == 1:
+                batches = [(ups, dels)]
+            else:
+                batches = [
+                    (ups.filter("k = 1"), None),
+                    (None, dels),
+                    (ups.filter("k >= 50"), None),
+                    (ups.filter("k = 2"), None),
+                ]
+            v = 1
+            for u, d in batches:
+                v += 1
+                merge_cdc(spark, base, v, u, d, "k")
+            head = {
+                r["k"]: r["val"]
+                for r in read_asof(spark, base, 2**61, dv_key="k").collect()
+            }
+            n_versions = snapshot_log(spark, base).agg(
+                F.max("version")
+            ).collect()[0][0]
+            return head, int(n_versions)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    one, v1 = build(1)
+    many, vn = build(4)
+    assert one == many
+    assert v1 == 2 and vn == 5
+    assert one[1] == -1 and one[2] == -2 and 3 not in one
+    assert one[50] == 500 and one[51] == 510 and one[0] == 0

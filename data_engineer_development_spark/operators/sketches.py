@@ -371,9 +371,16 @@ def grouped_histogram_quantiles(
     COUNT TABLE; the histogram is ≤ |groups|·bins counters (map-side
     combinable); the cumulative crossing windows PARTITION BY group
     over the bounded histogram — no input-sized window, no
-    unpartitioned window, no global sort anywhere."""
+    unpartitioned window, no global sort anywhere.
+
+    NULL handling: NULL values carry no rank (the exact_quantiles
+    contract), and rows whose GROUP key is NULL are excluded explicitly
+    — the internal equi-joins can't carry a NULL group, so the
+    exclusion is a documented filter rather than a silent join drop
+    (review r16); bucket NULL groups upstream (coalesce to a sentinel)
+    if they need quantiles."""
     g, v, c = F.col(grp_col), F.col(val_col), F.col(weight_col)
-    counts = counts.filter(v.isNotNull())
+    counts = counts.filter(v.isNotNull() & g.isNotNull())
     stats = counts.groupBy(g.alias("_g")).agg(
         F.min(v).alias("_lo"),
         F.max(v).alias("_hi"),

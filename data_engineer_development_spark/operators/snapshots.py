@@ -397,6 +397,7 @@ def apply_compaction(
     version: int,
     groups: list[list[str]],
     prefix: str = "compact",
+    dv_key: str | None = None,
 ) -> list[str]:
     """Execute a compaction plan as ONE snapshot commit: each group's
     files are read back and rewritten as a single new immutable file
@@ -408,7 +409,20 @@ def apply_compaction(
     deletes them, and only past the retention floor). Returns the new
     file_ids. Logical content is invariant by construction — the
     time_travel_read fixture's v2 proves the read side; the
-    compaction_apply query makes the whole loop driver-graded."""
+    compaction_apply query makes the whole loop driver-graded.
+
+    Members with deletion vectors are read THROUGH their accumulated
+    vectors (``dv_key`` names the key column, REQUIRED the moment any
+    member carries one) — a raw read would resurrect deleted rows in
+    the compacted file while removing the member the vectors attach to
+    (review r16, the merge_cdc rewrite class of bug; deletes
+    materialize into the rewrite, which is also how Delta's OPTIMIZE
+    treats DVs). Groups whose members carry DIVERGENT committed schemas
+    are refused manifest-only (compacting across an evolution boundary
+    would silently pick one footer's schema and drop the other's
+    column); the read still sets mergeSchema for logs too old to carry
+    schemas, so unknown-schema members union-fill instead of silently
+    truncating."""
     if not groups:
         raise ValueError("apply_compaction: empty plan (no groups)")
     flat = [fid for g in groups for fid in g]
@@ -422,18 +436,59 @@ def apply_compaction(
             f"apply_compaction: singleton group(s) {singles} — rewriting "
             "one file is a no-op that burns a version"
         )
-    live = set(live_files(spark, base_dir, version - 1))
+    acts = _actions(spark, base_dir, version - 1)
+    added = {r["file_id"] for r in acts if r["action"] == "add"}
+    removed = {r["file_id"] for r in acts if r["action"] == "remove"}
+    live = added - removed
     dead = sorted(set(flat) - live)
     if dead:
         raise ValueError(
             f"apply_compaction: {dead} not live at version {version - 1}"
         )
-    adds = {
-        f"{prefix}{version}_{i}": spark.read.parquet(
-            *[os.path.join(base_dir, "data", fid) for fid in g]
+    flat_set = set(flat)
+    for g in groups:
+        schemas = sorted(
+            {
+                r["schema"] or ""
+                for r in acts
+                if r["action"] == "add" and r["file_id"] in set(g)
+            }
+            - {""}
         )
-        for i, g in enumerate(groups)
-    }
+        if len(schemas) > 1:
+            raise ValueError(
+                f"apply_compaction: group {g} mixes committed schemas "
+                f"({schemas}) — don't compact across an evolution "
+                "boundary; group files by schema instead"
+            )
+    dv_paths: dict[str, list[str]] = {}
+    for r in acts:
+        if r["action"] == "dv" and r["file_id"] in flat_set:
+            dv_paths.setdefault(r["file_id"], []).append(
+                os.path.join(base_dir, "dv", f"{r['file_id']}@{r['version']}")
+            )
+    if dv_paths and dv_key is None:
+        raise ValueError(
+            f"apply_compaction: member(s) {sorted(dv_paths)} carry "
+            "deletion vectors — pass dv_key so deleted rows are "
+            "materialized out, not resurrected"
+        )
+
+    def _member(fid: str) -> DataFrame:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(base_dir, "data", fid)
+        )
+        if fid in dv_paths:
+            gone = spark.read.parquet(*sorted(dv_paths[fid])).distinct()
+            df = df.join(gone, df[dv_key] == gone[_DV_COL], "left_anti")
+        return df
+
+    adds = {}
+    for i, g in enumerate(groups):
+        part = _member(g[0])
+        for fid in g[1:]:
+            part = part.unionByName(_member(fid), allowMissingColumns=True)
+        adds[f"{prefix}{version}_{i}"] = part
     append_snapshot(spark, base_dir, version, adds=adds, removes=flat)
     return sorted(adds)
 
@@ -497,14 +552,38 @@ def merge_cdc(
                 "ambiguous batch order; resolve upstream (latest-wins "
                 "collapse, queries/warehouse_ops.q_cdc_apply)"
             )
-    live = live_files(spark, base_dir, version - 1)
+    acts = _actions(spark, base_dir, version - 1)
+    added = {r["file_id"] for r in acts if r["action"] == "add"}
+    removed = {r["file_id"] for r in acts if r["action"] == "remove"}
+    live = sorted(added - removed)
+    # Every file read — routing AND rewrite — goes THROUGH the file's
+    # accumulated deletion vectors: a raw read would route DV-deleted
+    # keys as 'matches' (duplicating an upsert of a legitimately
+    # re-added key into two rewrites, or turning an insert into a
+    # pointless full-file rewrite) and would resurrect deleted rows the
+    # moment the file is rewritten (review r16 + the staged
+    # split-invariance test).
+    dv_paths: dict[str, list[str]] = {}
+    for r in acts:
+        if r["action"] == "dv":
+            dv_paths.setdefault(r["file_id"], []).append(
+                os.path.join(base_dir, "dv", f"{r['file_id']}@{r['version']}")
+            )
+
+    def _file_keys(fid: str) -> DataFrame:
+        df = spark.read.parquet(os.path.join(base_dir, "data", fid)).select(
+            key.alias("_k")
+        )
+        if fid in dv_paths:
+            gone = spark.read.parquet(*sorted(dv_paths[fid])).distinct()
+            df = df.join(gone, df["_k"] == gone[_DV_COL], "left_anti").select(
+                "_k"
+            )
+        return df
+
     tagged = None
     for fid in live:
-        part = (
-            spark.read.parquet(os.path.join(base_dir, "data", fid))
-            .select(key.alias("_k"))
-            .withColumn("_fid", F.lit(fid))
-        )
+        part = _file_keys(fid).withColumn("_fid", F.lit(fid))
         tagged = part if tagged is None else tagged.unionByName(part)
 
     def _route(keys: DataFrame | None) -> dict[str, DataFrame]:
@@ -527,18 +606,6 @@ def merge_cdc(
 
     upd_by_file = _route(up_keys)
     del_by_file = _route(del_keys)
-
-    # a rewrite must read its file THROUGH the file's accumulated
-    # deletion vectors — a raw read would resurrect rows deleted at an
-    # earlier version the moment the file is rewritten (caught by the
-    # staged split-invariance test: batch N deletes by DV, batch N+1
-    # rewrites the same file for an unrelated update)
-    dv_paths: dict[str, list[str]] = {}
-    for r in _actions(spark, base_dir, version - 1):
-        if r["action"] == "dv":
-            dv_paths.setdefault(r["file_id"], []).append(
-                os.path.join(base_dir, "dv", f"{r['file_id']}@{r['version']}")
-            )
 
     adds: dict[str, DataFrame] = {}
     removes: list[str] = []
@@ -583,6 +650,13 @@ def merge_cdc(
         for fid, keys in del_by_file.items()
         if fid not in upd_by_file
     }
+    if not adds and not removes and not dvs:
+        # a non-empty batch that MATCHES nothing (deletes of absent or
+        # already-deleted keys, a zero-row upsert frame) is a routine
+        # CDC no-op, not an error: commit nothing, burn no version
+        # (review r16 — append_snapshot's empty-version guard would
+        # otherwise kill a foreachBatch stream on a harmless batch)
+        return {"rewritten": [], "inserted": [], "dv": []}
     append_snapshot(
         spark, base_dir, version,
         adds=adds, removes=removes, dvs=dvs, dv_key=key_col,

@@ -1514,10 +1514,11 @@ ORDER BY item
 # appears once), which makes the final table content invariant to how
 # the stream splits into batches — exactly what lets a deterministic
 # closed-form oracle pair a nondeterministic batch schedule. The change
-# files land pre-split (repartition(4), maxFilesPerTrigger=1) so the run
-# really exercises multi-batch sequencing, not a single mega-batch.
-# Updates live only in f0, deletes only in f2: cross-batch splits chain
-# rewrite-on-rewrite and DV-on-DV respectively, both proven split-safe.
+# files land pre-split (repartition(2), maxFilesPerTrigger=1) so the
+# graded run exercises multi-batch sequencing, not a single mega-batch;
+# the rewrite-on-rewrite and DV-on-DV cross-batch chains (which hash
+# layout may or may not produce here) are pinned DETERMINISTICALLY by
+# the 1-vs-4-batch split-invariance test in tests/test_staged_r17.py.
 # --------------------------------------------------------------------------
 def q_stream_cdc_merge_snapshot(
     spark: SparkSession, sf_dir: str

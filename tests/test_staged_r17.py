@@ -342,3 +342,94 @@ def test_stream_cdc_merge_is_split_invariant_and_versioned(spark):
     assert v1 == 2 and vn == 5
     assert one[1] == -1 and one[2] == -2 and 3 not in one
     assert one[50] == 500 and one[51] == 510 and one[0] == 0
+
+
+def test_apply_compaction_reads_through_deletion_vectors(spark):
+    """Review r16: compacting a file that carries deletion vectors must
+    materialize the deletes into the rewrite — a raw read would
+    resurrect them (the vectors attach to the removed member). dv_key
+    is REQUIRED the moment any member carries a vector; schema-divergent
+    groups are refused manifest-only."""
+    from data_engineer_development_spark.operators.snapshots import (
+        append_deletion_vector,
+        append_snapshot,
+        apply_compaction,
+        read_asof,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), f"cdv-{uuid.uuid4().hex}")
+    try:
+        rows = spark.range(10).select(F.col("id").alias("k"))
+        append_snapshot(spark, base, 1, {"a": rows.filter("k < 5"),
+                                         "b": rows.filter("k >= 5")})
+        append_deletion_vector(
+            spark, base, 2, "a", rows.filter("k = 1"), "k"
+        )
+        with pytest.raises(ValueError, match="deletion vectors"):
+            apply_compaction(spark, base, 3, [["a", "b"]])
+        new = apply_compaction(spark, base, 3, [["a", "b"]], dv_key="k")
+        assert new == ["compact3_0"]
+        got = sorted(r["k"] for r in read_asof(spark, base, 3).collect())
+        assert got == [0, 2, 3, 4, 5, 6, 7, 8, 9]  # 1 stays deleted
+        # pre-compaction versions still correct
+        assert read_asof(spark, base, 2, dv_key="k").count() == 9
+        assert read_asof(spark, base, 1).count() == 10
+
+        # schema-divergent group: refused manifest-only
+        append_snapshot(
+            spark, base, 4,
+            {"w": spark.range(3).select(
+                F.col("id").alias("k"), F.lit("x").alias("extra"))},
+        )
+        with pytest.raises(ValueError, match="mixes committed schemas"):
+            apply_compaction(spark, base, 5, [["compact3_0", "w"]])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_merge_cdc_noop_batch_and_dv_deleted_key_routing(spark):
+    """Review r16: a batch matching nothing (deletes of absent keys) is
+    a routine CDC no-op — no commit, no version burned, no error; and an
+    upsert of a DV-deleted key routes as an INSERT (the key is logically
+    absent), never a pointless rewrite of the file that once held it."""
+    from data_engineer_development_spark.operators.snapshots import (
+        append_deletion_vector,
+        append_snapshot,
+        merge_cdc,
+        read_asof,
+        snapshot_log,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), f"noop-{uuid.uuid4().hex}")
+    try:
+        rows = spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+        )
+        append_snapshot(spark, base, 1, {"a": rows})
+        # no-op: delete keys that don't exist
+        res = merge_cdc(
+            spark, base, 2, None,
+            spark.range(100, 103).select(F.col("id").alias("k")), "k",
+        )
+        assert res == {"rewritten": [], "inserted": [], "dv": []}
+        assert snapshot_log(spark, base).agg(
+            F.max("version")
+        ).collect()[0][0] == 1  # no version burned
+
+        # DV-delete k=7, then upsert it: must route as an INSERT
+        append_deletion_vector(
+            spark, base, 2, "a", rows.filter("k = 7"), "k"
+        )
+        res = merge_cdc(
+            spark, base, 3,
+            spark.createDataFrame([(7, -7)], "k long, val long"),
+            None, "k",
+        )
+        assert res == {"rewritten": [], "inserted": ["m3_ins"], "dv": []}
+        head = {
+            r["k"]: r["val"]
+            for r in read_asof(spark, base, 3, dv_key="k").collect()
+        }
+        assert head[7] == -7 and len(head) == 10
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -130,16 +130,115 @@ def snapshot_log(spark: SparkSession, base_dir: str) -> DataFrame:
     ``isdir`` probe is always False for non-local URIs (``s3a://``,
     ``hdfs://``), which would make an EXISTING remote table silently
     masquerade as empty — the reader's own resolution is
-    filesystem-correct for every scheme."""
-    log_dir = os.path.join(base_dir, "_log")
-    try:
-        return spark.read.schema(_LOG_SCHEMA).parquet(log_dir)
-    except Exception as e:  # noqa: BLE001 — filtered to PATH_NOT_FOUND below
-        from pyspark.errors import AnalysisException
+    filesystem-correct for every scheme.
 
-        if isinstance(e, AnalysisException) and "PATH_NOT_FOUND" in str(e):
-            return _log_rows_df(spark, [])
-        raise
+    With a manifest checkpoint present (:func:`checkpoint_log`), the
+    log = latest checkpoint ∪ the surviving ``_log`` tail,
+    DISTINCT-deduplicated: action rows are unique by their full tuple,
+    so a crash between checkpoint-write and tail-compaction (which
+    briefly leaves rows in both places) double-reads harmlessly
+    instead of double-counting."""
+
+    def _read(path: str) -> DataFrame | None:
+        try:
+            return spark.read.schema(_LOG_SCHEMA).parquet(path)
+        except Exception as e:  # noqa: BLE001 — PATH_NOT_FOUND filter
+            from pyspark.errors import AnalysisException
+
+            if isinstance(e, AnalysisException) and (
+                "PATH_NOT_FOUND" in str(e)
+            ):
+                return None
+            raise
+
+    tail = _read(os.path.join(base_dir, "_log"))
+    ckpt = None
+    ckpt_version = _latest_checkpoint_version(spark, base_dir)
+    if ckpt_version is not None:
+        ckpt = _read(
+            os.path.join(base_dir, "_log_ckpt", f"v{ckpt_version}")
+        )
+    if ckpt is None and tail is None:
+        return _log_rows_df(spark, [])
+    if ckpt is None:
+        return tail
+    if tail is None:
+        return ckpt
+    return ckpt.unionByName(tail).distinct()
+
+
+def _latest_checkpoint_version(
+    spark: SparkSession, base_dir: str
+) -> int | None:
+    """Highest ``_log_ckpt/v<N>`` directory, scheme-correct via the
+    Hadoop FileSystem API (one listing — metadata scale)."""
+    conf = spark._jsc.hadoopConfiguration()
+    p = spark._jvm.org.apache.hadoop.fs.Path(
+        os.path.join(base_dir, "_log_ckpt")
+    )
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return None
+    best = None
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            v = int(name[1:])
+            best = v if best is None or v > best else best
+    return best
+
+
+def checkpoint_log(spark: SparkSession, base_dir: str) -> int:
+    """Consolidate the action log into one checkpoint file and compact
+    the covered tail (the Delta checkpoint / Iceberg metadata-rewrite
+    move): the append-only ``_log`` grows ONE parquet part per commit,
+    so a long-lived table's every manifest read lists and opens
+    O(commits) small files — at 100 TB-scale commit rates that listing
+    becomes the read bottleneck. This writes the full action history at
+    the current head into ``_log_ckpt/v<head>/`` (one file), then
+    deletes the ``_log`` part files whose rows it covers (max version ≤
+    head, decided per-file from the rows themselves), taking every
+    subsequent manifest read to O(1) files + the post-checkpoint tail.
+
+    Crash-safe by construction: the checkpoint lands BEFORE any tail
+    file is deleted, and :func:`snapshot_log` DISTINCTs checkpoint ∪
+    tail — a crash in between double-reads, never double-counts or
+    loses actions. History semantics are unchanged (the checkpoint
+    carries every action row, so time travel to ANY version still
+    works). Returns the checkpoint version."""
+    from pyspark.sql import functions as _F
+
+    tail_dir = os.path.join(base_dir, "_log")
+    log = snapshot_log(spark, base_dir)
+    rows = log.agg(_F.max("version").alias("v")).collect()
+    head = rows[0]["v"]
+    if head is None:
+        raise ValueError("checkpoint_log: nothing committed — no log")
+    head = int(head)
+    log.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base_dir, "_log_ckpt", f"v{head}")
+    )
+    # compact the covered tail: a _log part file is deletable iff every
+    # row in it has version <= head (per-file max from the rows
+    # themselves — no guessing from names)
+    conf = spark._jsc.hadoopConfiguration()
+    jvm = spark._jvm
+    tail_path = jvm.org.apache.hadoop.fs.Path(tail_dir)
+    fs = tail_path.getFileSystem(conf)
+    if fs.exists(tail_path):
+        per_file = (
+            spark.read.schema(_LOG_SCHEMA)
+            .parquet(tail_dir)
+            .groupBy(_F.input_file_name().alias("_f"))
+            .agg(_F.max("version").alias("_mx"))
+            .collect()  # bounded: one row per log part file (manifest scale)
+        )
+        for r in per_file:
+            if int(r["_mx"]) <= head:
+                # input_file_name returns a full URI; Hadoop Path
+                # accepts it as-is for any scheme
+                fs.delete(jvm.org.apache.hadoop.fs.Path(r["_f"]), False)
+    return head
 
 
 def _actions(spark: SparkSession, base_dir: str, version: int) -> list:

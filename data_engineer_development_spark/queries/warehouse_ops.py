@@ -1665,6 +1665,108 @@ ORDER BY state
 """
 
 
+# --------------------------------------------------------------------------
+# Manifest checkpoint — STAGED for r17 registration: the Delta-checkpoint
+# move for the snapshot log. The append-only _log grows one parquet part
+# per commit, so a long-lived table's every manifest read lists and
+# opens O(commits) small files; checkpoint_log consolidates the full
+# action history into ONE file and compacts the covered tail, taking
+# manifest reads to O(1) + post-checkpoint commits — with history
+# semantics unchanged (the checkpoint carries every action row, so time
+# travel to ANY version still works, which is exactly what this query
+# grades: per-version summaries BEFORE the checkpoint, AFTER it, and
+# after a post-checkpoint commit, all equal to the closed-form slices;
+# the deterministic log-part counts 4 → 0 → 1 are the compaction
+# contract).
+# --------------------------------------------------------------------------
+def q_snapshot_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_engineer_development_spark.functions import dsum
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        checkpoint_log,
+        read_asof,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = os.path.join(tempfile.gettempdir(), f"snapk-{uuid.uuid4().hex}")
+    try:
+        m = F.col("o_orderkey") % 4
+        for v in range(1, 5):
+            append_snapshot(
+                spark, base, v, {f"f{v}": orders.filter(m == v - 1)}
+            )
+
+        def n_log_parts() -> int:
+            return len(
+                glob.glob(os.path.join(base, "_log", "part-*.parquet"))
+            )
+
+        def summary(version: int, label: str, parts: int) -> DataFrame:
+            return (
+                read_asof(spark, base, version)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    dsum("o_totalprice", "revenue"),
+                )
+                .select(
+                    F.lit(label).alias("state"),
+                    F.lit(parts).cast("long").alias("n_log_parts"),
+                    "n_rows",
+                    "revenue",
+                )
+            )
+
+        parts_pre = n_log_parts()
+        pre = summary(2, "a_pre_v2", parts_pre)
+        ckpt_v = checkpoint_log(spark, base)
+        assert ckpt_v == 4
+        parts_post = n_log_parts()
+        post = summary(2, "b_post_v2", parts_post).unionByName(
+            summary(4, "c_post_head", parts_post)
+        )
+        # a post-checkpoint commit lands in the fresh tail
+        append_snapshot(spark, base, 5, {"f5": orders.filter(m == 0)})
+        parts_after = n_log_parts()
+        after = summary(5, "d_after_commit", parts_after)
+        out = pre.unionByName(post).unionByName(after)
+        # materialize BEFORE the landing dir vanishes
+        return out.orderBy("state").localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# every read is a closed-form %4 slice; log-part counts 4 (one per
+# commit) -> 0 (tail fully compacted) -> 1 (the post-checkpoint commit)
+_SNAPSHOT_LOG_CKPT_SQL = """
+WITH c AS (SELECT o_orderkey % 4 AS m, o_totalprice FROM orders)
+SELECT 'a_pre_v2' AS state, CAST(4 AS BIGINT) AS n_log_parts,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+FROM c WHERE m <= 1
+UNION ALL
+SELECT 'b_post_v2', CAST(0 AS BIGINT), COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+FROM c WHERE m <= 1
+UNION ALL
+SELECT 'c_post_head', CAST(0 AS BIGINT), COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+FROM c
+UNION ALL
+SELECT 'd_after_commit', CAST(1 AS BIGINT), COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+FROM (SELECT * FROM c UNION ALL SELECT * FROM c WHERE m = 0)
+ORDER BY state
+"""
+
+
 QUERIES = {
     "incremental_agg": q_incremental_agg,
     "scd2_customer_merge": q_scd2_customer_merge,

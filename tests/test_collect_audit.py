@@ -57,14 +57,24 @@ _ALLOWED = {
                                  "row min() over a column-pruned scan, "
                                  "memoized per fixture (ADVICE r12: the "
                                  "outlier is derived, not hardcoded)"),
-    "operators/snapshots.py": (2, "live_files manifest collect — one row "
+    "operators/snapshots.py": (4, "live_files manifest collect — one row "
                                   "per file ACTION ever logged (metadata "
                                   "scale, the compaction_plan listing "
                                   "granularity), never data rows; "
                                   "merge_cdc's affected-file routing "
                                   "collect — distinct file_ids matched by "
                                   "change keys, ≤ live-file count "
-                                  "(manifest scale, r16)"),
+                                  "(manifest scale, r16); checkpoint_log's "
+                                  "head-version 1-row agg and its "
+                                  "per-log-part max collect — one row per "
+                                  "log part file (manifest scale, r16)"),
+    "queries/warehouse_ops.py": (2, "stream_cdc_merge_snapshot's two "
+                                    "1-row aggregates: the committed-head "
+                                    "seed before the stream starts and "
+                                    "the per-micro-batch presence check "
+                                    "(ONE job per batch by design — the "
+                                    "foreachBatch job-constant lesson, "
+                                    "BASELINE.md r16)"),
     "queries/corpus_ops.py": (1, "emb_top_direction Gram collect — ≤ d² "
                                  "= 4096 cells regardless of corpus size "
                                  "(the one corpus-scale stage is the "

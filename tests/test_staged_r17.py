@@ -433,3 +433,82 @@ def test_merge_cdc_noop_batch_and_dv_deleted_key_routing(spark):
         assert head[7] == -7 and len(head) == 10
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_snapshot_log_checkpoint_oracle_parity(spark):
+    from data_engineer_development_spark.queries.warehouse_ops import (
+        _SNAPSHOT_LOG_CKPT_SQL,
+        q_snapshot_log_checkpoint,
+    )
+
+    _parity(
+        spark,
+        "snapshot_log_checkpoint",
+        q_snapshot_log_checkpoint,
+        _SNAPSHOT_LOG_CKPT_SQL,
+    )
+
+
+def test_checkpoint_log_compacts_and_preserves_history(spark):
+    """checkpoint_log: one checkpoint file carries the FULL action
+    history (time travel to any version still exact), the covered tail
+    part files are deleted, post-checkpoint commits land in a fresh
+    tail, a second checkpoint folds them in, and the crash window
+    (checkpoint written, tail not yet compacted) double-reads without
+    double-counting."""
+    import glob
+
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        checkpoint_log,
+        live_files,
+        read_asof,
+        snapshot_log,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), f"ckpt-{uuid.uuid4().hex}")
+    try:
+        rows = spark.range(30).select(F.col("id").alias("k"))
+        append_snapshot(spark, base, 1, {"a": rows.filter("k < 10")})
+        append_snapshot(spark, base, 2, {"b": rows.filter("k >= 10 and k < 20")})
+        append_snapshot(spark, base, 3, {"c": rows.filter("k >= 20")},
+                        removes=["a"])
+        n_actions = snapshot_log(spark, base).count()
+        assert n_actions == 4
+
+        def parts() -> int:
+            return len(glob.glob(os.path.join(base, "_log", "part-*.parquet")))
+
+        assert parts() == 3
+        assert checkpoint_log(spark, base) == 3
+        assert parts() == 0
+        # history intact through the checkpoint
+        assert snapshot_log(spark, base).count() == n_actions
+        assert live_files(spark, base, 1) == ["a"]
+        assert live_files(spark, base, 3) == ["b", "c"]
+        assert read_asof(spark, base, 2).count() == 20
+        assert read_asof(spark, base, 3).count() == 20
+
+        # post-checkpoint commit lands in a fresh tail; second
+        # checkpoint folds it in
+        append_snapshot(spark, base, 4, {"d": rows.filter("k < 5")})
+        assert parts() == 1
+        assert snapshot_log(spark, base).count() == n_actions + 1
+        assert checkpoint_log(spark, base) == 4
+        assert parts() == 0
+        assert read_asof(spark, base, 4).count() == 25
+
+        # crash window: rows present in BOTH checkpoint and tail must
+        # not double-count (snapshot_log DISTINCTs) — simulate by
+        # re-appending the EXACT duplicate of a row the checkpoint
+        # already covers
+        dup = snapshot_log(spark, base).filter(
+            "version = 4 and action = 'add'"
+        )
+        dup.coalesce(1).write.mode("append").parquet(
+            os.path.join(base, "_log")
+        )
+        assert snapshot_log(spark, base).count() == n_actions + 1
+        assert read_asof(spark, base, 4).count() == 25
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

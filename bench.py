@@ -57,6 +57,45 @@ def main() -> None:
     # untrustworthy regardless of which queries it inflated.
     cal_pre = min(run_once("pricing_summary") for _ in range(3))
 
+    # Calibration GATE (VERDICT r16 #3): a sweep on a degraded host
+    # produces an artifact that needs manual adjudication row by row —
+    # refuse to start instead. pricing_summary's idle-box anchor is
+    # 1.31 s (BASELINE.md, stable across every round on record); a
+    # pre-calibration beyond SPARK_GRAFT_CAL_LIMIT× that (default 1.5)
+    # marks the host degraded. Retry a few times (host-load windows on
+    # this box last minutes), then emit a machine-readable deferral as
+    # the FINAL output line so the driver records the condition, not a
+    # 200-row artifact that can't be graded. SPARK_GRAFT_BENCH_FORCE=1
+    # overrides (the r16-style bracket-adjudicated sweep remains
+    # possible, just never the silent default).
+    cal_anchor = 1.31
+    cal_limit = float(os.environ.get("SPARK_GRAFT_CAL_LIMIT", "1.5"))
+    if (
+        cal_pre > cal_limit * cal_anchor
+        and os.environ.get("SPARK_GRAFT_BENCH_FORCE") != "1"
+    ):
+        for _ in range(3):
+            time.sleep(30)
+            cal_pre = min(run_once("pricing_summary") for _ in range(3))
+            if cal_pre <= cal_limit * cal_anchor:
+                break
+        else:
+            print(
+                json.dumps(
+                    {
+                        "metric": "total_query_wall_sec",
+                        "value": -1.0,
+                        "unit": "sec",
+                        "deferred": "degraded host",
+                        "calibration_pre": round(cal_pre, 4),
+                        "calibration_anchor": cal_anchor,
+                        "calibration_limit": cal_limit,
+                        "sf": sf,
+                    }
+                )
+            )
+            return
+
     # FIXED min-of-N policy (default 3): every query gets the same repeat
     # count so per-query numbers are comparable round-over-round — a
     # budget-scaled policy gave early-alphabet queries more repeats (lower
@@ -134,7 +173,30 @@ def main() -> None:
     }
     headline["n_queries"] = len(timings)
 
-    def finish() -> None:
+    def finish(rot_round: int) -> None:
+        # Rotating per-query visibility (VERDICT r16 #6): the driver
+        # keeps only the LAST 2000 chars of output, so the un-rotated
+        # map always exposed the same s–z span. Print the map rotated
+        # to a round-dependent alphabetical offset (stride 7 walks the
+        # alphabet across rounds: r17→p, r18→w, r19→d, r20→k) just
+        # before the headline — the surviving tail then shows a
+        # DIFFERENT span each round, headline still last and whole.
+        import string
+
+        letter = string.ascii_lowercase[(rot_round * 7) % 26]
+        names = sorted(timings)
+        k0 = next(
+            (i for i, n in enumerate(names) if n[0] >= letter), 0
+        )
+        rot = names[k0:] + names[:k0]
+        print(
+            json.dumps(
+                {
+                    "rot_start": letter,
+                    "queries": {n: timings[n] for n in rot},
+                }
+            )
+        )
         print(json.dumps(headline))
         if failed:
             sys.exit(1)
@@ -168,13 +230,13 @@ def main() -> None:
             "SPARK_GRAFT_ROUND or SPARK_GRAFT_BENCH_OVERWRITE=1 to replace",
             file=sys.stderr,
         )
-        finish()
+        finish(int(rnd))
         return
     with open(local, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
         fh.write("\n")
     print(f"bench: full per-query artifact -> {local}", file=sys.stderr)
-    finish()
+    finish(int(rnd))
 
 
 if __name__ == "__main__":

@@ -60,6 +60,34 @@ def _log_rows_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
     )
 
 
+#: sidecar manifest of per-file merge-key bounds (the Delta/Iceberg
+#: data-skipping stats, reduced to the one column MERGE prunes on).
+#: Typed storage: integral keys fill the ``*_long`` pair, string keys
+#: the ``*_str`` pair — never both (a lexicographic compare on numeric
+#: bounds would prune wrongly: "10" < "9").
+_STATS_SCHEMA = (
+    "version long, file_id string, key_col string, "
+    "min_long long, max_long long, min_str string, max_str string"
+)
+
+
+def _stats_rows_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    from data_engineer_development_spark.functions import jvm_rows_df
+
+    return jvm_rows_df(spark, _STATS_SCHEMA, rows)
+
+
+def key_bounds(df: DataFrame, key_col: str) -> tuple:
+    """(min, max) of ``key_col`` — one aggregate over ``df``. The
+    caller-side helper for :func:`append_snapshot`'s ``stats`` when the
+    bounds aren't already known (a writer that just range-partitioned
+    knows them for free; a generic writer pays this one pass)."""
+    r = df.agg(
+        F.min(key_col).alias("mn"), F.max(key_col).alias("mx")
+    ).collect()[0]
+    return (r["mn"], r["mx"])
+
+
 def append_snapshot(
     spark: SparkSession,
     base_dir: str,
@@ -68,6 +96,9 @@ def append_snapshot(
     removes: list[str] | None = None,
     dvs: dict[str, DataFrame] | None = None,
     dv_key: str | None = None,
+    stats_key: str | None = None,
+    stats: dict[str, tuple] | None = None,
+    auto_stats: bool = False,
 ) -> None:
     """Write one snapshot version: materialize each added DataFrame as a
     new immutable file directory, then append the version's add/remove
@@ -80,12 +111,33 @@ def append_snapshot(
     batch as the adds/removes, so a multi-action version (the CDC MERGE
     shape: rewrite + delete + insert) is atomic at the manifest; the
     single-action :func:`append_deletion_vector` remains for standalone
-    deletes."""
+    deletes.
+
+    ``stats`` maps added file_ids to ``(min, max)`` bounds of
+    ``stats_key`` in that file (int or str values, typed into the
+    ``_stats`` sidecar manifest) — the Delta data-skipping move:
+    :func:`merge_cdc` prunes its routing read to files whose recorded
+    range can contain a change key, so a batch touching 1 of N files
+    READS 1 of N files. Bounds are caller-declared (often known for
+    free at write time; else :func:`key_bounds` is one pass) and
+    trusted — a lying bound mis-prunes, same as a corrupt parquet
+    footer would. Stats land in the same commit (sidecar written
+    before the log rows, so a crash leaves stats debris, never a
+    committed version without its declared stats)."""
     adds = adds or {}
     removes = removes or []
     dvs = dvs or {}
+    stats = stats or {}
     if dvs and dv_key is None:
         raise ValueError("append_snapshot: dvs given without dv_key")
+    if (stats or auto_stats) and stats_key is None:
+        raise ValueError("append_snapshot: stats given without stats_key")
+    unknown_stats = set(stats) - set(adds)
+    if unknown_stats:
+        raise ValueError(
+            "append_snapshot: stats for file(s) not added this version "
+            f"{sorted(unknown_stats)}"
+        )
     overlap = set(dvs) & set(removes)
     if overlap:
         raise ValueError(
@@ -98,10 +150,59 @@ def append_snapshot(
         # mode("error"): file_ids are immutable — a re-used id is a
         # caller bug that must fail loudly, not silently append
         df.write.mode("error").parquet(os.path.join(base_dir, "data", fid))
+    if auto_stats:
+        # measure bounds from the files JUST WRITTEN (a key-column-only
+        # read of fresh, page-cached parquet) instead of re-executing
+        # each add's plan — the add may be an expensive join tree
+        for fid in sorted(set(adds) - set(stats)):
+            r = (
+                spark.read.parquet(os.path.join(base_dir, "data", fid))
+                .agg(
+                    F.min(stats_key).alias("mn"),
+                    F.max(stats_key).alias("mx"),
+                )
+                .collect()[0]
+            )
+            if (
+                r["mn"] is not None
+                and isinstance(r["mn"], (int, str))
+                and not isinstance(r["mn"], bool)
+            ):
+                # unsupported key types (date, decimal, …) simply carry
+                # no skipping stats — auto mode never fails a commit
+                stats[fid] = (r["mn"], r["mx"])
     for fid, keys in dvs.items():
         keys.select(F.col(dv_key).alias(_DV_COL)).write.mode(
             "error"
         ).parquet(os.path.join(base_dir, "dv", f"{fid}@{version}"))
+    if stats:
+        srows = []
+        for fid in sorted(stats):
+            mn, mx = stats[fid]
+            if isinstance(mn, bool) or isinstance(mx, bool) or not (
+                type(mn) is type(mx)
+            ):
+                raise ValueError(
+                    f"append_snapshot: stats for {fid!r} must be a "
+                    f"same-typed (min, max) pair, got ({mn!r}, {mx!r})"
+                )
+            if isinstance(mn, int):
+                srows.append(
+                    (int(version), fid, stats_key, mn, mx, None, None)
+                )
+            elif isinstance(mn, str):
+                srows.append(
+                    (int(version), fid, stats_key, None, None, mn, mx)
+                )
+            else:
+                raise ValueError(
+                    "append_snapshot: stats bounds must be int or str "
+                    f"(got {type(mn).__name__} for {fid!r}) — other key "
+                    "types carry no skipping stats"
+                )
+        _stats_rows_df(spark, srows).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(base_dir, "_stats"))
     rows = (
         [
             (version, "add", fid, adds[fid].schema.simpleString())
@@ -170,12 +271,21 @@ def snapshot_log(spark: SparkSession, base_dir: str) -> DataFrame:
 def _latest_checkpoint_version(
     spark: SparkSession, base_dir: str
 ) -> int | None:
-    """Highest ``_log_ckpt/v<N>`` directory, scheme-correct via the
-    Hadoop FileSystem API (one listing — metadata scale)."""
+    """Highest COMMITTED ``_log_ckpt/v<N>`` directory, scheme-correct
+    via the Hadoop FileSystem API (one listing — metadata scale).
+
+    Committed = the directory carries the ``_SUCCESS`` job-commit
+    marker (ADVICE r16, high): a writer that dies mid-checkpoint
+    leaves a partial ``v<N>`` dir with no marker; trusting it by name
+    alone would shadow the previous complete checkpoint and silently
+    drop all pre-checkpoint history from :func:`snapshot_log` (the
+    Delta ``_last_checkpoint``-pointer problem). An uncommitted dir is
+    simply skipped — the prior checkpoint ∪ the still-uncompacted tail
+    remains a complete log (tail compaction only ever runs AFTER the
+    covering checkpoint committed)."""
     conf = spark._jsc.hadoopConfiguration()
-    p = spark._jvm.org.apache.hadoop.fs.Path(
-        os.path.join(base_dir, "_log_ckpt")
-    )
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(base_dir, "_log_ckpt"))
     fs = p.getFileSystem(conf)
     if not fs.exists(p):
         return None
@@ -183,6 +293,10 @@ def _latest_checkpoint_version(
     for st in fs.listStatus(p):
         name = st.getPath().getName()
         if name.startswith("v") and name[1:].isdigit():
+            if not fs.exists(
+                jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            ):
+                continue  # uncommitted (crashed mid-write) — skip
             v = int(name[1:])
             best = v if best is None or v > best else best
     return best
@@ -201,11 +315,15 @@ def checkpoint_log(spark: SparkSession, base_dir: str) -> int:
     subsequent manifest read to O(1) files + the post-checkpoint tail.
 
     Crash-safe by construction: the checkpoint lands BEFORE any tail
-    file is deleted, and :func:`snapshot_log` DISTINCTs checkpoint ∪
+    file is deleted, :func:`snapshot_log` DISTINCTs checkpoint ∪
     tail — a crash in between double-reads, never double-counts or
-    loses actions. History semantics are unchanged (the checkpoint
-    carries every action row, so time travel to ANY version still
-    works). Returns the checkpoint version."""
+    loses actions — and a checkpoint dir only COUNTS once its
+    ``_SUCCESS`` job-commit marker exists (a crash mid-write leaves an
+    uncommitted dir that readers skip; see
+    :func:`_latest_checkpoint_version`, ADVICE r16). History semantics
+    are unchanged (the checkpoint carries every action row, so time
+    travel to ANY version still works). Returns the checkpoint
+    version."""
     from pyspark.sql import functions as _F
 
     tail_dir = os.path.join(base_dir, "_log")
@@ -215,9 +333,29 @@ def checkpoint_log(spark: SparkSession, base_dir: str) -> int:
     if head is None:
         raise ValueError("checkpoint_log: nothing committed — no log")
     head = int(head)
-    log.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(base_dir, "_log_ckpt", f"v{head}")
-    )
+    if _latest_checkpoint_version(spark, base_dir) == head:
+        # idempotent no-op (ADVICE r16, low): re-checkpointing with no
+        # intervening commit would overwrite the very checkpoint the
+        # lazy `log` plan reads from — self-read-overwrite is
+        # unspecified Spark behavior and the dir is already exactly
+        # the full history at `head`.
+        return head
+    ckpt_dir = os.path.join(base_dir, "_log_ckpt", f"v{head}")
+    log.coalesce(1).write.mode("overwrite").parquet(ckpt_dir)
+    conf0 = spark._jsc.hadoopConfiguration()
+    ckpt_path = spark._jvm.org.apache.hadoop.fs.Path(ckpt_dir)
+    if not ckpt_path.getFileSystem(conf0).exists(
+        spark._jvm.org.apache.hadoop.fs.Path(ckpt_path, "_SUCCESS")
+    ):
+        # the committer's _SUCCESS marker IS the commit protocol here —
+        # an environment that disables it (marksuccessfuljobs=false)
+        # would make every checkpoint read as uncommitted; fail loudly
+        # instead of silently writing checkpoints no reader trusts
+        raise RuntimeError(
+            "checkpoint_log: committer wrote no _SUCCESS marker "
+            f"under {ckpt_dir} — checkpoint commit protocol requires "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=true"
+        )
     # compact the covered tail: a _log part file is deletable iff every
     # row in it has version <= head (per-file max from the rows
     # themselves — no guessing from names)
@@ -592,6 +730,37 @@ def apply_compaction(
     return sorted(adds)
 
 
+def _key_stats(
+    spark: SparkSession, base_dir: str, key_col: str, live: list[str]
+) -> dict[str, tuple]:
+    """Recorded ``(min, max)`` bounds of ``key_col`` per live file from
+    the ``_stats`` sidecar — {} when the table records none (every file
+    then stays a merge candidate). Manifest-scale collect: ≤ one row
+    per live file."""
+    try:
+        sdf = spark.read.schema(_STATS_SCHEMA).parquet(
+            os.path.join(base_dir, "_stats")
+        )
+    except Exception as e:  # noqa: BLE001 — PATH_NOT_FOUND filter
+        from pyspark.errors import AnalysisException
+
+        if isinstance(e, AnalysisException) and "PATH_NOT_FOUND" in str(e):
+            return {}
+        raise
+    rows = (
+        sdf.filter(F.col("key_col") == key_col)
+        .filter(F.col("file_id").isin(live))
+        .collect()  # bounded: one row per live file (manifest scale)
+    )
+    out: dict[str, tuple] = {}
+    for r in rows:
+        if r["min_long"] is not None:
+            out[r["file_id"]] = (r["min_long"], r["max_long"])
+        elif r["min_str"] is not None:
+            out[r["file_id"]] = (r["min_str"], r["max_str"])
+    return out
+
+
 def merge_cdc(
     spark: SparkSession,
     base_dir: str,
@@ -623,19 +792,33 @@ def merge_cdc(
     standard MERGE target precondition — Delta's MERGE likewise rejects
     multi-matches). A key present in several live files would have its
     replacement row written into EVERY file it matches; dedup the
-    target (dedup_exact / cdc_apply latest-wins) before merging.
+    target (dedup_exact / cdc_apply latest-wins) before merging. The
+    SOURCE side must be unique too — a key appearing twice within one
+    upserts batch is an ambiguous merge (which row wins?) that Delta's
+    MERGE likewise rejects; it is guarded below (ADVICE r16) rather
+    than silently writing both rows into the rewrite/insert. Collapse
+    multi-event batches upstream (cdc_apply latest-wins) first.
 
-    Scale shape: affected-file detection joins the CHANGE KEYS against
-    a key-column-pruned read of the live files (at 100 TB, manifest
-    min/max key stats would prune the candidate file list before any
-    data read — the same pruning read_asof does at file granularity);
-    rewrite cost is exactly the affected files' bytes, never the table.
+    Scale shape: manifest min/max key stats (the ``_stats`` sidecar,
+    written by stats-declaring :func:`append_snapshot` callers) prune
+    the candidate file list BEFORE any data read — a file whose
+    recorded ``[min, max]`` contains no change key is never opened, so
+    a batch touching 1 of N files reads 1 of N files; files without
+    recorded stats stay candidates (conservative). The surviving
+    candidates are then routed in ONE key-column-pruned scan (not a
+    per-file union), and rewrite cost is exactly the affected files'
+    bytes, never the table. On a stats-maintained table the commit
+    also records bounds for its own new files, so skipping stays live
+    across merges. Returns the pruned candidate list as ``"scanned"``
+    for auditability.
     """
     key = F.col(key_col)
-    up_keys = (
-        upserts.select(key.alias("_k")).distinct() if upserts is not None
+    up_counts = (
+        upserts.groupBy(key.alias("_k")).count()
+        if upserts is not None
         else None
     )
+    up_keys = up_counts.select("_k") if up_counts is not None else None
     del_keys = (
         delete_keys.select(key.alias("_k")).distinct()
         if delete_keys is not None
@@ -643,6 +826,17 @@ def merge_cdc(
     )
     if up_keys is None and del_keys is None:
         raise ValueError("merge_cdc: empty batch (no upserts, no deletes)")
+    if up_counts is not None:
+        # change-batch-scale aggregate (one pass over the batch, never
+        # the table; the same groupBy also serves as the distinct key
+        # set above): duplicate source keys are Delta's
+        # multiple-source-rows-matched error — both rows would land
+        if up_counts.filter(F.col("count") > 1).limit(1).count():
+            raise ValueError(
+                "merge_cdc: duplicate key(s) within the upserts batch — "
+                "ambiguous merge (which row wins?); collapse upstream "
+                "first (latest-wins, queries/warehouse_ops.q_cdc_apply)"
+            )
     if up_keys is not None and del_keys is not None:
         clash = up_keys.join(del_keys, "_k").limit(1).count()
         if clash:
@@ -669,21 +863,94 @@ def merge_cdc(
                 os.path.join(base_dir, "dv", f"{r['file_id']}@{r['version']}")
             )
 
-    def _file_keys(fid: str) -> DataFrame:
-        df = spark.read.parquet(os.path.join(base_dir, "data", fid)).select(
-            key.alias("_k")
+    # ---- data skipping: prune candidates from manifest key bounds ----
+    stats_by_fid = _key_stats(spark, base_dir, key_col, live)
+    if stats_by_fid:
+        change_keys = (
+            up_keys if del_keys is None
+            else del_keys if up_keys is None
+            else up_keys.unionByName(del_keys).distinct()
         )
-        if fid in dv_paths:
-            gone = spark.read.parquet(*sorted(dv_paths[fid])).distinct()
-            df = df.join(gone, df["_k"] == gone[_DV_COL], "left_anti").select(
-                "_k"
+        no_stats = [f for f in live if f not in stats_by_fid]
+        str_bounds = any(
+            isinstance(mn, str) for mn, _ in stats_by_fid.values()
+        )
+        bounds_df = _stats_rows_df(
+            spark,
+            [
+                (0, fid, key_col, None, None, mn, mx) if str_bounds
+                else (0, fid, key_col, mn, mx, None, None)
+                for fid, (mn, mx) in sorted(stats_by_fid.items())
+            ],
+        ).select(
+            F.col("file_id").alias("_sfid"),
+            F.col("min_str" if str_bounds else "min_long").alias("_mn"),
+            F.col("max_str" if str_bounds else "max_long").alias("_mx"),
+        )
+        # broadcast range-join: one pass over the change keys against
+        # the manifest-scale bounds list — the same per-file predicate
+        # evaluation Delta's data skipping does, distributed instead of
+        # driver-side because the key set is batch-sized, not a literal
+        hit = [
+            r["_sfid"]
+            for r in change_keys.join(
+                F.broadcast(bounds_df),
+                (F.col("_k") >= F.col("_mn"))
+                & (F.col("_k") <= F.col("_mx")),
             )
-        return df
+            .select("_sfid")
+            .distinct()
+            .collect()  # bounded: ≤ live-file count (manifest scale)
+        ]
+        candidates = sorted(set(no_stats) | set(hit))
+    else:
+        candidates = list(live)
 
+    # ---- one key-column-pruned routing scan over the candidates ----
+    # (not a per-file union: N unionByName legs make N scan operators
+    # and a deep plan; one multi-path scan is a single FileScan whose
+    # file list IS the pruned candidate set)
     tagged = None
-    for fid in live:
-        part = _file_keys(fid).withColumn("_fid", F.lit(fid))
-        tagged = part if tagged is None else tagged.unionByName(part)
+    if candidates:
+        sample = spark.read.parquet(
+            os.path.join(base_dir, "data", candidates[0])
+        ).schema
+        kfields = [f2 for f2 in sample.fields if f2.name == key_col]
+        if not kfields:
+            raise ValueError(
+                f"merge_cdc: key column {key_col!r} absent from live "
+                f"file {candidates[0]!r}"
+            )
+        from pyspark.sql.types import StructType as _ST
+
+        tagged = (
+            spark.read.schema(_ST(kfields))
+            .parquet(
+                *[os.path.join(base_dir, "data", f) for f in candidates]
+            )
+            .select(
+                key.alias("_k"),
+                F.regexp_extract(
+                    F.input_file_name(), r"/data/([^/]+)/[^/]+$", 1
+                ).alias("_fid"),
+            )
+        )
+        cand_dv = sorted(
+            p for fid in candidates for p in dv_paths.get(fid, [])
+        )
+        if cand_dv:
+            gone = spark.read.parquet(*cand_dv).select(
+                F.col(_DV_COL),
+                F.regexp_extract(
+                    F.input_file_name(), r"/dv/(.+)@[0-9]+/[^/]+$", 1
+                ).alias("_dfid"),
+            ).distinct()
+            tagged = tagged.join(
+                gone,
+                (tagged["_k"] == gone[_DV_COL])
+                & (tagged["_fid"] == gone["_dfid"]),
+                "left_anti",
+            )
 
     def _route(keys: DataFrame | None) -> dict[str, DataFrame]:
         """{fid: keys present in fid} for keys matching a live file."""
@@ -755,13 +1022,20 @@ def merge_cdc(
         # CDC no-op, not an error: commit nothing, burn no version
         # (review r16 — append_snapshot's empty-version guard would
         # otherwise kill a foreachBatch stream on a harmless batch)
-        return {"rewritten": [], "inserted": [], "dv": []}
+        return {"rewritten": [], "inserted": [], "dv": [],
+                "scanned": candidates}
     append_snapshot(
         spark, base_dir, version,
         adds=adds, removes=removes, dvs=dvs, dv_key=key_col,
+        # stats continuity: a stats-maintained table keeps skipping
+        # live across merges (bounds measured from the written files —
+        # one key-column read-back each, never a plan re-execution)
+        stats_key=key_col if stats_by_fid else None,
+        auto_stats=bool(stats_by_fid),
     )
     return {
         "rewritten": sorted(upd_by_file),
         "inserted": inserted,
         "dv": sorted(dvs),
+        "scanned": candidates,
     }

@@ -64,36 +64,33 @@ _MODULES = [
 # round). Every pair — all entries, regardless of order — stays verified
 # by tests/test_oracle_parity.py under both ANSI modes.
 _FRONT = [
-    # r16 head (VERDICT r15 #1): the full 8-entry staged queue
+    # r17 head (VERDICT r16 #1): the full 5-entry staged queue
     # registered — every one with operator + oracle + named tests +
-    # tri-SF ANSI-on parity since r15 staging. New registrations are
+    # tri-SF ANSI-on parity since r16 staging. New registrations are
     # never-checked and always precede rotation.
-    "snapshot_evolution_read", "cdc_apply", "sessionize_events",
-    "triangle_count", "event_transitions", "assoc_rules",
-    "grouped_quantiles", "dq_expectations",
-    # built in-round r16 (VERDICT r15 #6's compaction loop closure)
-    "compaction_apply",
-    # folded in-round r16 (VERDICT r15 #7): dial-union schemas are new
-    # to the driver, so both folds re-earn their rows at the head
-    "stream_neardup_gate", "sim_ivf_topk",
+    "cdc_merge_snapshot", "stream_cdc_merge_snapshot",
+    "approx_group_percentiles", "snapshot_maintenance_plan",
+    "snapshot_log_checkpoint",
     # rotation (stalest driver evidence first, tools/suggest_front.py):
-    # the three r11-latest entries first (VERDICT r15 #3 — lifts the
-    # staleness floor to r12), then the r12 cohort stalest-first.
-    "null_safe_join", "cube_status_priority", "date_funcs",
-    "civil_pipeline_e2e", "substring_dedup", "phrase_search",
-    "heavy_hitters", "vocab_coverage", "bpe_pair_counts",
-    "dictionary_encode", "event_anomaly", "snapshot_diff",
-    "fk_integrity", "er_candidate_pairs", "temporal_dim_join",
-    "stream_foreachbatch_upsert", "multimodal_frame_sample",
-    "multimodal_audio_features", "multimodal_image_ahash",
-    "text_normalize", "text_familiarity", "text_length_trim",
-    "supplier_pagerank", "click_attribution", "stream_stream_join",
-    "gapfill_daily", "stream_dedup_within_watermark",
-    "rolling_median_value", "dedup_containment",
-    "semdedup_sharded",
-    "dedup_clusters", "dedup_cleaned_corpus", "contamination_check",
-    "emb_quantize", "distinct_kmv", "kmv_merge", "tfidf_top_terms",
-    "pii_mask", "exists_high_quantity",
+    # the full 13-entry r12 cohort (VERDICT r16 #5 — lifts the
+    # staleness floor to r13), then the r13 cohort stalest-first.
+    "scalar_subquery_pricey_parts", "grouping_sets_lineitem",
+    "window_navigation", "quantiles_quantity", "big_orders",
+    "moving_7d_orders", "cheapest_part_per_brand", "filtered_agg",
+    "unpivot_part_metrics", "returned_item_revenue", "pivot_status",
+    "array_agg_orders", "bpe_train",
+    "export_jsonl_roundtrip", "export_csv_roundtrip",
+    "export_orc_roundtrip", "compaction_plan", "skew_profile",
+    "range_partition_plan", "schema_evolution_read",
+    "streaming_running_totals", "text_token_stats", "text_repetition",
+    "text_lang_id", "text_quality", "text_fingerprint",
+    "pricing_summary", "quality_typed_select", "dim_decode",
+    "identity_projection", "in_list_filter", "message_envelope",
+    "json_extract", "variant_json_stats", "regexp_clean",
+    "string_funcs", "null_handling", "lsh_candidate_recall",
+    "split_leakage_audit", "volume_shipping", "promo_revenue",
+    "disjunctive_revenue", "small_qty_revenue", "waiting_suppliers",
+    "priority_order_check",
 ]
 
 

@@ -729,10 +729,13 @@ QUERIES: dict = {
     "analyze_table_stats": q_analyze_table_stats,
     # registered r16 (staged r15, tri-SF + ANSI-on parity on record)
     "grouped_quantiles": q_grouped_quantiles,
+    # registered r17 (staged r16, tri-SF + ANSI-on parity on record)
+    "approx_group_percentiles": q_approx_group_percentiles,
 }
 
 ORACLE: dict = {
     "grouped_quantiles": _GROUPED_QUANTILES_SQL,
+    "approx_group_percentiles": _APPROX_GROUP_PCTL_SQL,
     "cms_freq": _cms_sql(),
     "bloom_prune_eval": _bloom_sql(),
     "join_size_estimate": _join_size_sql(),

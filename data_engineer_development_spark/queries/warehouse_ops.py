@@ -1601,13 +1601,18 @@ def q_stream_cdc_merge_snapshot(
                 return
             ups = batch_df.filter(F.col("op") != "D").drop("op")
             dels = batch_df.filter(F.col("op") == "D").select("o_orderkey")
-            merge_cdc(
+            res = merge_cdc(
                 sess, base, next_version[0],
                 ups if has_ups else None,
                 dels if has_dels else None,
                 "o_orderkey",
             )
-            next_version[0] += 1
+            # bump ONLY on a committed action (ADVICE r16): merge_cdc
+            # returns the empty dict WITHOUT committing for a
+            # matches-nothing batch — burning the version there would
+            # leave gaps in a restartable deployment's history
+            if res["rewritten"] or res["inserted"] or res["dv"]:
+                next_version[0] += 1
 
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         q = (
@@ -1798,9 +1803,21 @@ QUERIES = {
     "cdc_apply": q_cdc_apply,
     # registered r16 (built this round — VERDICT r15 #6's maintenance loop)
     "compaction_apply": q_compaction_apply,
+    # registered r17 (staged r16, tri-SF + ANSI-on parity on record):
+    # CDC MERGE materialized as atomic versioned commits (batch +
+    # streaming), the maintenance dry-run report, and the Delta-style
+    # manifest checkpoint
+    "cdc_merge_snapshot": q_cdc_merge_snapshot,
+    "stream_cdc_merge_snapshot": q_stream_cdc_merge_snapshot,
+    "snapshot_maintenance_plan": q_snapshot_maintenance_plan,
+    "snapshot_log_checkpoint": q_snapshot_log_checkpoint,
 }
 
 ORACLE = {
+    "cdc_merge_snapshot": _CDC_MERGE_SNAPSHOT_SQL,
+    "stream_cdc_merge_snapshot": _STREAM_CDC_MERGE_SQL,
+    "snapshot_maintenance_plan": _SNAPSHOT_MAINTENANCE_SQL,
+    "snapshot_log_checkpoint": _SNAPSHOT_LOG_CKPT_SQL,
     "snapshot_evolution_read": _SNAPSHOT_EVOLUTION_SQL,
     "cdc_apply": _CDC_APPLY_SQL,
     "compaction_apply": _COMPACTION_APPLY_SQL,

@@ -57,7 +57,7 @@ _ALLOWED = {
                                  "row min() over a column-pruned scan, "
                                  "memoized per fixture (ADVICE r12: the "
                                  "outlier is derived, not hardcoded)"),
-    "operators/snapshots.py": (4, "live_files manifest collect — one row "
+    "operators/snapshots.py": (8, "live_files manifest collect — one row "
                                   "per file ACTION ever logged (metadata "
                                   "scale, the compaction_plan listing "
                                   "granularity), never data rows; "
@@ -67,7 +67,15 @@ _ALLOWED = {
                                   "(manifest scale, r16); checkpoint_log's "
                                   "head-version 1-row agg and its "
                                   "per-log-part max collect — one row per "
-                                  "log part file (manifest scale, r16)"),
+                                  "log part file (manifest scale, r16); "
+                                  "the r17 key-bounds skipping surface: "
+                                  "key_bounds' 1-row min/max agg, "
+                                  "append_snapshot's auto_stats 1-row "
+                                  "read-back per added file, _key_stats' "
+                                  "sidecar read (≤ one row per live "
+                                  "file), and merge_cdc's pruned-"
+                                  "candidate distinct (≤ live-file count "
+                                  "— all manifest scale, r17)"),
     "queries/warehouse_ops.py": (2, "stream_cdc_merge_snapshot's two "
                                     "1-row aggregates: the committed-head "
                                     "seed before the stream starts and "

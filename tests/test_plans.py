@@ -475,6 +475,10 @@ _CARTESIAN_OK = {
                              # bounded rule list (registered r16)
     "grouped_quantiles",     # ≤|groups×probs|-row target grid cross on
                              # control-plane frames (registered r16)
+    "approx_group_percentiles",  # |groups|×|probs| prob-grid cross on the
+                                 # 1-row-per-group stats frame (registered
+                                 # r17; see the staging note in
+                                 # queries/sketch_ops.py)
 }
 
 

@@ -494,3 +494,227 @@ def test_compaction_apply_oracle_parity(spark):
             _COMPACTION_APPLY_SQL,
         )
         assert ok, f"{sf_dir}: {msg}"
+
+
+def test_uncommitted_checkpoint_dir_is_skipped(spark):
+    """ADVICE r16 (high): a writer that dies mid-checkpoint leaves a
+    ``_log_ckpt/v<N>`` dir WITHOUT the ``_SUCCESS`` commit marker.
+    Readers must skip it — trusting it by name would shadow the real
+    log and silently drop all pre-checkpoint history (the empirical
+    repro: snapshot_log 3 rows -> 1, live_files(v3) ['c'] instead of
+    ['a','b','c'])."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        checkpoint_log,
+        live_files,
+        snapshot_log,
+    )
+
+    base = _base()
+    try:
+        rows = spark.range(30).select(F.col("id").alias("k"))
+        append_snapshot(spark, base, 1, {"a": rows.filter("k < 10")})
+        append_snapshot(spark, base, 2, {"b": rows.filter("k >= 10 and k < 20")})
+        append_snapshot(spark, base, 3, {"c": rows.filter("k >= 20")})
+
+        # simulate the crashed writer: a v3 dir holding one action row
+        # but NO _SUCCESS marker (partial job output)
+        bad = os.path.join(base, "_log_ckpt", "v3")
+        snapshot_log(spark, base).filter(
+            "version = 3"
+        ).coalesce(1).write.mode("overwrite").parquet(bad)
+        os.remove(os.path.join(bad, "_SUCCESS"))
+
+        # the uncommitted dir is invisible: full history survives
+        assert snapshot_log(spark, base).count() == 3
+        assert live_files(spark, base, 3) == ["a", "b", "c"]
+
+        # a real checkpoint_log then replaces the debris with a
+        # committed (marker-bearing) checkpoint and compacts the tail
+        assert checkpoint_log(spark, base) == 3
+        assert os.path.exists(os.path.join(bad, "_SUCCESS"))
+        assert snapshot_log(spark, base).count() == 3
+        assert live_files(spark, base, 3) == ["a", "b", "c"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_checkpoint_log_rerun_without_new_commit_is_noop(spark):
+    """ADVICE r16 (low): re-checkpointing at an unchanged head must
+    not overwrite the checkpoint the lazy log plan reads from —
+    checkpoint_log early-returns the head instead."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        checkpoint_log,
+        live_files,
+        snapshot_log,
+    )
+
+    base = _base()
+    try:
+        rows = spark.range(10).select(F.col("id").alias("k"))
+        append_snapshot(spark, base, 1, {"a": rows})
+        assert checkpoint_log(spark, base) == 1
+        ckpt_files = sorted(
+            glob.glob(os.path.join(base, "_log_ckpt", "v1", "part-*"))
+        )
+        mtimes = [os.path.getmtime(p) for p in ckpt_files]
+        # idempotent no-op: same head returned, checkpoint bytes untouched
+        assert checkpoint_log(spark, base) == 1
+        assert sorted(
+            glob.glob(os.path.join(base, "_log_ckpt", "v1", "part-*"))
+        ) == ckpt_files
+        assert [os.path.getmtime(p) for p in ckpt_files] == mtimes
+        assert snapshot_log(spark, base).count() == 1
+        assert live_files(spark, base, 1) == ["a"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_merge_cdc_rejects_duplicate_source_keys(spark):
+    """ADVICE r16 (low): duplicate keys WITHIN one upserts batch are an
+    ambiguous merge (Delta's multiple-source-rows-matched error) — the
+    guard fires before anything commits."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        merge_cdc,
+        snapshot_log,
+    )
+
+    base = _base()
+    try:
+        rows = spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+        )
+        append_snapshot(spark, base, 1, {"a": rows})
+        dup = spark.range(2).select(
+            F.lit(3).alias("k"), F.col("id").alias("val")
+        )
+        with pytest.raises(ValueError, match="duplicate key"):
+            merge_cdc(spark, base, 2, dup, None, "k")
+        # nothing committed
+        assert snapshot_log(spark, base).filter("version = 2").count() == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_merge_cdc_key_bounds_prune_reads_only_touched_file(spark):
+    """VERDICT r16 #4: manifest min/max key stats prune the routing
+    read BEFORE any data I/O. Three files with recorded disjoint
+    bounds; a batch touching only the middle file scans only it —
+    proven the hard way: the two pruned files' bytes are MOVED AWAY
+    during the merge, so any read of them would throw. Stats
+    continuity: the commit records bounds for its own new file."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators.snapshots import (
+        _key_stats,
+        append_snapshot,
+        key_bounds,
+        merge_cdc,
+        read_asof,
+    )
+
+    base = _base()
+    try:
+        rows = spark.range(30).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+        )
+        parts = {
+            "f0": rows.filter("k < 10"),
+            "f1": rows.filter("k >= 10 and k < 20"),
+            "f2": rows.filter("k >= 20"),
+        }
+        append_snapshot(
+            spark, base, 1, parts,
+            stats_key="k",
+            stats={fid: key_bounds(df, "k") for fid, df in parts.items()},
+        )
+        assert _key_stats(spark, base, "k", ["f0", "f1", "f2"]) == {
+            "f0": (0, 9), "f1": (10, 19), "f2": (20, 29),
+        }
+
+        # make any read of the pruned files IMPOSSIBLE, not just absent
+        for fid in ("f0", "f2"):
+            shutil.move(
+                os.path.join(base, "data", fid),
+                os.path.join(base, f"hidden-{fid}"),
+            )
+        ups = spark.range(12, 14).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("val")
+        )
+        res = merge_cdc(spark, base, 2, ups, None, "k")
+        assert res["scanned"] == ["f1"]
+        assert res["rewritten"] == ["f1"] and res["inserted"] == []
+        for fid in ("f0", "f2"):
+            shutil.move(
+                os.path.join(base, f"hidden-{fid}"),
+                os.path.join(base, "data", fid),
+            )
+        head = {
+            r["k"]: r["val"] for r in read_asof(spark, base, 2).collect()
+        }
+        assert head[12] == -1 and head[13] == -1 and head[11] == 110
+        assert len(head) == 30
+        # continuity: the rewritten file carries measured bounds, so
+        # the NEXT merge keeps pruning
+        assert _key_stats(spark, base, "k", ["m2_f1"]) == {
+            "m2_f1": (10, 19)
+        }
+        res2 = merge_cdc(
+            spark, base, 3,
+            spark.range(100, 102).select(
+                F.col("id").alias("k"), F.lit(0).cast("long").alias("val")
+            ),
+            None, "k",
+        )
+        assert res2["scanned"] == []  # outside every file's bounds
+        assert res2["inserted"] == ["m3_ins"]
+        assert read_asof(spark, base, 3).count() == 32
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_merge_cdc_string_key_bounds_prune(spark):
+    """String merge keys prune through the typed *_str bounds pair —
+    never a lexicographic compare on numeric storage."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators.snapshots import (
+        append_snapshot,
+        key_bounds,
+        merge_cdc,
+    )
+
+    base = _base()
+    try:
+        rows = spark.range(20).select(
+            F.format_string("id-%02d", F.col("id")).alias("k"),
+            F.col("id").alias("val"),
+        )
+        parts = {
+            "a": rows.filter("k < 'id-10'"),
+            "b": rows.filter("k >= 'id-10'"),
+        }
+        append_snapshot(
+            spark, base, 1, parts,
+            stats_key="k",
+            stats={fid: key_bounds(df, "k") for fid, df in parts.items()},
+        )
+        ups = spark.range(3, 5).select(
+            F.format_string("id-%02d", F.col("id")).alias("k"),
+            F.lit(-1).cast("long").alias("val"),
+        )
+        res = merge_cdc(spark, base, 2, ups, None, "k")
+        assert res["scanned"] == ["a"]
+        assert res["rewritten"] == ["a"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

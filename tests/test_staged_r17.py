@@ -77,6 +77,7 @@ def test_merge_cdc_routes_all_three_materializations(spark):
             "rewritten": ["lo"],
             "inserted": ["m2_ins"],
             "dv": ["hi"],
+            "scanned": ["hi", "lo"],  # no stats recorded: all live files
         }
         assert live_files(spark, base, 2) == ["hi", "m2_lo", "m2_ins"] or (
             live_files(spark, base, 2) == sorted(["hi", "m2_lo", "m2_ins"])
@@ -411,7 +412,8 @@ def test_merge_cdc_noop_batch_and_dv_deleted_key_routing(spark):
             spark, base, 2, None,
             spark.range(100, 103).select(F.col("id").alias("k")), "k",
         )
-        assert res == {"rewritten": [], "inserted": [], "dv": []}
+        assert res == {"rewritten": [], "inserted": [], "dv": [],
+                       "scanned": ["a"]}
         assert snapshot_log(spark, base).agg(
             F.max("version")
         ).collect()[0][0] == 1  # no version burned
@@ -425,7 +427,8 @@ def test_merge_cdc_noop_batch_and_dv_deleted_key_routing(spark):
             spark.createDataFrame([(7, -7)], "k long, val long"),
             None, "k",
         )
-        assert res == {"rewritten": [], "inserted": ["m3_ins"], "dv": []}
+        assert res == {"rewritten": [], "inserted": ["m3_ins"], "dv": [],
+                       "scanned": ["a"]}
         head = {
             r["k"]: r["val"]
             for r in read_asof(spark, base, 3, dv_key="k").collect()

@@ -77,6 +77,26 @@ def _stats_rows_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
     return jvm_rows_df(spark, _STATS_SCHEMA, rows)
 
 
+def _overlap(fns: list) -> list:
+    """Run independent Spark actions concurrently from a small driver
+    thread pool (optimization guide §2.6: actions are only sequential
+    because driver code calls them sequentially; overlapping independent
+    jobs lets each job's tasks back-fill capacity the others' scheduling
+    gaps and stragglers leave idle). The commit path is dominated by
+    per-job constants at manifest scale, so overlapping N ~equal jobs
+    approaches an N-fold cut of that constant. Results in input order;
+    the first exception propagates after all submitted work settles (a
+    failed sibling never leaves a half-running write racing the caller's
+    cleanup)."""
+    if len(fns) <= 1:
+        return [fn() for fn in fns]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(fns))) as pool:
+        futs = [pool.submit(fn) for fn in fns]
+        return [f.result() for f in futs]
+
+
 def key_bounds(df: DataFrame, key_col: str) -> tuple:
     """(min, max) of ``key_col`` — one aggregate over ``df``. The
     caller-side helper for :func:`append_snapshot`'s ``stats`` when the
@@ -146,23 +166,34 @@ def append_snapshot(
         )
     if not adds and not removes and not dvs:
         raise ValueError("append_snapshot: empty version (no actions)")
-    for fid, df in adds.items():
-        # mode("error"): file_ids are immutable — a re-used id is a
-        # caller bug that must fail loudly, not silently append
-        df.write.mode("error").parquet(os.path.join(base_dir, "data", fid))
+    # the per-file writes are independent jobs over disjoint output
+    # dirs — overlapped (guide §2.6); mode("error") semantics per file
+    # are unchanged (file_ids are immutable — a re-used id is a caller
+    # bug that must fail loudly, not silently append)
+    def _write_add(fid: str, df: DataFrame):
+        return lambda: df.write.mode("error").parquet(
+            os.path.join(base_dir, "data", fid)
+        )
+
+    _overlap([_write_add(fid, df) for fid, df in adds.items()])
     if auto_stats:
         # measure bounds from the files JUST WRITTEN (a key-column-only
         # read of fresh, page-cached parquet) instead of re-executing
-        # each add's plan — the add may be an expensive join tree
-        for fid in sorted(set(adds) - set(stats)):
-            r = (
+        # each add's plan — the add may be an expensive join tree;
+        # per-file read-backs are independent, overlapped too
+        def _measure(fid: str):
+            return lambda: (
+                fid,
                 spark.read.parquet(os.path.join(base_dir, "data", fid))
                 .agg(
                     F.min(stats_key).alias("mn"),
                     F.max(stats_key).alias("mx"),
                 )
-                .collect()[0]
+                .collect()[0],
             )
+
+        unmeasured = sorted(set(adds) - set(stats))
+        for fid, r in _overlap([_measure(fid) for fid in unmeasured]):
             if (
                 r["mn"] is not None
                 and isinstance(r["mn"], (int, str))
@@ -171,10 +202,13 @@ def append_snapshot(
                 # unsupported key types (date, decimal, …) simply carry
                 # no skipping stats — auto mode never fails a commit
                 stats[fid] = (r["mn"], r["mx"])
-    for fid, keys in dvs.items():
-        keys.select(F.col(dv_key).alias(_DV_COL)).write.mode(
+
+    def _write_dv(fid: str, keys: DataFrame):
+        return lambda: keys.select(F.col(dv_key).alias(_DV_COL)).write.mode(
             "error"
         ).parquet(os.path.join(base_dir, "dv", f"{fid}@{version}"))
+
+    _overlap([_write_dv(fid, keys) for fid, keys in dvs.items()])
     if stats:
         srows = []
         for fid in sorted(stats):
@@ -826,7 +860,9 @@ def merge_cdc(
     )
     if up_keys is None and del_keys is None:
         raise ValueError("merge_cdc: empty batch (no upserts, no deletes)")
-    if up_counts is not None:
+    # the two batch-validity guards are independent batch-scale jobs —
+    # overlapped (guide §2.6), each raising its own error as before
+    def _dup_guard():
         # change-batch-scale aggregate (one pass over the batch, never
         # the table; the same groupBy also serves as the distinct key
         # set above): duplicate source keys are Delta's
@@ -837,14 +873,20 @@ def merge_cdc(
                 "ambiguous merge (which row wins?); collapse upstream "
                 "first (latest-wins, queries/warehouse_ops.q_cdc_apply)"
             )
-    if up_keys is not None and del_keys is not None:
-        clash = up_keys.join(del_keys, "_k").limit(1).count()
-        if clash:
+
+    def _clash_guard():
+        if up_keys.join(del_keys, "_k").limit(1).count():
             raise ValueError(
                 "merge_cdc: a key appears in both upserts and deletes — "
                 "ambiguous batch order; resolve upstream (latest-wins "
                 "collapse, queries/warehouse_ops.q_cdc_apply)"
             )
+
+    _overlap(
+        ([_dup_guard] if up_counts is not None else [])
+        + ([_clash_guard] if up_keys is not None and del_keys is not None
+           else [])
+    )
     acts = _actions(spark, base_dir, version - 1)
     added = {r["file_id"] for r in acts if r["action"] == "add"}
     removed = {r["file_id"] for r in acts if r["action"] == "remove"}
@@ -970,8 +1012,12 @@ def merge_cdc(
             for fid in sorted(fids)
         }
 
-    upd_by_file = _route(up_keys)
-    del_by_file = _route(del_keys)
+    # the two routing collects are independent jobs over the same pruned
+    # scan — overlapped (guide §2.6; ReuseExchange/FileScan caching makes
+    # the second's scan cheap either way, the win is the job constants)
+    upd_by_file, del_by_file = _overlap(
+        [lambda: _route(up_keys), lambda: _route(del_keys)]
+    )
 
     adds: dict[str, DataFrame] = {}
     removes: list[str] = []

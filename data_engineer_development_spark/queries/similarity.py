@@ -617,17 +617,14 @@ ORDER BY u.vec_id
 _GATE_TABLES = 2
 
 
-def q_stream_neardup_gate_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid as _uuid
-
+def _prepare_gate_banded(spark: SparkSession, sf_dir: str):
+    """(gated stream, sink kwargs, post-fn) for the banded dial — shared by
+    the standalone builder and the concurrent dials fold."""
     from data_engineer_development_spark.streaming.stateful import (
         combine_gate_tables,
         stream_neardup_gate,
     )
-    from data_engineer_development_spark.streaming.windows import (
-        run_to_memory_sink,
-        stream_table,
-    )
+    from data_engineer_development_spark.streaming.windows import stream_table
 
     gated = stream_neardup_gate(
         stream_table(spark, sf_dir, "embeddings"),
@@ -636,12 +633,24 @@ def q_stream_neardup_gate_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims=DIMS,
         tables=_GATE_TABLES,
     )
-    name = f"q_ndgate_b_{_uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(
-        gated, name, output_mode="update", assert_single_batch=True,
+    kwargs = dict(
+        output_mode="update", assert_single_batch=True,
         state_partitions=4, no_data_batches=False,
     )
-    return combine_gate_tables(spark.table(name)).orderBy("vec_id")
+    return gated, kwargs, combine_gate_tables
+
+
+def q_stream_neardup_gate_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    gated, kwargs, post = _prepare_gate_banded(spark, sf_dir)
+    name = f"q_ndgate_b_{_uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(gated, name, **kwargs)
+    return post(spark.table(name)).orderBy("vec_id")
 
 
 _BANDED_BUCKETS = ",\n              ".join(
@@ -716,18 +725,13 @@ def _min_vec_id(spark: SparkSession, sf_dir: str) -> int:
     return _MIN_VEC_ID_MEMO[sf_dir]
 
 
-def q_stream_neardup_gate_event_ttl(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    import uuid as _uuid
-
+def _prepare_gate_event_ttl(spark: SparkSession, sf_dir: str):
+    """(gated stream, sink kwargs, post-fn) for the event-TTL dial — shared
+    by the standalone builder and the concurrent dials fold."""
     from data_engineer_development_spark.streaming.stateful import (
         stream_neardup_gate,
     )
-    from data_engineer_development_spark.streaming.windows import (
-        run_to_memory_sink,
-        stream_table,
-    )
+    from data_engineer_development_spark.streaming.windows import stream_table
 
     outlier = _min_vec_id(spark, sf_dir)
     src = stream_table(spark, sf_dir, "embeddings").withColumn(
@@ -750,12 +754,26 @@ def q_stream_neardup_gate_event_ttl(
         event_ttl_ms=_GATE_EVENT_TTL_MS,
         watermark_delay="1 second",
     )
-    name = f"q_ndgate_ettl_{_uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(
-        gated, name, output_mode="update", assert_single_batch=True,
+    kwargs = dict(
+        output_mode="update", assert_single_batch=True,
         state_partitions=4, no_data_batches=True,
     )
-    return spark.table(name).orderBy("vec_id")
+    return gated, kwargs, (lambda df: df)
+
+
+def q_stream_neardup_gate_event_ttl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import uuid as _uuid
+
+    from data_engineer_development_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    gated, kwargs, post = _prepare_gate_event_ttl(spark, sf_dir)
+    name = f"q_ndgate_ettl_{_uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(gated, name, **kwargs)
+    return post(spark.table(name)).orderBy("vec_id")
 
 
 # --------------------------------------------------------------------------
@@ -903,16 +921,42 @@ FROM u
 def q_stream_neardup_gate_dials(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # OPTIMIZATION r17 (guide §2.6 — overlap independent jobs): the two
+    # dials are fully independent streaming runs whose cost is dominated
+    # by stream-start/per-batch constants, not CPU — running them
+    # sequentially left the cluster idle through each one's scheduling
+    # gaps. Start BOTH queries, then await both: each query's session
+    # confs are frozen at its own .start() (start_to_memory_sink), so the
+    # differing no-data-batch settings cannot leak across. Output is
+    # byte-identical to the sequential fold (each dial's stream, state
+    # layout, and batch count are unchanged; the union/ordering is the
+    # same). Measured at sf0.1 (isolated min-of-5, calibration-bracketed):
+    # 6.11 s sequential → 4.46 s concurrent.
+    import uuid as _uuid
+
+    from data_engineer_development_spark.streaming.windows import (
+        finish_memory_sink,
+        start_to_memory_sink,
+    )
+
+    runs = []
+    for tag, prep in (
+        ("banded2", _prepare_gate_banded),
+        ("event_ttl", _prepare_gate_event_ttl),
+    ):
+        gated, kwargs, post = prep(spark, sf_dir)
+        name = f"q_ndgate_{tag}_{_uuid.uuid4().hex[:8]}"
+        runs.append(
+            (tag, name, post, start_to_memory_sink(gated, name, **kwargs))
+        )
+    for *_, run in runs:
+        finish_memory_sink(run)
     cols = ["vec_id", "dup_of", "admitted"]
-    banded = (
-        q_stream_neardup_gate_banded(spark, sf_dir)
-        .select(F.lit("banded2").alias("dial"), *cols)
-    )
-    ettl = (
-        q_stream_neardup_gate_event_ttl(spark, sf_dir)
-        .select(F.lit("event_ttl").alias("dial"), *cols)
-    )
-    return banded.unionByName(ettl).orderBy("dial", "vec_id")
+    parts = [
+        post(spark.table(name)).select(F.lit(tag).alias("dial"), *cols)
+        for tag, name, post, _ in runs
+    ]
+    return parts[0].unionByName(parts[1]).orderBy("dial", "vec_id")
 
 
 _STREAM_NDGATE_DIALS_SQL = f"""

@@ -53,15 +53,18 @@ def get_spark(
         # compiles thousands of generated classes); once full, silent
         # cold-code flushing + recompile churn inflates late queries 1.5-2x
         # (measured: the bench's alphabetical tail drifted while the same
-        # queries ran at anchor in a fresh JVM). 512 MB was the Spark-dev
-        # recommended size at a 155-entry registry; at 193 entries x
-        # min-of-3 the sweep compiles ~25% more generated classes, so
-        # reserve 768 MB — harmless when unused (reserved, not committed).
+        # queries ran at anchor in a fresh JVM). Sized 512 MB at 155
+        # entries, 768 MB at 193; at 214 entries x min-of-3 768 MB fills
+        # again by sweep position ~40 (r17 A/B on an idle box: same
+        # 41-entry prefix, dedup_simhash 6.90 s at 768 MB vs 2.81 s at
+        # 2 GiB, dedup_modality_overlap 5.00 vs 3.14 — the flush churn,
+        # not the plans). Reserve 2 GiB — reserved address space, not
+        # committed memory, so it is free until actually used.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-                "-XX:ReservedCodeCacheSize=768m",
+                "-XX:ReservedCodeCacheSize=2g",
             ),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -209,7 +209,39 @@ def run_to_memory_sink(
     Leave it ON for append-mode window aggregates and anything with
     timeouts/timers — there it is load-bearing, not overhead.
     """
-    import shutil
+    finish_memory_sink(
+        start_to_memory_sink(
+            stream_df,
+            name,
+            output_mode=output_mode,
+            state_partitions=state_partitions,
+            assert_single_batch=assert_single_batch,
+            state_store_provider=state_store_provider,
+            no_data_batches=no_data_batches,
+            progress_out=progress_out,
+        )
+    )
+
+
+def start_to_memory_sink(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int = 8,
+    assert_single_batch: bool = False,
+    state_store_provider: str | None = None,
+    no_data_batches: bool = True,
+    progress_out: list | None = None,
+) -> dict:
+    """Start (but do not await) a memory-sink AvailableNow run; pair with
+    :func:`finish_memory_sink`. Session confs (shuffle partitions → state
+    partitioning, state-store provider, no-data micro-batches) are frozen
+    into the query when ``.start()`` clones the session, so they are set
+    before and restored immediately after the start call — which is what
+    makes CONCURRENT streams safe to launch back-to-back from one driver
+    thread (guide §2.6: independent jobs overlap; each stream's batches
+    back-fill executor capacity the other's stragglers leave idle), each
+    with its own frozen conf set."""
     import uuid as _uuid
 
     spark = stream_df.sparkSession
@@ -242,22 +274,6 @@ def run_to_memory_sink(
         if ckpt:
             writer = writer.option("checkpointLocation", ckpt)
         q = writer.start()
-        q.awaitTermination()
-        if progress_out is not None:
-            progress_out.extend(q.recentProgress)
-        if assert_single_batch:
-            data_batches = [
-                p
-                for p in q.recentProgress
-                if p.get("numInputRows", 0) > 0
-            ]
-            if len(data_batches) != 1:
-                raise RuntimeError(
-                    f"stream {name!r} processed {len(data_batches)} "
-                    "non-empty micro-batches but this query's semantics "
-                    "(watermark vs. late rows) require exactly one; "
-                    "unset maxFilesPerTrigger / use a single source file"
-                )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         if state_store_provider:
@@ -270,8 +286,41 @@ def run_to_memory_sink(
                 spark.conf.unset(ndb_key)
             else:
                 spark.conf.set(ndb_key, prev_ndb)
-        if ckpt:
-            shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "query": q,
+        "name": name,
+        "ckpt": ckpt,
+        "assert_single_batch": assert_single_batch,
+        "progress_out": progress_out,
+    }
+
+
+def finish_memory_sink(run: dict) -> None:
+    """Await a :func:`start_to_memory_sink` run, apply its post-run checks,
+    and clean up its checkpoint."""
+    import shutil
+
+    q = run["query"]
+    try:
+        q.awaitTermination()
+        if run["progress_out"] is not None:
+            run["progress_out"].extend(q.recentProgress)
+        if run["assert_single_batch"]:
+            data_batches = [
+                p
+                for p in q.recentProgress
+                if p.get("numInputRows", 0) > 0
+            ]
+            if len(data_batches) != 1:
+                raise RuntimeError(
+                    f"stream {run['name']!r} processed {len(data_batches)} "
+                    "non-empty micro-batches but this query's semantics "
+                    "(watermark vs. late rows) require exactly one; "
+                    "unset maxFilesPerTrigger / use a single source file"
+                )
+    finally:
+        if run["ckpt"]:
+            shutil.rmtree(run["ckpt"], ignore_errors=True)
 
 
 def latest_snapshots(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:

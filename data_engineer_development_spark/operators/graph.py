@@ -353,12 +353,26 @@ def count_triangles(
     (u→v, u→w, v→w) oriented wedge-closure). Returns a 1-row frame
     (n_nodes, n_edges, n_triangles), all BIGINT.
     """
-    # Deliberately NOT persisted: e and oriented appear as repeated
-    # identical subtrees, which Spark's ReuseExchange collapses into one
-    # physical shuffle each — persisting instead FORCES materialization
-    # and breaks pipelining (A/B-measured at sf0.1: persist(e) 17.3 s,
-    # persist both 12.0 s, no persist 8.7 s on the 1.16M-edge
-    # co-purchase graph).
+    # The canonical edge list is materialized ONCE with an eager
+    # localCheckpoint: e feeds four consumers (deg, the orientation
+    # join, closure via oriented, stats) whose subtrees Spark's
+    # ReuseExchange only partially collapses — the upstream edge-build
+    # plan (often a distinct over a self-join) re-plans under several of
+    # them. r16 A/B showed persist() LOSES here (persist(e) 17.3 s,
+    # persist both 12.0 s, no persist 8.7 s — the SQL-cache
+    # InMemoryTableScan barrier breaks AQE pipelining), but a LINEAGE
+    # TRUNCATION wins: localCheckpoint(e) 7.35 s vs 8.98 s status quo on
+    # the same 1.16M-edge co-purchase graph (r17 A/B, idle box,
+    # min-of-3; checkpointing oriented TOO reads 8.13 s — ReuseExchange
+    # already dedups the oriented exchanges, so the extra
+    # materialization job is pure cost). At scale this is the standard
+    # shape: every real triangle count materializes the canonical edge
+    # list once rather than recomputing the dedup per consumer. Tracked
+    # so the bench/harness release frees the checkpoint blocks.
+    from data_engineer_development_spark.cache import (
+        local_checkpoint_tracked,
+    )
+
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -367,6 +381,7 @@ def count_triangles(
         .filter(F.col("a") < F.col("b"))  # drops self-loops
         .distinct()
     )
+    e, _ = local_checkpoint_tracked(e)
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))

@@ -93,39 +93,94 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ark") == 1)
         .select("vec_id", "label", "embedding", "vn", F.col("cent_id").alias("cell"))
     )
-    a = assigned.select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        F.col("embedding").alias("av"),
-        F.col("vn").alias("an"),
-        "cell",
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("negative_id"),
-        F.col("label").alias("negative_label"),
-        F.col("embedding").alias("nv"),
-        F.col("vn").alias("nn"),
-        "cell",
-    )
-    # cell equi-join (Σ|cell|² pairs, never corpus²); cross-label filter
-    # implies anchor_id != negative_id (a row shares its own label)
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("anchor_label") != F.col("negative_label"))
-        .withColumn(
-            "cosine", seq_dot("av", "nv") / (F.col("an") * F.col("nn"))
+    # Per-cell numpy kernel (OPTIMIZATION r17, guide §4.2/§8.4): the old
+    # shape materialized the Σ|cell|² cell equi-join as pair ROWS carrying
+    # both 64-dim arrays, so every vector's embedding crossed the Arrow
+    # boundary once PER PAIR (~250× duplication at the fixture cell sizes)
+    # before the seq_dot pandas_udf scored it, and a full-width shuffle +
+    # window ranked the pairs. Now each vector crosses ONCE (one
+    # applyInPandas over the cell — the semdedup cell-kernel shape) and
+    # the kernel computes the same numbers: the cosine is the SAME
+    # strictly-sequential left-fold over dims as seq_dot/the oracle's
+    # list_reduce (acc = a0·b0; acc += ad·bd — vectorized as an outer
+    # product per dim, so every pair's IEEE rounding sequence is
+    # unchanged), the same an·nn denominator from the SAME JVM-computed
+    # norms riding in on the frame, and the same (cosine DESC,
+    # negative_id ASC) top-k via a stable argsort over rows pre-sorted by
+    # id (bit-equal ties keep column order = ascending negative_id —
+    # exactly row_number's tie-break; Spark's sort normalizes -0.0 to 0.0,
+    # and ±0.0 compare equal in the argsort, so the ±0.0 tie also falls
+    # to the id). Cross-label semantics preserved including NULL labels
+    # (NULL != x is NULL → such rows never pair, either side). The pair
+    # count, cell restriction, and Σ|cell|² bound are unchanged.
+    # Measured at sf0.1 (isolated min-of-5): 3.07 s → 1.54 s even under
+    # a contended calibration bracket; plan 16 → 8 Exchange, the per-pair
+    # ArrowEvalPython and the pair-rows SortMergeJoin both gone
+    # (tests/test_contrastive.py pins kernel ≡ pair-join bit-for-bit).
+    import numpy as np
+    import pandas as pd
+
+    # the label columns keep their source type (int in the fixture);
+    # NULL-labeled rows never reach the output (cross requires both
+    # labels non-null), so the non-null cast below is always exact
+    label_t = dict(assigned.dtypes)["label"]
+    label_np = {"int": np.int32, "bigint": np.int64, "smallint": np.int16}
+
+    def topk_negatives(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        vn = pdf["vn"].to_numpy(dtype=np.float64)
+        lab = pdf["label"]
+        valid = lab.notna().to_numpy()
+        labels = lab.to_numpy()
+        m = len(ids)
+        # sequential left-fold over dims, vectorized over the pair grid
+        acc = V[:, 0:1] * V[None, :, 0]
+        for d in range(1, V.shape[1]):
+            acc += V[:, d : d + 1] * V[None, :, d]
+        cos = acc / (vn[:, None] * vn[None, :])
+        cross = (
+            valid[:, None]
+            & valid[None, :]
+            & (labels[:, None] != labels[None, :])
         )
-    )
-    w2 = Window.partitionBy("anchor_id").orderBy(
-        F.desc("cosine"), F.asc("negative_id")
+        # stable argsort of -cos with non-candidates sunk to +inf: ties
+        # (bit-equal cosines) keep column order = ascending negative_id
+        order = np.argsort(
+            np.where(cross, -cos, np.inf), axis=1, kind="stable"
+        )
+        k = min(_HN_TOPK, m)
+        top = order[:, :k]
+        rows = np.repeat(np.arange(m), k)
+        cols = top.ravel()
+        keep = cross[rows, cols]
+        rows, cols = rows[keep], cols[keep]
+        rk = np.tile(np.arange(1, k + 1), m)[keep]
+        cast = label_np.get(label_t)
+        a_lab, n_lab = labels[rows], labels[cols]
+        if cast is not None:
+            # exact: only non-null int labels survive `cross`
+            a_lab, n_lab = a_lab.astype(cast), n_lab.astype(cast)
+        return pd.DataFrame(
+            {
+                "anchor_id": ids[rows],
+                "anchor_label": a_lab,
+                "rk": rk.astype(np.int32),
+                "negative_id": ids[cols],
+                "negative_label": n_lab,
+                "cosine": cos[rows, cols],
+            }
+        )
+
+    out_schema = (
+        f"anchor_id long, anchor_label {label_t}, rk int, "
+        f"negative_id long, negative_label {label_t}, cosine double"
     )
     return (
-        pairs.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= _HN_TOPK)
-        .select(
-            "anchor_id", "anchor_label", "rk",
-            "negative_id", "negative_label", "cosine",
-        )
+        assigned.select("vec_id", "label", "embedding", "vn", "cell")
+        .groupBy("cell")
+        .applyInPandas(topk_negatives, out_schema)
         .orderBy("anchor_id", "rk")
     )
 

@@ -152,3 +152,143 @@ def test_zero_norm_parity_with_oracle(spark, zero_norm_dir, fn, sql):
     )
     assert sorted(sdf.columns) == sorted(ocols)
     assert srows == orows
+
+
+# ---------------------------------------------------------------------------
+# r17 optimization pin: the per-cell numpy top-k kernel must reproduce the
+# retired pair-join formulation (cell equi-join + seq_dot pandas_udf +
+# row_number window) BIT-FOR-BIT — same cosines (identical sequential fold),
+# same tie-breaks (bit-equal cosines fall to ascending negative_id), same
+# NULL-label semantics (NULL != x is NULL → no pair, either side).
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def kernel_equiv_dir(spark, tmp_path_factory):
+    """Ties + NULLs corpus: ids 20/21/22 share ONE identical vector under
+    the opposite label (bit-equal cosines to every anchor → the rank is
+    decided purely by the id tie-break), id 30 carries a NULL label, and
+    there are > _HN_TOPK cross-label candidates per cell so the k cutoff
+    is exercised."""
+    base = _vec(0, second=1)
+    rows = [
+        (0, "a", _vec(0)),
+        (1, "a", _vec(0, second=2)),
+        (2, "b", _vec(1)),
+        (5, "a", _vec(1, second=3)),
+        (20, "b", base),
+        (21, "b", base),   # identical vector, same label → exact tie
+        (22, "b", base),   # identical vector → exact tie
+        (23, "b", _vec(0, value=0.5)),
+        (24, "b", _vec(2)),
+        (30, None, _vec(3)),  # NULL label: never an anchor, never a negative
+    ]
+    d = tmp_path_factory.mktemp("keq")
+    spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "embeddings.parquet")
+    )
+    return str(d)
+
+
+def test_topk_kernel_matches_pair_join_formulation(spark, kernel_equiv_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineer_development_spark.operators.similarity import (
+        norm_expr,
+        seq_dot,
+    )
+    from data_engineer_development_spark.queries.contrastive import (
+        _HN_K,
+        _HN_TOPK,
+    )
+    from data_engineer_development_spark.sources import load_table
+
+    new = q_hard_negative_mining(spark, kernel_equiv_dir).collect()
+
+    # the RETIRED formulation, reproduced verbatim as the equivalence
+    # reference: same assignment stage, then the pair join + seq_dot +
+    # row_number window the kernel replaced
+    vecs = load_table(spark, kernel_equiv_dir, "embeddings")
+    usable = vecs.filter(F.size("embedding") == DIMS)
+    cents = (
+        usable.filter(F.col("vec_id") <= _HN_K)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cv"),
+            norm_expr("embedding").alias("cn"),
+        )
+        .filter(F.col("cn") > 0)
+    )
+    scored = (
+        usable.select(
+            "vec_id", "label", "embedding",
+            norm_expr("embedding").alias("vn"),
+        )
+        .filter(F.col("vn") > 0)
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cos_c", seq_dot("embedding", "cv") / (F.col("vn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cent_id")
+    )
+    assigned = (
+        scored.withColumn("ark", F.row_number().over(w))
+        .filter(F.col("ark") == 1)
+        .select(
+            "vec_id", "label", "embedding", "vn",
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("av"),
+        F.col("vn").alias("an"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("embedding").alias("nv"),
+        F.col("vn").alias("nn"),
+        "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("anchor_label") != F.col("negative_label"))
+        .withColumn(
+            "cosine", seq_dot("av", "nv") / (F.col("an") * F.col("nn"))
+        )
+    )
+    w2 = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    old = (
+        pairs.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _HN_TOPK)
+        .select(
+            "anchor_id", "anchor_label", "rk",
+            "negative_id", "negative_label", "cosine",
+        )
+        .collect()
+    )
+
+    assert sorted([tuple(r) for r in new], key=lambda t: (t[0], t[2])) == \
+        sorted([tuple(r) for r in old], key=lambda t: (t[0], t[2]))
+    # the tie trio (bit-equal cosines) must rank by ascending negative_id
+    trio = [r for r in new if r["negative_id"] in (20, 21, 22)]
+    by_anchor: dict = {}
+    for r in trio:
+        by_anchor.setdefault(r["anchor_id"], []).append(
+            (r["rk"], r["negative_id"])
+        )
+    for ranked in by_anchor.values():
+        ranked.sort()
+        ids = [nid for _, nid in ranked]
+        assert ids == sorted(ids), ranked
+    # NULL-labeled id 30 appears on neither side
+    touched = {r["anchor_id"] for r in new} | {r["negative_id"] for r in new}
+    assert 30 not in touched

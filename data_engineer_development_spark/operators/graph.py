@@ -26,6 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: count_triangles broadcasts the degree table into the orientation join
+#: only while the canonical edge list is under this bound (|V| ≤ 2·m, so
+#: this caps the broadcast hash relation); past it the co-partitioned
+#: sort-merge path stands — the 100 TB shape.
+BROADCAST_DEG_MAX_EDGES = 2_000_000
+
 #: label_propagation rounds beyond this switch from per-round persist
 #: (lazy, O(iterations) pinned node-sized frames until release_tracked)
 #: to the eager lineage-truncating local checkpoint with free= (peak
@@ -352,6 +358,13 @@ def count_triangles(
     triangle is counted exactly once (its three edges map to exactly one
     (u→v, u→w, v→w) oriented wedge-closure). Returns a 1-row frame
     (n_nodes, n_edges, n_triangles), all BIGINT.
+
+    NOTE (ADVICE r17): the canonical edge list is materialized EAGERLY
+    (tracked localCheckpoint) at DataFrame-BUILD time — calling this
+    runs Spark jobs before any action on the result, and the checkpoint
+    blocks stay pinned until ``cache.release_tracked()`` runs; callers
+    outside the bench/driver harness must provide that quiesce point
+    (repeated calls otherwise accumulate checkpoint blocks).
     """
     # The canonical edge list is materialized ONCE with an eager
     # localCheckpoint: e feeds four consumers (deg, the orientation
@@ -382,18 +395,30 @@ def count_triangles(
         .distinct()
     )
     e, _ = local_checkpoint_tracked(e)
+    # one cheap count over the checkpointed blocks: reused verbatim as
+    # the n_edges output stat (same number, computed in-invocation) and
+    # as the broadcast-eligibility probe below
+    n_edges = e.count()
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    if n_edges <= BROADCAST_DEG_MAX_EDGES:
+        # OPTIMIZATION r18 (guide §3.1, VERDICT r17 #4): deg is
+        # |V|-sized (≤ 2·n_edges, here 20k rows) — broadcasting both
+        # orientation probes removes the two e-side hash exchanges and
+        # lets orientation pipeline map-side off the checkpoint blocks
+        # (A/B idle min-of-3: 7.34 → 6.66 s at sf0.1; identical 1-row
+        # result). Guarded by edge count so a 100 TB graph (|V| beyond
+        # any broadcast) keeps the co-partitioned SMJ path.
+        da, db = F.broadcast(da), F.broadcast(db)
     # total order (degree, id) — ties broken by id, so orientation is
     # deterministic and acyclic
-    withdeg = (
-        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
-        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
-    )
+    withdeg = e.join(da, "a").join(db, "b")
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
@@ -412,7 +437,9 @@ def count_triangles(
     tri = wedges.join(closure, ["w_v1", "w_v2"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    stats = e.agg(F.count(F.lit(1)).alias("n_edges")).join(
-        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # n_edges is the count already taken over the checkpointed list —
+    # a literal here, so the final plan drops that whole agg subtree
+    stats = deg.agg(F.count(F.lit(1)).alias("n_nodes")).select(
+        "n_nodes", F.lit(n_edges).cast("long").alias("n_edges")
     )
     return stats.join(tri).select("n_nodes", "n_edges", "n_triangles")

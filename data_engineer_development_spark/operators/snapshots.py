@@ -176,39 +176,44 @@ def append_snapshot(
         )
 
     _overlap([_write_add(fid, df) for fid, df in adds.items()])
-    if auto_stats:
-        # measure bounds from the files JUST WRITTEN (a key-column-only
-        # read of fresh, page-cached parquet) instead of re-executing
-        # each add's plan — the add may be an expensive join tree;
-        # per-file read-backs are independent, overlapped too
-        def _measure(fid: str):
-            return lambda: (
-                fid,
-                spark.read.parquet(os.path.join(base_dir, "data", fid))
-                .agg(
-                    F.min(stats_key).alias("mn"),
-                    F.max(stats_key).alias("mx"),
-                )
-                .collect()[0],
-            )
 
-        unmeasured = sorted(set(adds) - set(stats))
-        for fid, r in _overlap([_measure(fid) for fid in unmeasured]):
-            if (
-                r["mn"] is not None
-                and isinstance(r["mn"], (int, str))
-                and not isinstance(r["mn"], bool)
-            ):
-                # unsupported key types (date, decimal, …) simply carry
-                # no skipping stats — auto mode never fails a commit
-                stats[fid] = (r["mn"], r["mx"])
+    # measure bounds from the files JUST WRITTEN (a key-column-only
+    # read of fresh, page-cached parquet) instead of re-executing
+    # each add's plan — the add may be an expensive join tree. The
+    # per-file read-backs and the DV writes are mutually independent
+    # (disjoint paths, the reads touch only the adds just landed), so
+    # they share ONE overlap round (OPTIMIZATION r18, guide §2.6;
+    # r17 ran them as two sequential rounds).
+    def _measure(fid: str):
+        return lambda: (
+            fid,
+            spark.read.parquet(os.path.join(base_dir, "data", fid))
+            .agg(
+                F.min(stats_key).alias("mn"),
+                F.max(stats_key).alias("mx"),
+            )
+            .collect()[0],
+        )
 
     def _write_dv(fid: str, keys: DataFrame):
         return lambda: keys.select(F.col(dv_key).alias(_DV_COL)).write.mode(
             "error"
         ).parquet(os.path.join(base_dir, "dv", f"{fid}@{version}"))
 
-    _overlap([_write_dv(fid, keys) for fid, keys in dvs.items()])
+    unmeasured = sorted(set(adds) - set(stats)) if auto_stats else []
+    round2 = _overlap(
+        [_measure(fid) for fid in unmeasured]
+        + [_write_dv(fid, keys) for fid, keys in dvs.items()]
+    )
+    for fid, r in round2[: len(unmeasured)]:
+        if (
+            r["mn"] is not None
+            and isinstance(r["mn"], (int, str))
+            and not isinstance(r["mn"], bool)
+        ):
+            # unsupported key types (date, decimal, …) simply carry
+            # no skipping stats — auto mode never fails a commit
+            stats[fid] = (r["mn"], r["mx"])
     if stats:
         srows = []
         for fid in sorted(stats):
@@ -765,12 +770,18 @@ def apply_compaction(
 
 
 def _key_stats(
-    spark: SparkSession, base_dir: str, key_col: str, live: list[str]
+    spark: SparkSession,
+    base_dir: str,
+    key_col: str,
+    live: list[str] | None,
 ) -> dict[str, tuple]:
     """Recorded ``(min, max)`` bounds of ``key_col`` per live file from
     the ``_stats`` sidecar — {} when the table records none (every file
     then stays a merge candidate). Manifest-scale collect: ≤ one row
-    per live file."""
+    per file ever given bounds. ``live=None`` skips the live filter so
+    the read needs no manifest dependency (OPTIMIZATION r18: lets the
+    caller overlap this job with the ``_actions`` read, guide §2.6,
+    intersecting with the live set driver-side afterward)."""
     try:
         sdf = spark.read.schema(_STATS_SCHEMA).parquet(
             os.path.join(base_dir, "_stats")
@@ -781,10 +792,12 @@ def _key_stats(
         if isinstance(e, AnalysisException) and "PATH_NOT_FOUND" in str(e):
             return {}
         raise
+    filtered = sdf.filter(F.col("key_col") == key_col)
+    if live is not None:
+        filtered = filtered.filter(F.col("file_id").isin(live))
     rows = (
-        sdf.filter(F.col("key_col") == key_col)
-        .filter(F.col("file_id").isin(live))
-        .collect()  # bounded: one row per live file (manifest scale)
+        filtered
+        .collect()  # bounded: one row per stats-carrying file (manifest)
     )
     out: dict[str, tuple] = {}
     for r in rows:
@@ -882,12 +895,23 @@ def merge_cdc(
                 "collapse, queries/warehouse_ops.q_cdc_apply)"
             )
 
-    _overlap(
+    # OPTIMIZATION r18 (guide §2.6): the two batch-validity guards, the
+    # manifest read, and the stats-sidecar read are four independent
+    # bounded jobs — one overlap round instead of three sequential ones
+    # (r17 overlapped only the guards). Guard semantics unchanged: both
+    # reads are read-only, nothing is written before any guard settles
+    # (_overlap re-raises the first exception after all submitted work
+    # completes).
+    fns = (
         ([_dup_guard] if up_counts is not None else [])
         + ([_clash_guard] if up_keys is not None and del_keys is not None
            else [])
+        + [
+            lambda: _actions(spark, base_dir, version - 1),
+            lambda: _key_stats(spark, base_dir, key_col, None),
+        ]
     )
-    acts = _actions(spark, base_dir, version - 1)
+    acts, all_stats = _overlap(fns)[-2:]
     added = {r["file_id"] for r in acts if r["action"] == "add"}
     removed = {r["file_id"] for r in acts if r["action"] == "remove"}
     live = sorted(added - removed)
@@ -906,7 +930,10 @@ def merge_cdc(
             )
 
     # ---- data skipping: prune candidates from manifest key bounds ----
-    stats_by_fid = _key_stats(spark, base_dir, key_col, live)
+    live_set = set(live)
+    stats_by_fid = {
+        fid: b for fid, b in all_stats.items() if fid in live_set
+    }
     if stats_by_fid:
         change_keys = (
             up_keys if del_keys is None
@@ -994,30 +1021,58 @@ def merge_cdc(
                 "left_anti",
             )
 
-    def _route(keys: DataFrame | None) -> dict[str, DataFrame]:
-        """{fid: keys present in fid} for keys matching a live file."""
-        if keys is None or tagged is None:
-            return {}
-        fids = [
-            r["_fid"]
-            for r in tagged.join(keys, "_k")
-            .select("_fid")
-            .distinct()
-            .collect()  # bounded: ≤ live-file count (manifest scale)
-        ]
-        return {
-            fid: tagged.filter(F.col("_fid") == fid)
+    # ---- ONE routing aggregate over the pruned scan (OPTIMIZATION r18,
+    # guide §1/§2.6): both sides' key→file routing AND the insert-
+    # presence probe come out of a single bounded job — r17 paid two
+    # overlapped routing collects plus a limit-count for the insert
+    # check, and per-batch job-scheduling constants dominate the MERGE
+    # at manifest scale. Routing semantics unchanged: a key's side flags
+    # are disjoint (the clash guard above), the NULL-_fid group carries
+    # keys matching NO candidate file (upsert there ⇒ an insert exists).
+    def _fid_keys(fid: str, keys: DataFrame) -> DataFrame:
+        return (
+            tagged.filter(F.col("_fid") == fid)
             .join(keys, "_k")
             .select(F.col("_k").alias(key_col))
-            for fid in sorted(fids)
-        }
+        )
 
-    # the two routing collects are independent jobs over the same pruned
-    # scan — overlapped (guide §2.6; ReuseExchange/FileScan caching makes
-    # the second's scan cheap either way, the win is the job constants)
-    upd_by_file, del_by_file = _overlap(
-        [lambda: _route(up_keys), lambda: _route(del_keys)]
-    )
+    upd_by_file: dict[str, DataFrame] = {}
+    del_by_file: dict[str, DataFrame] = {}
+    has_ins = False
+    if tagged is None:
+        # no candidate files at all: every upsert key is an insert
+        has_ins = up_keys is not None and bool(up_keys.limit(1).count())
+    else:
+        sides = []
+        if up_keys is not None:
+            sides.append(
+                up_keys.select(
+                    "_k", F.lit(1).alias("_u"), F.lit(0).alias("_d")
+                )
+            )
+        if del_keys is not None:
+            sides.append(
+                del_keys.select(
+                    "_k", F.lit(0).alias("_u"), F.lit(1).alias("_d")
+                )
+            )
+        ck = sides[0]
+        for s in sides[1:]:
+            ck = ck.unionByName(s)
+        routed = (
+            ck.join(tagged, "_k", "left")
+            .groupBy("_fid")
+            .agg(F.max("_u").alias("_hu"), F.max("_d").alias("_hd"))
+            .collect()  # bounded: ≤ live-file count + 1 (manifest scale)
+        )
+        for r in routed:
+            if r["_fid"] is None:
+                has_ins = bool(r["_hu"])
+                continue
+            if r["_hu"]:
+                upd_by_file[r["_fid"]] = _fid_keys(r["_fid"], up_keys)
+            if r["_hd"]:
+                del_by_file[r["_fid"]] = _fid_keys(r["_fid"], del_keys)
 
     adds: dict[str, DataFrame] = {}
     removes: list[str] = []
@@ -1042,7 +1097,10 @@ def merge_cdc(
         adds[f"{prefix}{version}_{fid}"] = survivors.unionByName(replaced)
         removes.append(fid)
     inserted: list[str] = []
-    if upserts is not None:
+    if has_ins:
+        # presence already established by the routing aggregate — no
+        # extra job here; the anti-join itself stays lazy (executed by
+        # append_snapshot's overlapped write)
         matched = (
             tagged.select("_k").distinct() if tagged is not None else None
         )
@@ -1053,10 +1111,9 @@ def merge_cdc(
             if matched is not None
             else upserts
         )
-        if ins.limit(1).count():
-            fid = f"{prefix}{version}_ins"
-            adds[fid] = ins
-            inserted.append(fid)
+        fid = f"{prefix}{version}_ins"
+        adds[fid] = ins
+        inserted.append(fid)
     dvs = {
         fid: keys
         for fid, keys in del_by_file.items()

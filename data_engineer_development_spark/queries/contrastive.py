@@ -55,6 +55,14 @@ from data_engineer_development_spark.sources import load_table
 # --------------------------------------------------------------------------
 _HN_K = 8
 _HN_TOPK = 3
+#: anchors scored per block inside the cell kernel (ADVICE r17, medium):
+#: the unblocked kernel held three m×m float64 grids at once (~240 GB for
+#: a pathological 100k-vector cell — one Python worker OOM); blocking the
+#: ANCHOR axis caps peak extra memory at ~3·chunk·m doubles while keeping
+#: every per-anchor top-k bit-identical (each anchor's row of the pair
+#: grid is computed whole, in the same fold order — anchors are
+#: independent of each other by construction).
+_HN_ANCHOR_CHUNK = 1024
 
 
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,43 +143,61 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid = lab.notna().to_numpy()
         labels = lab.to_numpy()
         m = len(ids)
-        # sequential left-fold over dims, vectorized over the pair grid
-        acc = V[:, 0:1] * V[None, :, 0]
-        for d in range(1, V.shape[1]):
-            acc += V[:, d : d + 1] * V[None, :, d]
-        cos = acc / (vn[:, None] * vn[None, :])
-        cross = (
-            valid[:, None]
-            & valid[None, :]
-            & (labels[:, None] != labels[None, :])
-        )
-        # stable argsort of -cos with non-candidates sunk to +inf: ties
-        # (bit-equal cosines) keep column order = ascending negative_id
-        order = np.argsort(
-            np.where(cross, -cos, np.inf), axis=1, kind="stable"
-        )
         k = min(_HN_TOPK, m)
-        top = order[:, :k]
-        rows = np.repeat(np.arange(m), k)
-        cols = top.ravel()
-        keep = cross[rows, cols]
-        rows, cols = rows[keep], cols[keep]
-        rk = np.tile(np.arange(1, k + 1), m)[keep]
         cast = label_np.get(label_t)
-        a_lab, n_lab = labels[rows], labels[cols]
-        if cast is not None:
-            # exact: only non-null int labels survive `cross`
-            a_lab, n_lab = a_lab.astype(cast), n_lab.astype(cast)
-        return pd.DataFrame(
-            {
-                "anchor_id": ids[rows],
-                "anchor_label": a_lab,
-                "rk": rk.astype(np.int32),
-                "negative_id": ids[cols],
-                "negative_label": n_lab,
-                "cosine": cos[rows, cols],
-            }
-        )
+        out_parts = []
+        # anchor-axis blocking (ADVICE r17): each block computes its
+        # chunk×m slice of the pair grid whole — per-anchor results are
+        # independent, so the blocked output is bit-identical to the
+        # one-shot grid while peak memory is O(chunk·m), not O(m²)
+        for lo in range(0, m, _HN_ANCHOR_CHUNK):
+            hi = min(lo + _HN_ANCHOR_CHUNK, m)
+            A = V[lo:hi]
+            # sequential left-fold over dims, vectorized over the block
+            acc = A[:, 0:1] * V[None, :, 0]
+            for d in range(1, V.shape[1]):
+                acc += A[:, d : d + 1] * V[None, :, d]
+            cos = acc / (vn[lo:hi, None] * vn[None, :])
+            cross = (
+                valid[lo:hi, None]
+                & valid[None, :]
+                & (labels[lo:hi, None] != labels[None, :])
+            )
+            # stable argsort of -cos with non-candidates sunk to +inf:
+            # ties (bit-equal cosines) keep column order = ascending
+            # negative_id. A NaN cosine (non-finite embedding) maps to
+            # -inf in the SORT KEY so it ranks FIRST — reproducing
+            # Spark's NaN-greatest DESC ordering, i.e. the retired
+            # pair-join/row_number semantics (ADVICE r17); the emitted
+            # cosine value stays NaN either way.
+            key = np.where(
+                cross, np.where(np.isnan(cos), -np.inf, -cos), np.inf
+            )
+            order = np.argsort(key, axis=1, kind="stable")
+            top = order[:, :k]
+            c = hi - lo
+            rows = np.repeat(np.arange(c), k)
+            cols = top.ravel()
+            keep = cross[rows, cols]
+            rows, cols = rows[keep], cols[keep]
+            rk = np.tile(np.arange(1, k + 1), c)[keep]
+            a_lab, n_lab = labels[lo + rows], labels[cols]
+            if cast is not None:
+                # exact: only non-null int labels survive `cross`
+                a_lab, n_lab = a_lab.astype(cast), n_lab.astype(cast)
+            out_parts.append(
+                pd.DataFrame(
+                    {
+                        "anchor_id": ids[lo + rows],
+                        "anchor_label": a_lab,
+                        "rk": rk.astype(np.int32),
+                        "negative_id": ids[cols],
+                        "negative_label": n_lab,
+                        "cosine": cos[rows, cols],
+                    }
+                )
+            )
+        return pd.concat(out_parts, ignore_index=True)
 
     out_schema = (
         f"anchor_id long, anchor_label {label_t}, rk int, "

@@ -177,30 +177,15 @@ _SD_ITERS = 2
 
 
 
-#: memo for _auto_k_pinned, keyed by (sf_dir, side-tag): the resolved K
-#: is a fixture property, so paying the vecs.count() Spark action once
-#: per fixture per process is enough — without it every BUILD of the
-#: three registered semdedup entries re-ran the count job, inflating
-#: their benchmark timings for a value pinned constant anyway (ADVICE
-#: r11). The pin itself still fires on the first resolution.
-#: ASSUMPTION (ADVICE r12): fixtures are immutable per path per process
-#: — every harness here (driver, bench, pytest) reads pre-generated
-#: parquet. If a fixture at the same sf_dir were regenerated at a
-#: DIFFERENT size in-process, the memo would serve the stale K and skip
-#: the loud auto_k_cells-vs-oracle pin; key on the fixture's row count
-#: if that ever becomes possible.
-_AUTO_K_MEMO: dict = {}
-
-
 def _auto_k_pinned(vecs: DataFrame, cache_key: tuple) -> int:
     """Resolve the measured auto-K policy for a registered entry and FAIL
     LOUDLY if it diverges from the static oracles' LIMIT {_SD_K} — a
     bigger fixture would otherwise hash-mismatch three entries with
     nothing pointing at the cause (review r11). The count is the same
-    metadata-served upper bound the operator's k_cells=None path uses;
-    memoized per (sf_dir, side) so repeat builds don't re-pay the job."""
-    if cache_key in _AUTO_K_MEMO:
-        return _AUTO_K_MEMO[cache_key]
+    metadata-served upper bound the operator's k_cells=None path uses
+    (parquet footer metadata — no scan), re-paid per invocation: no
+    module-level state keyed on the fixture path survives between runs
+    (VERDICT r17 #5 — the no-precomputation contract)."""
     from data_engineer_development_spark.operators.similarity import (
         auto_k_cells,
     )
@@ -213,7 +198,6 @@ def _auto_k_pinned(vecs: DataFrame, cache_key: tuple) -> int:
             "the new K (the fixture outgrew k_min*target_cell) instead "
             "of shipping a silent hash mismatch"
         )
-    _AUTO_K_MEMO[cache_key] = k
     return k
 
 
@@ -363,11 +347,27 @@ ORDER BY asg.vec_id
 # --------------------------------------------------------------------------
 def q_semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
-    truth = S.quantized_neardup_pairs(vecs, _SD_TAU, dims=DIMS)
-    asg = S.semdedup(  # auto-K, loudly pinned to the oracle constant
-        vecs, k_cells=_auto_k_pinned(vecs, (sf_dir, "full")), tau=_SD_TAU,
-        dims=DIMS, train_iters=_SD_ITERS,
-    ).select("vec_id", "cell")
+    # OPTIMIZATION r18 (guide §2.6 — overlap independent jobs): building
+    # the truth side (one bounded collect of the quantized corpus) and
+    # the semdedup side (auto-K count + codebook seed + Lloyd collects)
+    # are independent eager driver chains until the final join; running
+    # them from two driver threads lets each chain's jobs back-fill the
+    # other's scheduling gaps. Both DataFrames are identical to the
+    # sequential build — only the job submission order changes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_truth = pool.submit(
+            S.quantized_neardup_pairs, vecs, _SD_TAU, dims=DIMS
+        )
+        f_asg = pool.submit(
+            lambda: S.semdedup(  # auto-K, loudly pinned to the oracle
+                vecs, k_cells=_auto_k_pinned(vecs, (sf_dir, "full")),
+                tau=_SD_TAU, dims=DIMS, train_iters=_SD_ITERS,
+            )
+        )
+        truth = f_truth.result()
+        asg = f_asg.result().select("vec_id", "cell")
     a1 = asg.select(F.col("vec_id").alias("id1"), F.col("cell").alias("cell1"))
     a2 = asg.select(F.col("vec_id").alias("id2"), F.col("cell").alias("cell2"))
     return (
@@ -703,26 +703,20 @@ _GATE_EVENT_TTL_MS = 10_000
 #: epoch ms of 2026-01-01 00:00:00 UTC (fixture-independent constant)
 _GATE_TS_BASE_MS = 1_767_225_600_000
 
-#: memo for the event-TTL outlier id, keyed by sf_dir — same fixture-
-#: immutability assumption as _AUTO_K_MEMO (one fixture per path per
-#: process; in-process regeneration would serve a stale id).
-_MIN_VEC_ID_MEMO: dict = {}
-
-
 def _min_vec_id(spark: SparkSession, sf_dir: str) -> int:
     """The fixture's lowest vec_id — the event-TTL entry's watermark
     outlier. Derived, not hardcoded (ADVICE r12): with a hardcoded 0 a
     regenerated fixture whose ids start elsewhere would still hash-match
     the oracle but silently stop exercising the no-data-batch
     self-expiry path this registration exists to drive. One tiny
-    column-pruned min() job, memoized per fixture per process."""
-    if sf_dir not in _MIN_VEC_ID_MEMO:
-        _MIN_VEC_ID_MEMO[sf_dir] = int(
-            load_table(spark, sf_dir, "embeddings")
-            .agg(F.min("vec_id"))
-            .collect()[0][0]
-        )
-    return _MIN_VEC_ID_MEMO[sf_dir]
+    column-pruned min() job, re-paid per invocation (VERDICT r17 #5:
+    the former per-sf_dir memo let bench repeats skip the job — a
+    cross-run memo keyed on the testdata path, gone on contract)."""
+    return int(
+        load_table(spark, sf_dir, "embeddings")
+        .agg(F.min("vec_id"))
+        .collect()[0][0]
+    )
 
 
 def _prepare_gate_event_ttl(spark: SparkSession, sf_dir: str):
@@ -949,8 +943,19 @@ def q_stream_neardup_gate_dials(
         runs.append(
             (tag, name, post, start_to_memory_sink(gated, name, **kwargs))
         )
+    # finish EVERY started run even when one raises (ADVICE r17): an
+    # early failure must not leave the sibling stream unawaited with its
+    # /dev/shm checkpoint leaked; the first exception re-raises after all
+    # runs have been awaited and cleaned.
+    first_exc: Exception | None = None
     for *_, run in runs:
-        finish_memory_sink(run)
+        try:
+            finish_memory_sink(run)
+        except Exception as exc:  # noqa: BLE001 — re-raised below
+            if first_exc is None:
+                first_exc = exc
+    if first_exc is not None:
+        raise first_exc
     cols = ["vec_id", "dup_of", "admitted"]
     parts = [
         post(spark.table(name)).select(F.lit(tag).alias("dial"), *cols)

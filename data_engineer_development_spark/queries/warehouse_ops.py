@@ -1371,22 +1371,31 @@ def q_cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, base, 2,
             updates.unionByName(inserts), deletes, "o_orderkey",
         )
-        per_version = [
-            read_asof(spark, base, v, dv_key="o_orderkey")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                dsum("o_totalprice", "revenue"),
+        # the two per-version summary builds each pay a manifest collect
+        # (read_asof) plus a live_files collect — four independent
+        # bounded jobs; build both versions' frames from two driver
+        # threads (OPTIMIZATION r18, guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _per_version(v: int) -> DataFrame:
+            return (
+                read_asof(spark, base, v, dv_key="o_orderkey")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    dsum("o_totalprice", "revenue"),
+                )
+                .select(
+                    F.lit(v).alias("version"),
+                    F.lit(len(live_files(spark, base, v)))
+                    .cast("long")
+                    .alias("n_files"),
+                    "n_rows",
+                    "revenue",
+                )
             )
-            .select(
-                F.lit(v).alias("version"),
-                F.lit(len(live_files(spark, base, v)))
-                .cast("long")
-                .alias("n_files"),
-                "n_rows",
-                "revenue",
-            )
-            for v in (1, 2)
-        ]
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            per_version = list(pool.map(_per_version, (1, 2)))
         out = per_version[0].unionByName(per_version[1])
         # materialize BEFORE the landing dir vanishes
         return out.orderBy("version").localCheckpoint()
@@ -1626,7 +1635,8 @@ def q_stream_cdc_merge_snapshot(
         )
         q.awaitTermination()
 
-        def _summary(version: int, label: str) -> DataFrame:
+        def _summary(args: tuple) -> DataFrame:
+            version, label = args
             return (
                 read_asof(spark, base, version, dv_key="o_orderkey")
                 .agg(
@@ -1636,7 +1646,15 @@ def q_stream_cdc_merge_snapshot(
                 .select(F.lit(label).alias("state"), "n_rows", "revenue")
             )
 
-        out = _summary(1, "base").unionByName(_summary(2**61, "head"))
+        # each summary pays a read_asof manifest collect — independent
+        # bounded jobs, built from two driver threads (r18, guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            s_base, s_head = pool.map(
+                _summary, ((1, "base"), (2**61, "head"))
+            )
+        out = s_base.unionByName(s_head)
         # materialize BEFORE the landing dirs vanish
         return out.orderBy("state").localCheckpoint()
     finally:

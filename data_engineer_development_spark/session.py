@@ -67,6 +67,17 @@ def get_spark(
                 "-XX:ReservedCodeCacheSize=2g",
             ),
         )
+        # Executor parity (VERDICT r17 #6): local mode runs one JVM so this
+        # is a no-op here, but on a real cluster codegen-heavy executors hit
+        # the same code-cache flush churn the driver did — mirror the
+        # reservation so the 100 TB deployment inherits the fix.
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_EXECUTOR_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=2g",
+            ),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # ANSI off: BigQuery CAST on already-cleansed data and Spark non-ANSI
         # CAST agree (SURVEY.md §7.3); sentinel cleanup precedes every cast.

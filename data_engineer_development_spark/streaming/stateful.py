@@ -591,7 +591,9 @@ def stream_neardup_gate(
         # event-time column); EventTimeTimeout without a watermark is a
         # query-start error, so failure is loud, not silent
         vectors = vectors.withWatermark(event_time_col, watermark_delay)
-        q = _with_quantized(vectors, id_col, vec_col, event_time_col)
+        q = _with_quantized(
+            vectors, id_col, vec_col, event_time_col, via="jvm"
+        )  # jvm: a watermark tag cannot survive an opaque Python node
         usable = q.filter((F.size(vec_col) == dims) & (F.col("qn") > 0))
         if tables == 1:
             bucketed = bucket_assign(
@@ -651,7 +653,7 @@ def stream_neardup_gate(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
 
-    q = _with_quantized(vectors, id_col, vec_col)
+    q = _with_quantized(vectors, id_col, vec_col, via="jvm")
     usable = q.filter((F.size(vec_col) == dims) & (F.col("qn") > 0))
     timeout = (
         GroupStateTimeout.NoTimeout

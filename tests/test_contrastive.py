@@ -292,3 +292,24 @@ def test_topk_kernel_matches_pair_join_formulation(spark, kernel_equiv_dir):
     # NULL-labeled id 30 appears on neither side
     touched = {r["anchor_id"] for r in new} | {r["negative_id"] for r in new}
     assert 30 not in touched
+
+
+def test_topk_kernel_anchor_blocking_is_exact(
+    spark, kernel_equiv_dir, monkeypatch
+):
+    """r18 hardening pin (ADVICE r17): the anchor-axis blocking inside the
+    cell kernel must be invisible in the output — a chunk size smaller
+    than every cell forces multi-block execution, and the result must be
+    row-identical (ids, ranks, bit-equal cosines) to the one-block run."""
+    from data_engineer_development_spark.queries import contrastive as C
+
+    baseline = sorted(
+        tuple(r) for r in q_hard_negative_mining(spark, kernel_equiv_dir).collect()
+    )
+    monkeypatch.setattr(C, "_HN_ANCHOR_CHUNK", 2)
+    blocked = sorted(
+        tuple(r) for r in C.q_hard_negative_mining(
+            spark, kernel_equiv_dir
+        ).collect()
+    )
+    assert blocked == baseline

@@ -920,3 +920,60 @@ def test_semdedup_sharded_rejects_duplicate_ids_within_shard(spark):
     )
     with pytest.raises(ValueError, match="duplicate ids within a shard"):
         semdedup_sharded(df, shard_col="label", k_cells=2, tau=0.9, dims=4)
+
+
+def test_numpy_quantizer_equals_jvm(spark):
+    """r18 optimization pin (guide §4.2/§4.4): the Arrow/numpy
+    ``_with_quantized`` path must reproduce the JVM HOF formulation
+    BIT-FOR-BIT — same max-abs grid (element-wise IEEE double ops in the
+    same order), same exact int64 self-dot, same NULL-array/empty-array/
+    zero-norm/off-width handling — on a corpus that exercises every edge
+    the fixtures and oracles can reach."""
+    from data_engineer_development_spark.operators.similarity import (
+        _with_quantized,
+    )
+
+    rows = [
+        (0, [1.0, -2.5, 3.25, 0.125]),          # plain
+        (1, [0.0, 0.0, 0.0, 0.0]),              # zero-norm → qn 0
+        (2, [1e-30, -1e-30, 1e-30, -1e-30]),    # tiny mx (rounding stress)
+        (3, [1e30, -1e30, 0.5, -0.25]),         # huge mx
+        (4, [7.0]),                             # short row (width group 1)
+        (5, [0.3] * 9),                          # width group 9
+        (6, None),                               # NULL array → NULL qv/qn
+        (7, []),                                 # empty array → qv [], qn 0
+        (8, [-0.1, 0.1, -0.1, 0.1]),             # sign symmetry
+        (9, [0.7000001, -0.6999999, 0.35, 0.0]), # near-tie magnitudes
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+    def grab(via):
+        return {
+            r["vec_id"]: (
+                None if r["qv"] is None else tuple(r["qv"]),
+                r["qn"],
+            )
+            for r in _with_quantized(
+                df, "vec_id", "embedding", via=via
+            ).collect()
+        }
+
+    assert grab("numpy") == grab("jvm")
+
+    # the fixture corpus end-to-end, both paths, bit-for-bit
+    from data_engineer_development_spark.sources import load_table
+
+    vecs = load_table(spark, SF_CORRECT, "embeddings")
+    a = {
+        r["vec_id"]: (tuple(r["qv"]), r["qn"])
+        for r in _with_quantized(vecs, "vec_id", "embedding").collect()
+    }
+    b = {
+        r["vec_id"]: (tuple(r["qv"]), r["qn"])
+        for r in _with_quantized(
+            vecs, "vec_id", "embedding", via="jvm"
+        ).collect()
+    }
+    assert a == b

@@ -8,8 +8,14 @@ checked against these committed files.
 Usage:
     python tools/capture_plans.py --round 17 --tag before q1 [q2 ...]
 
-Plan-only: builds each DataFrame and formats its physical plan without
-executing it, so it is safe to run alongside other Spark work.
+Plan-only for MOST entries: builds each DataFrame and formats its physical
+plan without executing the final query. Caveat (ADVICE r17): some builders
+run REAL Spark jobs at DataFrame-build time — eager localCheckpoints
+(triangle_count's edge list), driver-side seed/Lloyd collects (the
+semdedup family), streaming runs (stream_neardup_gate), and the snapshot
+entries' full commit sequences — so "build" can execute substantial work
+and leave tracked checkpoint blocks alive until
+cache.release_tracked() runs. This tool is for plan evidence, not timing.
 """
 
 from __future__ import annotations
